@@ -1,0 +1,12 @@
+from .evaluate import evaluate, resolve_const_from_params
+from .ir import StencilIR, linear_decomposition
+from .jnp_backend import dense_apply, brick_apply
+
+__all__ = [
+    "evaluate",
+    "resolve_const_from_params",
+    "StencilIR",
+    "linear_decomposition",
+    "dense_apply",
+    "brick_apply",
+]

@@ -1,0 +1,104 @@
+"""Stencil IR: the analysis the emitters share.
+
+The reference's CodeGen pipeline (codegen/st/codegen/base.py:108-676) CSEs
+the DAG, flattens +/× chains into Reduction nodes, and greedily groups
+shifted reads to minimize distinct vector loads.  On TPU the compiler
+(XLA/Mosaic) does instruction scheduling and CSE, so the IR keeps only the
+transformations that still pay off at the array level:
+
+- ``linear_decomposition`` — recognize Σ cᵍ·in(offsets) and group taps by
+  coefficient, turning k multiplies into one multiply per coefficient
+  group (125pt: 125 FMAs → 115 adds + 10 scalar multiplies).  This is the
+  array-level analog of the reference's Reduction grouping
+  (codegen/st/codegen/base.py:conv_reduction).
+- radius/tap bookkeeping via :class:`bricklib_tpu.st.loader.StencilDef`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..st.expr import BinOp, ConstRef, Expr, FloatLiteral, IntLiteral, Op, UnOp, UOp
+from ..st.grid import GridRef
+from ..st.loader import StencilDef
+
+
+def _coeff_key(e: Expr):
+    """Identity key for a coefficient expression, or None if not a simple
+    constant."""
+    if isinstance(e, ConstRef):
+        return ("const", e.name)
+    if isinstance(e, (IntLiteral, FloatLiteral)):
+        return ("lit", float(e.val))
+    return None
+
+
+def _flatten_add(e: Expr, sign: int, out: list):
+    if isinstance(e, BinOp) and e.op is Op.ADD:
+        _flatten_add(e.lhs, sign, out)
+        _flatten_add(e.rhs, sign, out)
+    elif isinstance(e, BinOp) and e.op is Op.SUB:
+        _flatten_add(e.lhs, sign, out)
+        _flatten_add(e.rhs, -sign, out)
+    elif isinstance(e, UnOp) and e.op is UOp.NEG:
+        _flatten_add(e.subexpr, -sign, out)
+    else:
+        out.append((sign, e))
+
+
+def linear_decomposition(rhs: Expr):
+    """Decompose ``rhs`` as Σ sign · coeff · grid(offsets).
+
+    Returns ``[(coeff_key, coeff_expr, [(sign, grid_name, offsets_edsl)])]``
+    grouped by coefficient, or None if the expression is not a pure linear
+    combination of taps (e.g. cond.py's If/max — those run through the
+    generic evaluator instead).
+    """
+    terms: list[tuple[int, Expr]] = []
+    _flatten_add(rhs, 1, terms)
+    groups: dict = {}
+    order: list = []
+    for sign, t in terms:
+        if isinstance(t, GridRef):
+            key, cexpr, ref = ("lit", 1.0), FloatLiteral(1.0), t
+        elif isinstance(t, BinOp) and t.op is Op.MUL:
+            a, b = t.lhs, t.rhs
+            if _coeff_key(a) is not None and isinstance(b, GridRef):
+                key, cexpr, ref = _coeff_key(a), a, b
+            elif _coeff_key(b) is not None and isinstance(a, GridRef):
+                key, cexpr, ref = _coeff_key(b), b, a
+            else:
+                return None
+        else:
+            return None
+        if key not in groups:
+            groups[key] = (cexpr, [])
+            order.append(key)
+        groups[key][1].append((sign, ref.grid.name, tuple(ref.offsets)))
+    return [(key, groups[key][0], groups[key][1]) for key in order]
+
+
+@dataclass
+class StencilIR:
+    """Analyzed stencil ready for an emitter."""
+
+    sdef: StencilDef
+    linear: "list | None"
+
+    @staticmethod
+    def from_def(sdef: StencilDef) -> "StencilIR":
+        return StencilIR(sdef=sdef, linear=linear_decomposition(sdef.rhs))
+
+    @property
+    def dims(self) -> int:
+        return self.sdef.dims
+
+    def radius(self):
+        return self.sdef.radius()
+
+    def flops_per_element(self) -> int:
+        """Approximate FLOPs/element (for rooflines and CostEstimate)."""
+        if self.linear is not None:
+            taps = sum(len(g[2]) for g in self.linear)
+            return 2 * taps
+        return 2 * len(self.sdef.taps)
