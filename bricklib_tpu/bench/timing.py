@@ -1,0 +1,100 @@
+"""Timing harness with the reference's protocol and phase taxonomy.
+
+- ``time_func``: geometric repeat until the total wall time passes
+  TOT_TIME=5 s, warm-up excluded (ref: stencils/stencils.h:28,40-53).
+- ``time_mpi``: fixed MPI_ITER=25 iterations after one warm-up call
+  (ref: stencils/fake.h:393-404, weak/main.cpp:39).
+- ``PhaseTimers``: the five accumulators packtime/calltime/waittime/
+  movetime/calctime (ref: include/brick-mpi.h:23, src/brick-mpi.cpp:7).
+  On TPU, phases are measured by timing separately-jitted segments with
+  block_until_ready (dispatch overlap means phases can sum above the
+  fused step time; the fused step is the headline number).
+- ``mpi_statistics``: min/avg/max/σ reduction (ref: brick-mpi.h:758-793),
+  applied across per-step samples (and across devices when available).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+TOT_TIME = 5.0
+MPI_ITER = 25
+
+
+def _sync(x):
+    if hasattr(x, "block_until_ready"):
+        x.block_until_ready()
+    elif isinstance(x, (tuple, list)):
+        for v in x:
+            _sync(v)
+
+
+def time_func(fn, *args, tot_time: float = TOT_TIME) -> float:
+    """Average seconds per call, geometric repeat until >= tot_time of
+    measurement (compile/warm-up excluded)."""
+    _sync(fn(*args))  # warm-up / compile
+    it = 1
+    while True:
+        st = time.perf_counter()
+        out = None
+        for _ in range(it):
+            out = fn(*args)
+        _sync(out)
+        elapsed = time.perf_counter() - st
+        if elapsed >= tot_time or it > 1 << 20:
+            return elapsed / it
+        it = it * 2 if elapsed < tot_time / 2 else max(
+            it + 1, int(it * tot_time / max(elapsed, 1e-9)) + 1)
+
+
+def time_mpi(fn, *args, iters: int = MPI_ITER) -> tuple[float, list[float]]:
+    """(avg seconds, per-iteration samples) after one warm-up call."""
+    _sync(fn(*args))
+    samples = []
+    for _ in range(iters):
+        st = time.perf_counter()
+        _sync(fn(*args))
+        samples.append(time.perf_counter() - st)
+    return sum(samples) / len(samples), samples
+
+
+def mpi_statistics(samples) -> dict:
+    """min/avg/max/σ like the reference's pretty-printer
+    (brick-mpi.h:758-793)."""
+    n = len(samples)
+    avg = sum(samples) / n
+    var = sum((s - avg) ** 2 for s in samples) / n
+    return {"min": min(samples), "avg": avg, "max": max(samples),
+            "sigma": math.sqrt(var)}
+
+
+@dataclass
+class PhaseTimers:
+    """The reference's five-phase taxonomy."""
+
+    packtime: float = 0.0
+    calltime: float = 0.0
+    waittime: float = 0.0
+    movetime: float = 0.0
+    calctime: float = 0.0
+    samples: dict = field(default_factory=dict)
+
+    def measure(self, name: str, fn, *args, iters: int = MPI_ITER):
+        avg, samp = time_mpi(fn, *args, iters=iters)
+        setattr(self, name, getattr(self, name) + avg)
+        self.samples[name] = samp
+        return avg
+
+    def report(self) -> dict:
+        out = {}
+        for name in ("packtime", "calltime", "waittime", "movetime",
+                     "calctime"):
+            v = getattr(self, name)
+            if name in self.samples:
+                out[name] = {"total": v,
+                             **mpi_statistics(self.samples[name])}
+            elif v:
+                out[name] = {"total": v}
+        return out
