@@ -21,16 +21,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bricklib_tpu.codegen.pallas_backend import pallas_brick_stencil
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_stencil
     from bricklib_tpu.core import init_grid
     from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     N = 512 if on_tpu else 64
-    BD = (8, 8, 128) if on_tpu else (4, 4, 128)
+    BD = (8, 8, N)  # pencil bricks: the TPU-canonical fast-path fold
     iters = 20 if on_tpu else 3
 
-    gdims = tuple(N // b + 2 for b in BD)
+    gdims = (N // BD[0] + 2, N // BD[1] + 2, 1)
     grid, info = init_grid(gdims)
     params = dict(DEFAULT_PARAMS)
     params["coeff"] = [0.03 * (c + 1) for c in range(27)]
@@ -59,9 +59,8 @@ def main():
     sol_gst = sol_bw / (2 * 4) / 1e9            # GStencil/s at 8 B/elem
 
     sd = stencil_by_name("s7pt")[0]
-    fn = jax.jit(pallas_brick_stencil(
-        sd, grid, BD, (1, 1, 1), info.nbricks, params,
-        tile=(4, 8) if on_tpu else (2, 2)))
+    fn = jax.jit(pallas_pencil_stencil(
+        sd, grid, BD, (1, 1), info.nbricks, params))
     dt = timeit(fn, view, iters)
     elems = N ** 3
     gst = elems / dt / 1e9

@@ -1,0 +1,218 @@
+"""Pencil-brick streaming stencil kernel — the flagship TPU fast path.
+
+Key insight: the TPU lane axis is only DMA-addressable in whole 128-lane
+tiles, so *thin* i-halos cannot be fetched from HBM.  Instead of paying a
+full ghost brick per 128-wide halo (1.5x read amplification at 512^3),
+the canonical fast-path brick spans the device's ENTIRE i extent
+("pencil brick", e.g. (8, 8, 512)), the i axis stays undistributed
+(mesh axes ride the outer dims, which is how TPU shardings want to be
+laid out anyway), and i-taps become in-register lane rolls with periodic
+wrap — the Pallas analog of the reference's dev_shl funnel shift across
+brick boundaries (include/dev_shl.h:11-64).
+
+The k axis streams: grid = (j-tiles, interior k rows) with k fastest; a
+4-slot rolling VMEM window holds brick rows [k-1, k, k+1, prefetch(k+2)],
+so every brick row is read from HBM exactly once per sweep (no k-halo
+re-reads) and the next row's DMA overlaps the current row's compute
+(double buffering, cf. pallas_guide 'Patterns: Double Buffering').
+
+Read amplification at 512^3 with TJ = full j: (66*66)/(64*64) = 1.06 —
+only the genuine ghost pencils — versus 2.0 for the generic
+tile-assembly kernel.
+
+Works on any layout whose grid table has i-extent 1 (one pencil per
+(k, j) cell): dense init_grid or BrickDecomp with ghost_depth[i] = 0.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .evaluate import resolve_const_from_params
+from .ir import StencilIR
+from .jnp_backend import _as_ir, _np_offsets, _run
+
+W = 4  # window slots: k-1, k, k+1 + one prefetch in flight
+
+
+def pallas_pencil_stencil(stencil, grid: np.ndarray,
+                          bdims: Sequence[int],
+                          ghost_bricks: Sequence[int],
+                          nbricks: int,
+                          params: dict | None = None,
+                          tile_j: int | None = None,
+                          dtype=jnp.float32,
+                          interpret: bool | None = None,
+                          vmem_limit_bytes: int = 110 * 2 ** 20):
+    """Build ``fn(dat_view) -> out_view`` for pencil bricks.
+
+    ``grid``: brick-grid table, shape (GK, GJ) or (GK, GJ, 1).
+    ``bdims`` = (BK, BJ, BIROW) with BIROW the full per-device i extent;
+    ``ghost_bricks`` = (gzk, gzj) (i has no ghost — periodic via roll).
+    """
+    ir = _as_ir(stencil)
+    params = dict(params or {})
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if ir.dims != 3:
+        raise NotImplementedError("pencil path is 3-D")
+    BK, BJ, BIROW = (int(b) for b in bdims)
+    grid = np.asarray(grid)
+    if grid.ndim == 3:
+        if grid.shape[2] != 1:
+            raise ValueError("pencil layout needs one brick per (k,j)")
+        grid = grid[:, :, 0]
+    GK, GJ = grid.shape
+    gzk, gzj = int(ghost_bricks[0]), int(ghost_bricks[1])
+    if gzk != 1 or gzj != 1:
+        raise ValueError("pencil path expects exactly one ghost brick "
+                         "in k and j")
+    lo, hi = ir.radius()
+    if lo[0] > BK or hi[0] > BK or lo[1] > gzj * BJ or hi[1] > gzj * BJ:
+        raise ValueError("stencil radius exceeds brick/ghost depth")
+
+    KI = GK - 2 * gzk           # interior k rows
+    JI = GJ - 2 * gzj
+    if tile_j is None:
+        tile_j = JI
+    TJ = int(tile_j)
+    if JI % TJ:
+        raise ValueError(f"tile_j {TJ} must divide interior j {JI}")
+    JT = JI // TJ
+    JW = TJ + 2                 # window pencils incl one ghost each side
+
+    row_shape = (BK, JW * BJ, BIROW)
+
+    def _row_copies(ids_ref, dat_ref, win, sem, jt, w, slot):
+        """Copy descriptors loading grid row w (k index) for j-tile jt."""
+        cps = []
+        for cj in range(JW):
+            bid = ids_ref[w * GJ + gzj + jt * TJ - 1 + cj]
+            cps.append(pltpu.make_async_copy(
+                dat_ref.at[bid],
+                win.at[slot, :, cj * BJ:(cj + 1) * BJ, :],
+                sem.at[slot]))
+        return cps
+
+    resolve = resolve_const_from_params(params)
+
+    def _compute(kslab):
+        """kslab: [BK+lo0+hi0, JW*BJ, BIROW] -> out row
+        [BK, TJ*BJ, BIROW]."""
+        def read_tap(_name, offs_edsl):
+            offs = _np_offsets(offs_edsl, 3)
+            v = kslab[lo[0] + offs[0]:lo[0] + offs[0] + BK,
+                      BJ + offs[1]:BJ + offs[1] + TJ * BJ, :]
+            if offs[2]:
+                v = pltpu.roll(v, (-offs[2]) % BIROW, 2)
+            return v
+
+        return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
+
+    def kernel(ids_ref, dat_ref, out_ref, win, tout, sem, osem):
+        jt = pl.program_id(0)
+        t = pl.program_id(1)
+
+        # startup for this j-tile: rows 0..3 (fills all W slots)
+        @pl.when(t == 0)
+        def _():
+            for w in range(min(W, GK)):
+                for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+                                      w, w % W):
+                    cp.start()
+
+        # prefetch row t+3 into slot (t+3)%W (it held row t-1, consumed)
+        @pl.when(jnp.logical_and(t > 0, t + 3 <= GK - 1))
+        def _():
+            for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+                                  t + 3, (t + 3) % W):
+                cp.start()
+
+        # wait rows t, t+1 (t==0 only; later steps waited them already)
+        @pl.when(t == 0)
+        def _():
+            for w in range(2):
+                for cp in _row_copies(ids_ref, dat_ref, win, sem,
+                                      jt, w, w % W):
+                    cp.wait()
+        # wait row t+2 (issued at startup or by step t-1's prefetch)
+        for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+                              t + 2, (t + 2) % W):
+            cp.wait()
+
+        # dynamic-slot value reads; slice thin k-halo pieces before concat
+        prev_tail = win[t % W, BK - lo[0]:, :, :]
+        cur = win[(t + 1) % W]
+        nxt_head = win[(t + 2) % W, :hi[0], :, :]
+        kslab = jnp.concatenate([prev_tail, cur, nxt_head], axis=0)
+
+        out_row = _compute(kslab)
+
+        def _out_copies(tt, parity):
+            cps = []
+            for cj in range(TJ):
+                bid = ids_ref[(gzk + tt) * GJ + gzj + jt * TJ + cj]
+                cps.append(pltpu.make_async_copy(
+                    tout.at[parity, :, cj * BJ:(cj + 1) * BJ, :],
+                    out_ref.at[bid], osem.at[parity]))
+            return cps
+
+        # wait the out-DMAs issued two steps ago from this tout slot
+        @pl.when(t >= 2)
+        def _():
+            for cp in _out_copies(t - 2, t % 2):
+                cp.wait()
+
+        tout[t % 2] = out_row
+        for cp in _out_copies(t, t % 2):
+            cp.start()
+
+        # drain at the end of each j-tile sweep
+        @pl.when(t == KI - 1)
+        def _():
+            for tt in range(max(KI - 2, 0), KI):
+                for cp in _out_copies(tt, tt % 2):
+                    cp.wait()
+
+    nelems = KI * BK * JI * BJ * BIROW
+    cost = pl.CostEstimate(
+        flops=ir.flops_per_element() * nelems,
+        bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
+        transcendentals=0,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(JT, KI),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((W,) + row_shape, dtype),
+            pltpu.VMEM((2, BK, TJ * BJ, BIROW), dtype),
+            pltpu.SemaphoreType.DMA((W,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbricks, BK, BJ, BIROW), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    ids = jnp.asarray(grid.ravel().astype(np.int32))
+
+    def fn(dat_view):
+        return call(ids, dat_view)
+
+    return fn

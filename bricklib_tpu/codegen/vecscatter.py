@@ -1,0 +1,102 @@
+"""vecscatter CLI analog (ref: codegen/vecscatter:15-187).
+
+The reference CLI rewrites ``#pragma vecscatter`` sites in C++ source at
+build time.  On TPU, kernels are built at trace time, so the CLI's role
+becomes inspection + ahead-of-time checking: load a stencil module
+(reference ``STENCIL = [out]`` contract), print the analyzed IR (taps,
+radius, coefficient groups — the Reduction-grouping analog), and
+optionally smoke-build the Pallas kernel for a given layout.
+
+    python -m bricklib_tpu.codegen.vecscatter stencils/mpi125pt.py
+    python -m bricklib_tpu.codegen.vecscatter s7pt --build \
+        --bdim 8,8,128 --grid 10,10,3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def describe(name_or_path: str) -> list[dict]:
+    from ..st import load_stencil_module
+    from .ir import StencilIR
+
+    if name_or_path.endswith(".py"):
+        sdefs = load_stencil_module(name_or_path)
+    else:
+        from ..stencils import stencil_by_name
+        sdefs = stencil_by_name(name_or_path)
+    out = []
+    for sd in sdefs:
+        ir = StencilIR.from_def(sd)
+        lo, hi = ir.radius()
+        desc = {
+            "output": sd.output.name,
+            "inputs": sorted(sd.inputs),
+            "dims": sd.dims,
+            "taps": len(sd.tap_offsets_np()),
+            "radius_lo": list(lo),
+            "radius_hi": list(hi),
+            "flops_per_element": ir.flops_per_element(),
+            "linear": ir.linear is not None,
+        }
+        if ir.linear is not None:
+            desc["coeff_groups"] = [
+                {"coeff": key[1], "taps": len(taps)}
+                for key, _c, taps in ir.linear]
+        out.append(desc)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("stencil", help="corpus name or path to a .py module")
+    p.add_argument("--build", action="store_true",
+                   help="smoke-build the Pallas kernel")
+    p.add_argument("--bdim", default="8,8,128")
+    p.add_argument("--grid", default="6,6,6",
+                   help="brick-grid dims incl ghost ring")
+    p.add_argument("--json", action="store_true")
+    a = p.parse_args(argv)
+
+    descs = describe(a.stencil)
+    if a.json:
+        print(json.dumps(descs, indent=2))
+    else:
+        for d in descs:
+            print(f"{d['output']} <- {','.join(d['inputs'])}  "
+                  f"{d['dims']}-D, {d['taps']} taps, "
+                  f"radius {d['radius_lo']}/{d['radius_hi']}, "
+                  f"{d['flops_per_element']} flop/elem"
+                  + ("" if not d.get("coeff_groups") else
+                     f", {len(d['coeff_groups'])} coeff groups"))
+
+    if a.build:
+        import numpy as np
+
+        from ..core import init_grid
+        from ..stencils import DEFAULT_PARAMS
+        from .pallas_backend import pallas_brick_stencil
+        from ..st import load_stencil_module
+
+        bdim = tuple(int(x) for x in a.bdim.split(","))
+        gdims = tuple(int(x) for x in a.grid.split(","))
+        grid, info = init_grid(gdims)
+        params = dict(DEFAULT_PARAMS)
+        params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+        if a.stencil.endswith(".py"):
+            sd = load_stencil_module(a.stencil)[0]
+        else:
+            from ..stencils import stencil_by_name
+            sd = stencil_by_name(a.stencil)[0]
+        fn = pallas_brick_stencil(sd, grid, bdim, (1, 1, 1), info.nbricks,
+                                  params)
+        print(f"built pallas kernel for grid {gdims}, bricks {bdim}: "
+              f"{fn}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

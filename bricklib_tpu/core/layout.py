@@ -201,6 +201,13 @@ def adjacency_from_grid(grid: np.ndarray, nbricks: int | None = None) -> np.ndar
     dims = grid.ndim
     if nbricks is None:
         nbricks = int(grid.max()) + 1
+    if grid.size >= 1 << 14:
+        # large grids: native planner core (csrc/brick_planner.cpp)
+        from .native import adjacency_from_grid_native
+
+        adj = adjacency_from_grid_native(grid, nbricks)
+        if adj is not None:
+            return adj
     gp = np.zeros(tuple(s + 2 for s in grid.shape), dtype=np.int32)
     gp[(slice(1, -1),) * dims] = grid
     ncols = 3 ** dims

@@ -1,0 +1,107 @@
+"""ctypes bindings for the native layout-planner core (csrc/).
+
+Auto-builds ``libbrickplanner.so`` with the system g++ on first use and
+falls back to the pure-numpy implementations when no toolchain is
+available.  Semantics are identical (golden-tested in
+tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def load_library():
+    """Return the loaded library, building it if needed, else None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        csrc = os.path.join(_root(), "csrc")
+        so = os.path.join(csrc, "libbrickplanner.so")
+        if not os.path.exists(so):
+            try:
+                subprocess.run(["make", "-C", csrc], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.adjacency_from_grid.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.check_involution.restype = ctypes.c_int64
+        lib.check_involution.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.zmort_ids.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib = lib
+        return _lib
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def adjacency_from_grid_native(grid: np.ndarray,
+                               nbricks: int | None = None):
+    """Native adjacency builder; returns None if the library is
+    unavailable (callers fall back to the numpy path)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    grid = np.ascontiguousarray(grid, dtype=np.int32)
+    if nbricks is None:
+        nbricks = int(grid.max()) + 1
+    dims = grid.ndim
+    adj = np.zeros((nbricks, 3 ** dims), dtype=np.int32)
+    gshape = np.asarray(grid.shape, dtype=np.int64)
+    lib.adjacency_from_grid(_i32p(grid), _i64p(gshape), dims,
+                            nbricks, _i32p(adj))
+    return adj
+
+
+def check_involution_native(adj: np.ndarray, bricks: np.ndarray):
+    lib = load_library()
+    if lib is None:
+        return None
+    adj = np.ascontiguousarray(adj, dtype=np.int32)
+    bricks = np.ascontiguousarray(bricks.ravel(), dtype=np.int32)
+    bad = lib.check_involution(_i32p(adj), adj.shape[1], _i32p(bricks),
+                               len(bricks))
+    return int(bad) == 0
+
+
+def zmort_ids_native(shape):
+    lib = load_library()
+    if lib is None:
+        return None
+    shape = np.asarray(shape, dtype=np.int64)
+    out = np.zeros(int(np.prod(shape)), dtype=np.int64)
+    lib.zmort_ids(_i64p(shape), len(shape), _i64p(out))
+    return out.reshape(tuple(shape))

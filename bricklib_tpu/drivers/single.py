@@ -1,0 +1,114 @@
+"""Single-device driver: copy / 7pt / 27pt / cond with array-twin
+validation (ref: single/cpu.cpp:10-25, stencils/3axis.cpp).
+
+Per stencil it reports, like the reference's Arr/Bri/Trans lines:
+  arr   — dense jnp stencil (the tiled-array twin)
+  bri   — jnp brick executor (hand-accessor analog)
+  gen   — Pallas generated kernel (codegen analog)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def run(n: int = 256, bdim=(8, 8, 128), stencils=("s7pt", "s27pt", "cond"),
+        tot_time: float = 2.0, pencil: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from ..bench.timing import time_func
+    from ..codegen import brick_apply, dense_apply
+    from ..codegen.pallas_backend import pallas_brick_stencil
+    from ..codegen.pencil_kernel import pallas_pencil_stencil
+    from ..core import (compare_arrays, from_bricks, init_grid,
+                        random_array, to_bricks)
+    from ..stencils import DEFAULT_PARAMS, stencil_by_name
+
+    params = dict(DEFAULT_PARAMS)
+    params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+
+    use_pencil = pencil and n % bdim[0] == 0 and n % bdim[1] == 0
+    if use_pencil:
+        bdim = (bdim[0], bdim[1], n)
+        gdims = (n // bdim[0] + 2, n // bdim[1] + 2, 1)
+    else:
+        gdims = tuple(n // b + 2 for b in bdim)
+    grid, info = init_grid(gdims)
+
+    core = random_array((n, n, n), np.float32, seed=1)
+    ext = np.pad(core, [(b, b) for b in
+                        (bdim[0], bdim[1], 0 if use_pencil else bdim[2])],
+                 mode="wrap")
+    dat = to_bricks(ext, grid, bdim)
+    view = jnp.asarray(dat.reshape((-1,) + bdim))
+    adj = jnp.asarray(info.adj)
+    elems = n ** 3
+    results = {}
+
+    for name in stencils:
+        sd = stencil_by_name(name)[0]
+        gname = next(iter(sd.inputs))
+        lo, hi = sd.radius()
+
+        corep = np.pad(core, [(l, h) for l, h in zip(lo, hi)],
+                       mode="wrap")
+        want = dense_apply(sd, {gname: corep}, params, xp=np)
+
+        arr_in = jnp.asarray(corep)
+        arr_fn = jax.jit(lambda a, sd=sd, gn=gname:
+                         dense_apply(sd, {gn: a}, params))
+        t_arr = time_func(arr_fn, arr_in, tot_time=tot_time)
+
+        bri_fn = jax.jit(lambda v, sd=sd, gn=gname:
+                         brick_apply(sd, {gn: v}, adj, params))
+        t_bri = time_func(bri_fn, view, tot_time=tot_time)
+        got = from_bricks(np.asarray(bri_fn(view)), grid[1:-1, 1:-1, 1:-1]
+                          if not use_pencil else grid[1:-1, 1:-1], bdim)
+        if use_pencil:
+            # brick executor is not periodic in i; trim the i edge
+            r = max(lo[2], hi[2])
+            ok_bri = compare_arrays(got[:, :, r:n - r],
+                                    want[:, :, r:n - r], 1e-4)
+        else:
+            ok_bri = compare_arrays(got, want, 1e-4)
+
+        if use_pencil:
+            gen_fn = jax.jit(pallas_pencil_stencil(
+                sd, grid, bdim, (1, 1), info.nbricks, params))
+        else:
+            gen_fn = jax.jit(pallas_brick_stencil(
+                sd, grid, bdim, (1, 1, 1), info.nbricks, params))
+        t_gen = time_func(gen_fn, view, tot_time=tot_time)
+        gotg = from_bricks(np.asarray(gen_fn(view)),
+                           grid[1:-1, 1:-1] if use_pencil
+                           else grid[1:-1, 1:-1, 1:-1], bdim)
+        ok_gen = compare_arrays(gotg, want, 1e-4)
+
+        if not (ok_bri and ok_gen):
+            raise RuntimeError(f"result mismatch! {name} "
+                               f"bri={ok_bri} gen={ok_gen}")
+        print(name)
+        print(f"  arr: {t_arr:.6f}s  {elems / t_arr / 1e9:7.2f} GStencil/s")
+        print(f"  bri: {t_bri:.6f}s  {elems / t_bri / 1e9:7.2f} GStencil/s")
+        print(f"  gen: {t_gen:.6f}s  {elems / t_gen / 1e9:7.2f} GStencil/s")
+        results[name] = dict(arr=t_arr, bri=t_bri, gen=t_gen)
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-n", type=int, default=256, help="domain edge")
+    p.add_argument("-b", "--bdim", default="8,8,128")
+    p.add_argument("--stencils", default="s7pt,s27pt,cond")
+    p.add_argument("--tot-time", type=float, default=2.0)
+    p.add_argument("--no-pencil", action="store_true")
+    a = p.parse_args(argv)
+    run(a.n, tuple(int(x) for x in a.bdim.split(",")),
+        tuple(a.stencils.split(",")), a.tot_time, pencil=not a.no_pencil)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Strong-scaling driver: fixed global domain over a growing mesh via
+the two-level decomposition (ref: strong/main.cpp:73-482,
+strong/args.cpp:16-26; CLI -d global domain, -s subdomain, -I
+iterations, -v validate)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
+        stencil="mpi7pt", st_iter=1, mesh_shape=(2, 1, 1), iters=25,
+        validate=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..bench.timing import mpi_statistics, time_mpi
+    from ..codegen import brick_apply, dense_apply
+    from ..comm import skin3d_good
+    from ..comm.mesh import make_domain_mesh, shard_map
+    from ..comm.strong import StrongDecomp, exchange_strong_shift
+    from ..core import compare_arrays, from_bricks, random_array, to_bricks
+    from ..stencils import DEFAULT_PARAMS, stencil_by_name
+
+    gz = tuple(bdim)
+    plan = StrongDecomp(dom=dom, sdom=sdom, mesh_shape=mesh_shape,
+                        bdims=bdim, ghost_depth=gz).initialize(skin3d_good)
+    sdec = plan.sdec
+    sd = stencil_by_name(stencil)[0]
+    gname = next(iter(sd.inputs))
+    adj = jnp.asarray(sdec.info.adj)
+    mesh = make_domain_mesh(mesh_shape)
+    names = mesh.axis_names
+    P_ = P(*names)
+
+    g = random_array(dom, np.float32, seed=4)
+    nloc = plan.nsub_local
+    stacked = np.zeros(mesh_shape + (nloc, sdec.nbricks,
+                                     int(np.prod(bdim))), np.float32)
+    for c in np.ndindex(*mesh_shape):
+        for row in range(nloc):
+            lc = plan.sub_order[row]
+            base = tuple(c[a] * plan.local_block[a] + lc[a]
+                         for a in range(3))
+            idx = [(np.arange(base[a] * sdom[a] - gz[a],
+                              base[a] * sdom[a] + sdom[a] + gz[a])
+                    % dom[a]) for a in range(3)]
+            dat = np.zeros((sdec.nbricks, int(np.prod(bdim))), np.float32)
+            to_bricks(g[np.ix_(*idx)], sdec.grid, bdim, dat=dat)
+            dat[sdec.sep_pos[1]:] = 0
+            stacked[c + (row,)] = dat
+
+    def step(batch):
+        x = batch[(0,) * len(mesh_shape)]
+        x = exchange_strong_shift(x, plan, names)
+        for _ in range(st_iter):
+            view = x.reshape(x.shape[0], -1, *bdim)
+            out = jax.vmap(lambda v: brick_apply(
+                sd, {gname: v}, adj, DEFAULT_PARAMS))(view)
+            x = out.reshape(x.shape)
+        return x[(None,) * len(mesh_shape)]
+
+    sharded = jax.device_put(jnp.asarray(stacked),
+                             NamedSharding(mesh, P_))
+    step_j = jax.jit(shard_map(step, mesh, P_, P_))
+
+    if validate:
+        assert st_iter == 1, "validate with -I 1"
+        out = np.asarray(step_j(sharded))
+        gp = np.pad(g, 1, mode="wrap")
+        want_g = dense_apply(sd, {gname: gp}, DEFAULT_PARAMS, xp=np)
+        for c in np.ndindex(*mesh_shape):
+            for row in range(nloc):
+                lc = plan.sub_order[row]
+                base = tuple(c[a] * plan.local_block[a] + lc[a]
+                             for a in range(3))
+                sl = tuple(slice(base[a] * sdom[a],
+                                 (base[a] + 1) * sdom[a])
+                           for a in range(3))
+                got = from_bricks(out[c + (row,)], sdec.interior_grid(),
+                                  bdim)
+                if not compare_arrays(got, want_g[sl], 1e-4):
+                    raise RuntimeError(f"mismatch at {c} sub {row}")
+        print("validated against global dense twin: OK")
+
+    avg, samples = time_mpi(step_j, sharded, iters=iters)
+    elems = int(np.prod(dom)) * st_iter
+    print(f"dom {dom} sdom {sdom} mesh {mesh_shape} "
+          f"subs/device {nloc} stencil {stencil}")
+    print(f"perf {elems / avg / 1e9:8.3f} GStencil/s "
+          f"({avg * 1e3:.3f} ms/step)")
+    st = mpi_statistics(samples)
+    print(f"  step min {st['min']*1e3:7.3f} avg {st['avg']*1e3:7.3f} "
+          f"max {st['max']*1e3:7.3f} sigma {st['sigma']*1e3:7.3f} ms")
+    return avg
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-d", "--dom", default="64,64,64")
+    p.add_argument("-s", "--sdom", default="32,32,32")
+    p.add_argument("-b", "--bdim", default="4,4,8")
+    p.add_argument("--stencil", default="mpi7pt")
+    p.add_argument("-I", "--st-iter", type=int, default=1)
+    p.add_argument("--mesh", default="2,1,1")
+    p.add_argument("--iters", type=int, default=25)
+    p.add_argument("-v", "--validate", action="store_true")
+    a = p.parse_args(argv)
+    run(tuple(int(x) for x in a.dom.split(",")),
+        tuple(int(x) for x in a.sdom.split(",")),
+        tuple(int(x) for x in a.bdim.split(",")),
+        a.stencil, a.st_iter,
+        tuple(int(x) for x in a.mesh.split(",")),
+        a.iters, a.validate)
+
+
+if __name__ == "__main__":
+    main()

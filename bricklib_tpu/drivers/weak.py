@@ -1,0 +1,148 @@
+"""Weak-scaling driver: ghost exchange + iterated stencil over a device
+mesh, validated against the array-exchange twin
+(ref: weak/main.cpp:38-306, weak/args.cpp:16-28).
+
+CLI mirrors the reference: -d per-device domain, -s stencil, -I
+iterations between exchanges (ST_ITER), --mesh devices per axis.
+Reports the reference's metrics: perf GStencil/s, exchange GB/s,
+phase statistics (calc/call+wait as 'comm') across steps
+(ref: weak/main.cpp:229-251, brick-mpi.h:768-793).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
+        st_iter=8, mesh_shape=(1, 1, 1), iters=25, validate=True,
+        backend="jnp"):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..bench.timing import mpi_statistics, time_mpi
+    from ..codegen import brick_apply, dense_apply
+    from ..comm import BrickDecomp, skin3d_good
+    from ..comm.exchange import exchange_shift
+    from ..comm.mesh import make_domain_mesh, shard_map
+    from ..core import (compare_arrays, from_bricks, random_array,
+                        to_bricks)
+    from ..stencils import DEFAULT_PARAMS, stencil_by_name
+
+    sd = stencil_by_name(stencil)[0]
+    gname = next(iter(sd.inputs))
+    gz = tuple(bdim)
+    dec = BrickDecomp(dims=dims, ghost_depth=gz, bdims=bdim).initialize(
+        skin3d_good)
+    adj = jnp.asarray(dec.info.adj)
+    mesh = make_domain_mesh(mesh_shape)
+    names = mesh.axis_names
+    P_ = P(*names)
+
+    # per-device data: global periodic domain split over the mesh
+    gshape = tuple(m * d for m, d in zip(mesh_shape, dims))
+    g = random_array(gshape, np.float32, seed=3)
+    stacked = np.zeros(mesh_shape + (dec.nbricks, int(np.prod(bdim))),
+                       np.float32)
+    blocks = {}
+    for c in np.ndindex(*mesh_shape):
+        idx = [(np.arange(c[a] * dims[a] - gz[a],
+                          c[a] * dims[a] + dims[a] + gz[a]) % gshape[a])
+               for a in range(3)]
+        blocks[c] = g[np.ix_(*idx)]
+        dat = np.zeros((dec.nbricks, int(np.prod(bdim))), np.float32)
+        to_bricks(blocks[c], dec.grid, bdim, dat=dat)
+        dat[dec.sep_pos[1]:] = 0
+        stacked[c] = dat
+
+    def one_iter(d):
+        view = d.reshape((-1,) + tuple(bdim))
+        out = brick_apply(sd, {gname: view}, adj, DEFAULT_PARAMS)
+        return out.reshape(d.shape)
+
+    def step(dat):
+        d = dat[(0,) * len(mesh_shape)]
+        d = exchange_shift(d, dec, names, mesh_shape)
+        for _ in range(st_iter):
+            d = one_iter(d)
+        return d[(None,) * len(mesh_shape)]
+
+    def exchange_only(dat):
+        d = dat[(0,) * len(mesh_shape)]
+        d = exchange_shift(d, dec, names, mesh_shape)
+        return d[(None,) * len(mesh_shape)]
+
+    sharded = jax.device_put(jnp.asarray(stacked),
+                             NamedSharding(mesh, P_))
+    step_j = jax.jit(shard_map(step, mesh, P_, P_))
+    exch_j = jax.jit(shard_map(exchange_only, mesh, P_, P_))
+
+    if validate:
+        out = np.asarray(step_j(sharded))
+        lo, hi = sd.radius()
+        ok = True
+        for c, blk in blocks.items():
+            b = blk
+            for _ in range(st_iter):
+                nxt = dense_apply(sd, {gname: b}, DEFAULT_PARAMS, xp=np)
+                pads = [(l, h) for l, h in zip(lo, hi)]
+                b2 = np.zeros_like(b)
+                b2[tuple(slice(l, s - h) for l, s, h in
+                         zip(lo, b.shape, hi))] = nxt
+                b = b2
+            own = tuple(slice(gz[a], gz[a] + dims[a]) for a in range(3))
+            got = from_bricks(out[c], dec.interior_grid(), bdim)
+            # valid only where st_iter halo sweeps stay inside the block
+            m = [st_iter * max(l, h) - gz[a]
+                 for a, (l, h) in enumerate(zip(lo, hi))]
+            m = [max(x, 0) for x in m]
+            sl = tuple(slice(m[a], dims[a] - m[a]) for a in range(3))
+            ok &= compare_arrays(got[sl], b[own][sl], 1e-4)
+        if not ok:
+            raise RuntimeError("validation mismatch vs array twin")
+        print("validated against array twin: OK")
+
+    avg, samples = time_mpi(step_j, sharded, iters=iters)
+    avg_x, samples_x = time_mpi(exch_j, sharded, iters=iters)
+
+    n_dev = int(np.prod(mesh_shape))
+    elems = int(np.prod(gshape)) * st_iter
+    ghost_elems = dec.nbricks - dec.sep_pos[1]
+    ghost_bytes = ghost_elems * int(np.prod(bdim)) * 4 * n_dev
+    print(f"domain {gshape} mesh {mesh_shape} stencil {stencil} "
+          f"ST_ITER {st_iter}")
+    print(f"perf  {elems / avg / 1e9:8.3f} GStencil/s "
+          f"({avg * 1e3:.3f} ms/step)")
+    print(f"exchange {2 * ghost_bytes / max(avg_x, 1e-12) / 1e9:8.3f} GB/s "
+          f"({avg_x * 1e3:.3f} ms), ghost {ghost_bytes / 1e6:.1f} MB")
+    print(f"exchange share of step: {avg_x / avg * 100:.1f}%")
+    for nm, s in (("step", samples), ("exchange", samples_x)):
+        st = mpi_statistics(s)
+        print(f"  {nm:9s} min {st['min']*1e3:7.3f} avg {st['avg']*1e3:7.3f} "
+              f"max {st['max']*1e3:7.3f} sigma {st['sigma']*1e3:7.3f} ms")
+    return {"step": avg, "exchange": avg_x}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-d", "--dims", default="64,64,64",
+                   help="per-device domain")
+    p.add_argument("-b", "--bdim", default="8,8,8")
+    p.add_argument("-s", "--stencil", default="mpi7pt")
+    p.add_argument("-I", "--st-iter", type=int, default=8)
+    p.add_argument("--mesh", default="1,1,1")
+    p.add_argument("--iters", type=int, default=25)
+    p.add_argument("--no-validate", action="store_true")
+    a = p.parse_args(argv)
+    run(tuple(int(x) for x in a.dims.split(",")),
+        tuple(int(x) for x in a.bdim.split(",")),
+        a.stencil, a.st_iter,
+        tuple(int(x) for x in a.mesh.split(",")),
+        a.iters, validate=not a.no_validate)
+
+
+if __name__ == "__main__":
+    main()
