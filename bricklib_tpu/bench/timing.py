@@ -24,23 +24,53 @@ MPI_ITER = 25
 
 
 def _sync(x):
+    """True execution barrier.
+
+    On this environment's remote-TPU runtime, block_until_ready returns
+    before execution finishes; reading one element back is the only
+    reliable barrier (see docs/DESIGN.md timing note)."""
     if hasattr(x, "block_until_ready"):
         x.block_until_ready()
+        try:
+            v = x
+            while getattr(v, "ndim", 0) > 0:
+                v = v[(0,) * v.ndim]
+            float(v)
+        except TypeError:
+            pass
     elif isinstance(x, (tuple, list)):
         for v in x:
             _sync(v)
 
 
-def time_func(fn, *args, tot_time: float = TOT_TIME) -> float:
+def time_func(fn, *args, tot_time: float = TOT_TIME,
+              chain: bool | None = None) -> float:
     """Average seconds per call, geometric repeat until >= tot_time of
-    measurement (compile/warm-up excluded)."""
-    _sync(fn(*args))  # warm-up / compile
+    measurement (compile/warm-up excluded).
+
+    When the function maps an array to one of the same shape/dtype, the
+    repeat loop CHAINS (out = fn(out)) so every call is data-dependent —
+    repeated same-input jit calls are not trustworthy timing on this
+    runtime."""
+    out0 = fn(*args)
+    _sync(out0)  # warm-up / compile
+    if chain is None:
+        chain = (len(args) == 1
+                 and getattr(out0, "shape", None) == getattr(
+                     args[0], "shape", ()) != ()
+                 and getattr(out0, "dtype", None) == getattr(
+                     args[0], "dtype", None))
     it = 1
     while True:
         st = time.perf_counter()
-        out = None
-        for _ in range(it):
-            out = fn(*args)
+        if chain:
+            out = args[0]
+            for _ in range(it):
+                out = fn(out)
+        else:
+            out = None
+            for _ in range(it):
+                out = fn(*args)
         _sync(out)
         elapsed = time.perf_counter() - st
         if elapsed >= tot_time or it > 1 << 20:

@@ -78,12 +78,16 @@ def dense_apply(stencil, inputs: dict, params: dict | None = None, xp=None):
 
 
 def brick_apply(stencil, views: dict, adj, params: dict | None = None,
-                xp=None):
+                xp=None, rows=None):
     """Apply a stencil to brick fields.
 
     ``views[name]`` is ``[nbricks, *bdims]``; returns the output view of
     the same shape, computed for every brick (bricks whose halo reaches
     off-grid read the garbage brick, exactly like the reference accessor).
+    ``rows`` restricts computation to a brick subset and returns
+    ``[len(rows), *bdims]`` — used for the interior/boundary split that
+    overlaps exchange with interior compute (ref: sep_pos scheduling,
+    include/brick-mpi.h:196; weak/main.cu:251-291).
     """
     ir = _as_ir(stencil)
     if xp is None:
@@ -94,7 +98,8 @@ def brick_apply(stencil, views: dict, adj, params: dict | None = None,
     lo, hi = ir.radius()
     bdims = next(iter(views.values())).shape[1:]
 
-    ext = {name: halo_extend(v, adj, lo, hi) for name, v in views.items()}
+    ext = {name: halo_extend(v, adj, lo, hi, rows=rows)
+           for name, v in views.items()}
 
     def read_tap(name, offs_edsl):
         offs = _np_offsets(offs_edsl, dims)

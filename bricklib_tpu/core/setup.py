@@ -92,10 +92,11 @@ def from_bricks(dat, grid, bdims: Sequence[int], offset: int = 0):
     return _dense_from_blocks(blocks, grid.shape, bdims)
 
 
-def halo_extend(view, adj, lo: Sequence[int], hi: Sequence[int]):
+def halo_extend(view, adj, lo: Sequence[int], hi: Sequence[int],
+                rows=None):
     """Per-brick halo-extended blocks via adjacency gathers.
 
-    ``view`` is ``[nbricks, *bdims]``; returns ``[nbricks, *(lo+bdims+hi)]``
+    ``view`` is ``[nbricks, *bdims]``; returns ``[nrows, *(lo+bdims+hi)]``
     where the shell is filled from the 3^dims neighbors through ``adj``.
     This is the vectorized TPU replacement for the reference's per-element
     ``_BrickAccessor`` indirection (include/brick.h:214-327): one block
@@ -104,12 +105,16 @@ def halo_extend(view, adj, lo: Sequence[int], hi: Sequence[int]):
     return its (garbage) contents, matching reference semantics.
 
     ``lo[a]``/``hi[a]`` are the halo depths (≤ bdims[a]) on the low/high
-    side of axis ``a``.
+    side of axis ``a``.  ``rows`` restricts output to a brick subset (the
+    drivers' interior/boundary split, cf. the reference's ``skip`` ring
+    and sep_pos scheduling, weak/main.cpp:26-36, brick-mpi.h:196).
     """
     from .layout import adj_index
 
     xp = _xp(view)
-    nb = view.shape[0]
+    if rows is not None:
+        adj = adj[xp.asarray(rows)] if xp is not np else adj[rows]
+    nb = adj.shape[0]
     bdims = view.shape[1:]
     dims = len(bdims)
     lo = tuple(int(x) for x in lo)
@@ -149,10 +154,12 @@ def halo_extend(view, adj, lo: Sequence[int], hi: Sequence[int]):
             if all(d == 0 for d in delta):
                 src = (slice(None),) * dims
                 dst = tuple(slice(l, l + b) for l, b in zip(lo, bdims))
+                center = view if rows is None else view[adj[:, adj_index(
+                    (0,) * dims)]]
                 if xp is np:
-                    E[(slice(None),) + dst] = view
+                    E[(slice(None),) + dst] = center
                 else:
-                    E = E.at[(slice(None),) + dst].set(view)
+                    E = E.at[(slice(None),) + dst].set(center)
                 return
             src, dst = piece(delta)
             if src is None:

@@ -18,14 +18,14 @@ import numpy as np
 
 def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         st_iter=8, mesh_shape=(1, 1, 1), iters=25, validate=True,
-        backend="jnp"):
+        overlap=False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..bench.timing import mpi_statistics, time_mpi
     from ..codegen import brick_apply, dense_apply
-    from ..comm import BrickDecomp, skin3d_good
+    from ..comm import BrickDecomp, skinlist_by_name
     from ..comm.exchange import exchange_shift
     from ..comm.mesh import make_domain_mesh, shard_map
     from ..core import (compare_arrays, from_bricks, random_array,
@@ -34,9 +34,10 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
 
     sd = stencil_by_name(stencil)[0]
     gname = next(iter(sd.inputs))
+    nd = len(dims)
     gz = tuple(bdim)
     dec = BrickDecomp(dims=dims, ghost_depth=gz, bdims=bdim).initialize(
-        skin3d_good)
+        skinlist_by_name("good", nd))
     adj = jnp.asarray(dec.info.adj)
     mesh = make_domain_mesh(mesh_shape)
     names = mesh.axis_names
@@ -51,23 +52,56 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     for c in np.ndindex(*mesh_shape):
         idx = [(np.arange(c[a] * dims[a] - gz[a],
                           c[a] * dims[a] + dims[a] + gz[a]) % gshape[a])
-               for a in range(3)]
+               for a in range(nd)]
         blocks[c] = g[np.ix_(*idx)]
         dat = np.zeros((dec.nbricks, int(np.prod(bdim))), np.float32)
         to_bricks(blocks[c], dec.grid, bdim, dat=dat)
         dat[dec.sep_pos[1]:] = 0
         stacked[c] = dat
 
-    def one_iter(d):
+    # Iterations between exchanges compute into the ghost region too so
+    # validity shrinks from the outer ghost edge (gz deep) instead of the
+    # owned boundary; only the LAST iteration skips the ghost ring — the
+    # reference's skip parameter (weak/main.cpp:203-212).
+    owned_rows = jnp.asarray(np.arange(1, dec.sep_pos[1], dtype=np.int32))
+
+    def one_iter(d, last):
         view = d.reshape((-1,) + tuple(bdim))
+        if last:
+            out = brick_apply(sd, {gname: view}, adj, DEFAULT_PARAMS,
+                              rows=owned_rows)
+            return view.at[owned_rows].set(out).reshape(d.shape)
         out = brick_apply(sd, {gname: view}, adj, DEFAULT_PARAMS)
         return out.reshape(d.shape)
 
+    # interior/boundary split (sep_pos): inner bricks never read ghost,
+    # so their compute is data-independent of the exchange and XLA can
+    # overlap the ppermutes with it (ref: interior-first scheduling idea
+    # of weak/main.cu:251-291)
+    inner_rows = jnp.asarray(
+        np.arange(1, dec.sep_pos[0], dtype=np.int32))
+    ring_rows = jnp.asarray(
+        np.arange(dec.sep_pos[0], dec.nbricks, dtype=np.int32))
+
     def step(dat):
         d = dat[(0,) * len(mesh_shape)]
-        d = exchange_shift(d, dec, names, mesh_shape)
-        for _ in range(st_iter):
-            d = one_iter(d)
+        if overlap:
+            view = d.reshape((-1,) + tuple(bdim))
+            out_inner = brick_apply(sd, {gname: view}, adj,
+                                    DEFAULT_PARAMS, rows=inner_rows)
+            d = exchange_shift(d, dec, names, mesh_shape)
+            view = d.reshape((-1,) + tuple(bdim))
+            out_ring = brick_apply(sd, {gname: view}, adj,
+                                   DEFAULT_PARAMS, rows=ring_rows)
+            view = view.at[inner_rows].set(out_inner)
+            view = view.at[ring_rows].set(out_ring)
+            d = view.reshape(d.shape)
+            for it in range(1, st_iter):
+                d = one_iter(d, last=(it == st_iter - 1))
+        else:
+            d = exchange_shift(d, dec, names, mesh_shape)
+            for it in range(st_iter):
+                d = one_iter(d, last=(it == st_iter - 1))
         return d[(None,) * len(mesh_shape)]
 
     def exchange_only(dat):
@@ -93,13 +127,13 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
                 b2[tuple(slice(l, s - h) for l, s, h in
                          zip(lo, b.shape, hi))] = nxt
                 b = b2
-            own = tuple(slice(gz[a], gz[a] + dims[a]) for a in range(3))
+            own = tuple(slice(gz[a], gz[a] + dims[a]) for a in range(nd))
             got = from_bricks(out[c], dec.interior_grid(), bdim)
             # valid only where st_iter halo sweeps stay inside the block
             m = [st_iter * max(l, h) - gz[a]
                  for a, (l, h) in enumerate(zip(lo, hi))]
             m = [max(x, 0) for x in m]
-            sl = tuple(slice(m[a], dims[a] - m[a]) for a in range(3))
+            sl = tuple(slice(m[a], dims[a] - m[a]) for a in range(nd))
             ok &= compare_arrays(got[sl], b[own][sl], 1e-4)
         if not ok:
             raise RuntimeError("validation mismatch vs array twin")
@@ -136,12 +170,14 @@ def main(argv=None):
     p.add_argument("--mesh", default="1,1,1")
     p.add_argument("--iters", type=int, default=25)
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--overlap", action="store_true",
+                   help="interior/boundary split to overlap exchange")
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,
         tuple(int(x) for x in a.mesh.split(",")),
-        a.iters, validate=not a.no_validate)
+        a.iters, validate=not a.no_validate, overlap=a.overlap)
 
 
 if __name__ == "__main__":
