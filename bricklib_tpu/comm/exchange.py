@@ -59,25 +59,38 @@ def neighbor_perm(neighbor: BitSet, mesh_shape: tuple[int, ...]):
     return pairs
 
 
+def _rows(runs) -> np.ndarray:
+    """Concatenate (pos, len) runs into one row-index array (static)."""
+    return np.concatenate([np.arange(r.pos, r.pos + r.len)
+                           for r in runs]).astype(np.int32)
+
+
 def exchange_put(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
                  mesh_shape: tuple[int, ...]):
-    """PUT exchange: one ppermute per (ghost run, skin run) pair.
+    """PUT exchange: one ppermute per (ghost run, skin run) pair, then a
+    single batched scatter of all received ghosts (a chain of per-run
+    array updates would copy the full storage once per run).
 
     ``dat``: per-device ``[nbricks, step]`` brick storage (all interleaved
     fields move together, like the reference exchanging whole chunks).
     """
+    import jax.numpy as jnp
+
+    recvs = []
     for gr, sr in zip(decomp.ghost, decomp.skin):
         perm = neighbor_perm(gr.neighbor, mesh_shape)
-        val = lax.ppermute(dat[sr.pos:sr.pos + sr.len], axis_names, perm)
-        dat = dat.at[gr.pos:gr.pos + gr.len].set(val)
-    return dat
+        recvs.append(lax.ppermute(dat[sr.pos:sr.pos + sr.len],
+                                  axis_names, perm))
+    dst = _rows(decomp.ghost)
+    return dat.at[jnp.asarray(dst)].set(jnp.concatenate(recvs))
 
 
 def exchange_shift(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
                    mesh_shape: tuple[int, ...],
                    axis_order: "list[int] | None" = None):
     """Multi-stage SHIFT exchange: 2 ppermutes per mesh axis, corners
-    forwarded (ref: MultiStageExchangeView semantics)."""
+    forwarded (ref: MultiStageExchangeView semantics).  One gather +
+    ppermute + scatter per message."""
     import jax.numpy as jnp
 
     order, stages = decomp.stage_sections(axis_order)
@@ -86,15 +99,11 @@ def exchange_shift(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
             pairs = stages[s][sign]
             if not pairs:
                 continue
-            val = jnp.concatenate(
-                [dat[src.pos:src.pos + src.len] for _dst, src in pairs])
+            src_idx = jnp.asarray(_rows([src for _d, src in pairs]))
+            dst_idx = jnp.asarray(_rows([dst for dst, _s in pairs]))
             perm = _shift_perm(mesh_shape[ax], sign)
-            recv = lax.ppermute(val, axis_names[ax], perm)
-            off = 0
-            for dst, _src in pairs:
-                dat = dat.at[dst.pos:dst.pos + dst.len].set(
-                    recv[off:off + dst.len])
-                off += dst.len
+            recv = lax.ppermute(dat[src_idx], axis_names[ax], perm)
+            dat = dat.at[dst_idx].set(recv)
     return dat
 
 

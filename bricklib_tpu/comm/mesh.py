@@ -37,9 +37,16 @@ def make_domain_mesh(mesh_shape, names=None, devices=None):
 
 
 def shard_map(f, mesh, in_specs, out_specs):
-    """Version-tolerant shard_map."""
+    """Version-tolerant shard_map.
+
+    check_vma is disabled because pallas_call outputs inside the mapped
+    function have no varying-mesh-axes annotation."""
     if hasattr(jax, "shard_map"):
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
+        try:
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+        except TypeError:
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs)
     from jax.experimental.shard_map import shard_map as sm
     return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)

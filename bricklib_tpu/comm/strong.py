@@ -149,29 +149,24 @@ def exchange_strong_shift(batch, plan: StrongDecomp,
                 continue
             rows, remote, send_rows, recv_rows = plan.neighbor_rows(
                 ax, sign)
-            src_slices = [slice(src.pos, src.pos + src.len)
-                          for _dst, src in pairs]
+            src_idx = np.concatenate(
+                [np.arange(src.pos, src.pos + src.len)
+                 for _d, src in pairs]).astype(np.int32)
+            dst_idx = np.concatenate(
+                [np.arange(dst.pos, dst.pos + dst.len)
+                 for dst, _s in pairs]).astype(np.int32)
 
             nface = len(send_rows)
-            if nface and mesh_shape[ax] >= 1:
-                send = jnp.concatenate(
-                    [batch[send_rows][:, sl] for sl in src_slices], axis=1)
+            if nface:
+                send = batch[send_rows][:, src_idx]
                 perm = [((r + sign) % mesh_shape[ax], r)
                         for r in range(mesh_shape[ax])]
                 recv = lax.ppermute(send, axis_names[ax], perm)
-            else:
-                recv = None
-
-            # virtual rows: received sections scattered into zero rows so
-            # local and remote neighbors index uniformly
-            nb, step = batch.shape[1], batch.shape[2]
-            if recv is not None:
+                # virtual rows: received sections scattered into zero
+                # rows so local and remote neighbors index uniformly
+                nb, step = batch.shape[1], batch.shape[2]
                 virt = jnp.zeros((nface, nb, step), batch.dtype)
-                off = 0
-                for sl in src_slices:
-                    ln = sl.stop - sl.start
-                    virt = virt.at[:, sl].set(recv[:, off:off + ln])
-                    off += ln
+                virt = virt.at[:, src_idx].set(recv)
                 ext = jnp.concatenate([batch, virt], axis=0)
                 rows_ext = rows.copy()
                 rows_ext[recv_rows] = plan.nsub_local + np.arange(nface)
@@ -180,7 +175,5 @@ def exchange_strong_shift(batch, plan: StrongDecomp,
                 rows_ext = rows
 
             src_rows = ext[jnp.asarray(rows_ext)]
-            for dst, src in pairs:
-                batch = batch.at[:, dst.pos:dst.pos + dst.len].set(
-                    src_rows[:, src.pos:src.pos + src.len])
+            batch = batch.at[:, dst_idx].set(src_rows[:, src_idx])
     return batch

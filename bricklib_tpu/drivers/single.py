@@ -98,6 +98,38 @@ def run(n: int = 256, bdim=(8, 8, 128), stencils=("s7pt", "s27pt", "cond"),
     return results
 
 
+def copy_bench(n: int = 256, bdim=(8, 8, 128), tot_time: float = 2.0):
+    """Layout copy benchmark (ref: stencils/copy.cpp): dense<->brick
+    transforms and brick-to-brick copy, in GB/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..bench.timing import time_func
+    from ..core import init_grid
+
+    gdims = tuple(n // b for b in bdim)
+    grid, info = init_grid(gdims)
+    gridj = jnp.asarray(grid)
+    dense = jax.random.uniform(jax.random.PRNGKey(0), (n, n, n),
+                               jnp.float32)
+    nb = info.nbricks
+    bel = int(np.prod(bdim))
+
+    from ..core.setup import to_bricks as tb, from_bricks as fb
+
+    to_b = jax.jit(lambda a: tb(a, grid, bdim))
+    dat = to_b(dense)
+    from_b = jax.jit(lambda d: fb(d, grid, bdim))
+    cp = jax.jit(lambda d: d * 1.0)
+
+    gb = n ** 3 * 4 * 2 / 1e9
+    for name, fn, x in (("toBrick", to_b, dense),
+                        ("fromBrick", from_b, dat),
+                        ("brickCopy", cp, dat)):
+        t = time_func(fn, x, tot_time=tot_time, chain=False)
+        print(f"  {name}: {t:.6f}s  {gb / t:7.1f} GB/s")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-n", type=int, default=256, help="domain edge")
@@ -105,7 +137,14 @@ def main(argv=None):
     p.add_argument("--stencils", default="s7pt,s27pt,cond")
     p.add_argument("--tot-time", type=float, default=2.0)
     p.add_argument("--no-pencil", action="store_true")
+    p.add_argument("--copy", action="store_true",
+                   help="layout copy benchmark instead of stencils")
     a = p.parse_args(argv)
+    if a.copy:
+        print("copy")
+        copy_bench(a.n, tuple(int(x) for x in a.bdim.split(",")),
+                   a.tot_time)
+        return
     run(a.n, tuple(int(x) for x in a.bdim.split(",")),
         tuple(a.stencils.split(",")), a.tot_time, pencil=not a.no_pencil)
 

@@ -18,7 +18,10 @@ import numpy as np
 
 def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         st_iter=8, mesh_shape=(1, 1, 1), iters=25, validate=True,
-        overlap=False):
+        overlap=False, backend="jnp"):
+    """backend="jnp" (oracle executor) or "pencil" (Pallas fast path:
+    bricks become whole-i pencils, ghost only in the outer axes, and the
+    exchange moves pencil bricks over the mesh; requires st_iter == 1)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -35,7 +38,14 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     sd = stencil_by_name(stencil)[0]
     gname = next(iter(sd.inputs))
     nd = len(dims)
-    gz = tuple(bdim)
+    if backend == "pencil":
+        if nd != 3 or st_iter != 1 or mesh_shape[2] != 1:
+            raise ValueError("pencil backend: 3-D, st_iter=1, i axis "
+                             "undistributed")
+        bdim = (bdim[0], bdim[1], dims[2])
+        gz = (bdim[0], bdim[1], 0)
+    else:
+        gz = tuple(bdim)
     dec = BrickDecomp(dims=dims, ghost_depth=gz, bdims=bdim).initialize(
         skinlist_by_name("good", nd))
     adj = jnp.asarray(dec.info.adj)
@@ -83,8 +93,21 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     ring_rows = jnp.asarray(
         np.arange(dec.sep_pos[0], dec.nbricks, dtype=np.int32))
 
+    pencil_fn = None
+    if backend == "pencil":
+        from ..codegen.pencil_kernel import pallas_pencil_stencil
+
+        params = dict(DEFAULT_PARAMS)
+        params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+        pencil_fn = pallas_pencil_stencil(
+            sd, dec.grid, bdim, (1, 1), dec.nbricks, params)
+
     def step(dat):
         d = dat[(0,) * len(mesh_shape)]
+        if pencil_fn is not None:
+            d = exchange_shift(d, dec, names, mesh_shape)
+            out = pencil_fn(d.reshape((-1,) + tuple(bdim)))
+            return out.reshape(d.shape)[(None,) * len(mesh_shape)]
         if overlap:
             view = d.reshape((-1,) + tuple(bdim))
             out_inner = brick_apply(sd, {gname: view}, adj,
@@ -153,11 +176,18 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     print(f"exchange {2 * ghost_bytes / max(avg_x, 1e-12) / 1e9:8.3f} GB/s "
           f"({avg_x * 1e3:.3f} ms), ghost {ghost_bytes / 1e6:.1f} MB")
     print(f"exchange share of step: {avg_x / avg * 100:.1f}%")
+    # five-phase taxonomy (ref: brick-mpi.h:23): pack/move are zero by
+    # construction (pack-free exchange, no host staging); call+wait is
+    # the exchange, calc the remainder
+    phases = {"packtime": 0.0, "calltime+waittime": avg_x,
+              "movetime": 0.0, "calctime": max(avg - avg_x, 0.0)}
+    print("  phases: " + "  ".join(f"{k} {v*1e3:.3f}ms"
+                                   for k, v in phases.items()))
     for nm, s in (("step", samples), ("exchange", samples_x)):
         st = mpi_statistics(s)
         print(f"  {nm:9s} min {st['min']*1e3:7.3f} avg {st['avg']*1e3:7.3f} "
               f"max {st['max']*1e3:7.3f} sigma {st['sigma']*1e3:7.3f} ms")
-    return {"step": avg, "exchange": avg_x}
+    return {"step": avg, "exchange": avg_x, "phases": phases}
 
 
 def main(argv=None):
@@ -172,12 +202,14 @@ def main(argv=None):
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--overlap", action="store_true",
                    help="interior/boundary split to overlap exchange")
+    p.add_argument("--backend", default="jnp", choices=["jnp", "pencil"])
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,
         tuple(int(x) for x in a.mesh.split(",")),
-        a.iters, validate=not a.no_validate, overlap=a.overlap)
+        a.iters, validate=not a.no_validate, overlap=a.overlap,
+        backend=a.backend)
 
 
 if __name__ == "__main__":
