@@ -1,0 +1,169 @@
+"""High-level API: declare a stencil problem, step it, read it back.
+
+The reference's user flow is manual (BrickDecomp + storage + exchange
+views + generated kernels, cf. weak/main.cpp:38-306); :class:`Problem`
+packages the same pieces behind one object:
+
+    from bricklib_tpu.api import Problem
+
+    p = Problem(dims=(512, 512, 512), stencil="mpi7pt")   # one chip
+    p.init(seed=0)                # or p.init(array=my_numpy_array)
+    p.step(5)                     # 5 x (ghost exchange + stencil), jitted
+    out = p.result()              # dense numpy array (owned region)
+
+    p = Problem(dims=(64, 64, 512), mesh=(2, 2, 1), stencil="mpi13pt",
+                backend="jnp")    # 4 devices, domain decomposition
+
+Backends: "pencil" (Pallas fast path; 3-D, i undistributed) or "jnp"
+(oracle executor; any rank).  Data lives sharded on the mesh between
+calls; steps donate storage so exchanges update in place.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Problem:
+    def __init__(self, dims, stencil="mpi7pt", params=None,
+                 bdims=None, ghost=None, mesh=(1, 1, 1),
+                 backend="auto", dtype=np.float32):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .comm import BrickDecomp, skinlist_by_name
+        from .comm.exchange import exchange_shift
+        from .comm.mesh import make_domain_mesh, shard_map
+        from .stencils import DEFAULT_PARAMS, stencil_by_name
+        from .st.loader import StencilDef
+
+        self.dims = tuple(int(d) for d in dims)     # per-device, owned
+        nd = len(self.dims)
+        self.mesh_shape = tuple(int(m) for m in mesh)
+        if isinstance(stencil, str):
+            self.sdef = stencil_by_name(stencil)[0]
+        elif isinstance(stencil, StencilDef):
+            self.sdef = stencil
+        else:
+            self.sdef = stencil_by_name("mpi7pt")[0]
+        self.gname = next(iter(self.sdef.inputs))
+        self.params = dict(DEFAULT_PARAMS)
+        self.params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+        if params:
+            self.params.update(params)
+
+        if backend == "auto":
+            backend = ("pencil" if nd == 3 and self.mesh_shape[2] == 1
+                       else "jnp")
+        self.backend = backend
+        if bdims is None:
+            if backend == "pencil":
+                bdims = (8, 8, self.dims[2])
+            else:
+                bdims = tuple(min(8, d) for d in self.dims[:-1]) + (
+                    min(128, self.dims[-1]),)
+        self.bdims = tuple(int(b) for b in bdims)
+        if ghost is None:
+            ghost = (self.bdims[:-1] + (0,) if backend == "pencil"
+                     else self.bdims)
+        self.ghost = tuple(int(g) for g in ghost)
+
+        self.dec = BrickDecomp(dims=self.dims, ghost_depth=self.ghost,
+                               bdims=self.bdims).initialize(
+            skinlist_by_name("good", nd))
+        self.mesh = make_domain_mesh(self.mesh_shape)
+        names = self.mesh.axis_names
+        self._P = P(*names)
+        self._sharding = NamedSharding(self.mesh, self._P)
+        self.dtype = dtype
+
+        dec, msh, bd = self.dec, self.mesh_shape, self.bdims
+        if backend == "pencil":
+            from .codegen.pencil_kernel import pallas_pencil_stencil
+
+            kern = pallas_pencil_stencil(self.sdef, dec.grid, bd,
+                                         (1, 1), dec.nbricks, self.params)
+
+            def one(d):
+                d = exchange_shift(d, dec, names, msh)
+                return kern(d.reshape((-1,) + bd)).reshape(d.shape)
+        else:
+            from .codegen import brick_apply
+
+            adj = jnp.asarray(dec.info.adj)
+            owned = jnp.asarray(
+                np.arange(1, dec.sep_pos[1], dtype=np.int32))
+
+            def one(d):
+                d = exchange_shift(d, dec, names, msh)
+                view = d.reshape((-1,) + bd)
+                out = brick_apply(self.sdef, {self.gname: view}, adj,
+                                  self.params, rows=owned)
+                return view.at[owned].set(out).reshape(d.shape)
+
+        def stepper(dat):
+            d = dat[(0,) * len(msh)]
+            d = one(d)
+            return d[(None,) * len(msh)]
+
+        self._step = jax.jit(shard_map(stepper, self.mesh, self._P,
+                                       self._P), donate_argnums=0)
+        self._dat = None
+
+    # ------------------------------------------------------------------
+    def init(self, array=None, seed: int = 0):
+        """Load per-device owned data from a global array (shape =
+        mesh*dims, periodic) or random values."""
+        import jax
+        import jax.numpy as jnp
+
+        from .core import random_array, to_bricks
+
+        gshape = tuple(m * d for m, d in
+                       zip(self.mesh_shape, self.dims))
+        if array is None:
+            array = random_array(gshape, self.dtype, seed)
+        array = np.asarray(array, dtype=self.dtype)
+        if array.shape != gshape:
+            raise ValueError(f"global array must be {gshape}")
+        nd = len(self.dims)
+        stacked = np.zeros(self.mesh_shape
+                           + (self.dec.nbricks, int(np.prod(self.bdims))),
+                           self.dtype)
+        for c in np.ndindex(*self.mesh_shape):
+            idx = [(np.arange(c[a] * self.dims[a] - self.ghost[a],
+                              c[a] * self.dims[a] + self.dims[a]
+                              + self.ghost[a]) % gshape[a])
+                   for a in range(nd)]
+            dat = np.zeros((self.dec.nbricks,
+                            int(np.prod(self.bdims))), self.dtype)
+            to_bricks(array[np.ix_(*idx)], self.dec.grid, self.bdims,
+                      dat=dat)
+            stacked[c] = dat
+        self._dat = jax.device_put(jnp.asarray(stacked), self._sharding)
+        return self
+
+    def step(self, n: int = 1):
+        if self._dat is None:
+            raise RuntimeError("call init() first")
+        for _ in range(n):
+            self._dat = self._step(self._dat)
+        return self
+
+    def result(self) -> np.ndarray:
+        """Gather the owned region back to one dense global array."""
+        from .core import from_bricks
+
+        out = np.asarray(self._dat)
+        nd = len(self.dims)
+        gshape = tuple(m * d for m, d in zip(self.mesh_shape, self.dims))
+        full = np.zeros(gshape, self.dtype)
+        for c in np.ndindex(*self.mesh_shape):
+            own = from_bricks(out[c], self.dec.interior_grid(),
+                              self.bdims)
+            sl = tuple(slice(c[a] * self.dims[a],
+                             (c[a] + 1) * self.dims[a])
+                       for a in range(nd))
+            full[sl] = own
+        return full

@@ -61,12 +61,14 @@ def time_func(fn, *args, tot_time: float = TOT_TIME,
                  and getattr(out0, "dtype", None) == getattr(
                      args[0], "dtype", None))
     it = 1
+    seed = out0
     while True:
         st = time.perf_counter()
         if chain:
-            out = args[0]
+            out = seed
             for _ in range(it):
                 out = fn(out)
+            seed = out  # donation-safe: never reuse a consumed buffer
         else:
             out = None
             for _ in range(it):
@@ -79,10 +81,39 @@ def time_func(fn, *args, tot_time: float = TOT_TIME,
             it + 1, int(it * tot_time / max(elapsed, 1e-9)) + 1)
 
 
-def time_mpi(fn, *args, iters: int = MPI_ITER) -> tuple[float, list[float]]:
-    """(avg seconds, per-iteration samples) after one warm-up call."""
-    _sync(fn(*args))
+def time_mpi(fn, *args, iters: int = MPI_ITER,
+             chain: bool | None = None) -> tuple[float, list[float]]:
+    """(avg seconds, per-iteration samples) after one warm-up call,
+    matching the reference protocol (total / MPI_ITER, fake.h:393-404).
+
+    When chainable (array -> same-shape array), the average comes from a
+    dependent chain with ONE final barrier — per-iteration barriers cost
+    a host round trip each on this runtime and would dominate.  The
+    per-sample distribution is then measured in a second, per-iteration-
+    synced pass and includes that sync latency (distribution shape only).
+    """
+    out0 = fn(*args)
+    _sync(out0)
+    if chain is None:
+        chain = (len(args) == 1
+                 and getattr(out0, "shape", None) == getattr(
+                     args[0], "shape", ()) != ()
+                 and getattr(out0, "dtype", None) == getattr(
+                     args[0], "dtype", None))
     samples = []
+    if chain:
+        st = time.perf_counter()
+        out = out0
+        for _ in range(iters):
+            out = fn(out)
+        _sync(out)
+        avg = (time.perf_counter() - st) / iters
+        for _ in range(min(iters, 5)):
+            st = time.perf_counter()
+            out = fn(out)
+            _sync(out)
+            samples.append(time.perf_counter() - st)
+        return avg, samples
     for _ in range(iters):
         st = time.perf_counter()
         _sync(fn(*args))

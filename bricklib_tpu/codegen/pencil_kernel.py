@@ -49,6 +49,7 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
                           params: dict | None = None,
                           tile_j: int | None = None,
                           dtype=jnp.float32,
+                          compute_dtype=jnp.float32,
                           interpret: bool | None = None,
                           vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build ``fn(dat_view) -> out_view`` for pencil bricks.
@@ -56,6 +57,10 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
     ``grid``: brick-grid table, shape (GK, GJ) or (GK, GJ, 1).
     ``bdims`` = (BK, BJ, BIROW) with BIROW the full per-device i extent;
     ``ghost_bricks`` = (gzk, gzj) (i has no ghost — periodic via roll).
+    ``dtype`` is the storage element type; with ``dtype=bfloat16`` HBM
+    traffic halves and taps are accumulated in ``compute_dtype``
+    (mixed-precision mode — outside the reference's f64 tolerance
+    contract, benchmarked separately).
     """
     ir = _as_ir(stencil)
     params = dict(params or {})
@@ -103,9 +108,65 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
 
     resolve = resolve_const_from_params(params)
 
+    def _read_base(kslab, dk, dj):
+        return kslab[lo[0] + dk:lo[0] + dk + BK,
+                     BJ + dj:BJ + dj + TJ * BJ, :]
+
+    def _roll_i(v, di):
+        return pltpu.roll(v, (-di) % BIROW, 2) if di else v
+
+    # i-profile factorization: group (dk, dj) columns with identical
+    # i-tap profiles, sum them once, then apply the profile with lane
+    # rolls — halves both adds and rolls for dense cubes like 125pt
+    # (the VMEM-era analog of the reference codegen's reduction grouping,
+    # codegen/st/codegen/base.py:conv_reduction).
+    fact = None
+    if ir.linear is not None:
+        cols: dict = {}
+        for key, cexpr, taps in ir.linear:
+            for sign, gname, offs in taps:
+                dk, dj, di = offs[2], offs[1], offs[0]  # eDSL -> (k,j,i)
+                cols.setdefault((dk, dj), {})[di] = (sign, key, cexpr)
+        groups: dict = {}
+        for col, prof in cols.items():
+            sig = frozenset((di, s, k) for di, (s, k, _c) in prof.items())
+            groups.setdefault(sig, (prof, []))[1].append(col)
+        plain_ops = sum(len(t) for _k, _c, t in ir.linear) \
+            + sum(1 for _k, _c, taps in ir.linear
+                  for _s, _g, o in taps if o[0]) \
+            + len(ir.linear)
+        fact_ops = (sum(len(cs) for _p, cs in groups.values())
+                    + sum(len(p) * 2 for p, _cs in groups.values()))
+        if fact_ops < plain_ops:
+            fact = list(groups.values())
+
     def _compute(kslab):
         """kslab: [BK+lo0+hi0, JW*BJ, BIROW] -> out row
         [BK, TJ*BJ, BIROW]."""
+        if fact is not None:
+            out = None
+            for prof, cls in fact:
+                U = None
+                for dk, dj in cls:
+                    v = _read_base(kslab, dk, dj)
+                    U = v if U is None else U + v
+                # pair ±di taps sharing a coefficient before multiplying
+                done = set()
+                for di, (sign, key, cexpr) in sorted(prof.items()):
+                    if di in done:
+                        continue
+                    v = _roll_i(U, di)
+                    mirror = prof.get(-di)
+                    if (di and mirror is not None
+                            and mirror[0] == sign and mirror[1] == key):
+                        v = v + _roll_i(U, -di)
+                        done.add(-di)
+                    c = float(resolve(cexpr.name)) if hasattr(
+                        cexpr, "name") else float(cexpr.val)
+                    term = (c if sign > 0 else -c) * v
+                    out = term if out is None else out + term
+            return out
+
         def read_tap(_name, offs_edsl):
             offs = _np_offsets(offs_edsl, 3)
             v = kslab[lo[0] + offs[0]:lo[0] + offs[0] + BK,
@@ -152,8 +213,12 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
         cur = win[(t + 1) % W]
         nxt_head = win[(t + 2) % W, :hi[0], :, :]
         kslab = jnp.concatenate([prev_tail, cur, nxt_head], axis=0)
+        if compute_dtype != dtype:
+            kslab = kslab.astype(compute_dtype)
 
         out_row = _compute(kslab)
+        if compute_dtype != dtype:
+            out_row = out_row.astype(dtype)
 
         def _out_copies(tt, parity):
             cps = []

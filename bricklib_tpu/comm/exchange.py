@@ -65,46 +65,131 @@ def _rows(runs) -> np.ndarray:
                            for r in runs]).astype(np.int32)
 
 
+def _merge_intervals(pairs):
+    """Merge (dst section, src section) pairs into maximal contiguous
+    interval pairs [(d0, d1, s0, s1), ...] — static slices are ~2x
+    cheaper than row gathers/scatters on TPU and update in place under
+    donation."""
+    ivs = sorted(((d.pos, d.pos + d.len, s.pos, s.pos + s.len)
+                  for d, s in pairs))
+    out = []
+    for d0, d1, s0, s1 in ivs:
+        if out and out[-1][1] == d0 and out[-1][3] == s0:
+            prev = out[-1]
+            out[-1] = (prev[0], d1, prev[2], s1)
+        else:
+            out.append((d0, d1, s0, s1))
+    return out
+
+
 def exchange_put(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
                  mesh_shape: tuple[int, ...]):
-    """PUT exchange: one ppermute per (ghost run, skin run) pair, then a
-    single batched scatter of all received ghosts (a chain of per-run
-    array updates would copy the full storage once per run).
+    """PUT exchange: one ppermute per (ghost run, skin run) pair —
+    skin and ghost runs are contiguous by construction of the skin
+    ordering, so every message is a static storage slice (pack-free).
 
     ``dat``: per-device ``[nbricks, step]`` brick storage (all interleaved
     fields move together, like the reference exchanging whole chunks).
     """
-    import jax.numpy as jnp
-
-    recvs = []
     for gr, sr in zip(decomp.ghost, decomp.skin):
-        perm = neighbor_perm(gr.neighbor, mesh_shape)
-        recvs.append(lax.ppermute(dat[sr.pos:sr.pos + sr.len],
-                                  axis_names, perm))
-    dst = _rows(decomp.ghost)
-    return dat.at[jnp.asarray(dst)].set(jnp.concatenate(recvs))
+        val = dat[sr.pos:sr.pos + sr.len]
+        delta = _delta(gr.neighbor, len(mesh_shape))
+        if any(d and mesh_shape[a] > 1 for a, d in enumerate(delta)):
+            perm = neighbor_perm(gr.neighbor, mesh_shape)
+            val = lax.ppermute(val, axis_names, perm)
+        # else: every involved axis has one device -> periodic self-copy
+        dat = dat.at[gr.pos:gr.pos + gr.len].set(val)
+    return dat
+
+
+def _local_copy_kernel(dat, stage_ivs, interpret: bool):
+    """In-place ghost copies as one Pallas kernel: async DMAs within a
+    stage, a barrier between stages (corner forwarding order).  XLA-level
+    slice updates on the same buffer force defensive whole-array copies;
+    ``input_output_aliases`` makes these true in-place moves (the TPU
+    analog of the reference's zero-copy mmap links,
+    strong/main.cpp:204-213)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(dat_ref, out_ref, sem):
+        for ivs in stage_ivs:
+            cps = []
+            for d0, d1, s0, s1 in ivs:
+                cp = pltpu.make_async_copy(out_ref.at[s0:s1],
+                                           out_ref.at[d0:d1], sem)
+                cp.start()
+                cps.append(cp)
+            for cp in cps:
+                cp.wait()
+
+    # brick rows must live on an untiled axis for arbitrary-interval
+    # DMA: view [n, step] as [n, step/128, 128] (free reshape)
+    shape = dat.shape
+    n, step = shape[0], int(np.prod(shape[1:]))
+    v = dat.reshape(n, step // 128, 128)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(v)
+    return out.reshape(shape)
 
 
 def exchange_shift(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
                    mesh_shape: tuple[int, ...],
-                   axis_order: "list[int] | None" = None):
+                   axis_order: "list[int] | None" = None,
+                   interpret: bool | None = None):
     """Multi-stage SHIFT exchange: 2 ppermutes per mesh axis, corners
-    forwarded (ref: MultiStageExchangeView semantics).  One gather +
-    ppermute + scatter per message."""
+    forwarded (ref: MultiStageExchangeView semantics).  One message per
+    axis-direction; sections merged into contiguous slice runs.  Stages
+    whose mesh axis has one device are periodic self-copies, fused into
+    a single in-place Pallas DMA kernel."""
+    import jax
     import jax.numpy as jnp
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     order, stages = decomp.stage_sections(axis_order)
+
+    pending_local: list[list[tuple[int, int, int, int]]] = []
+
+    def flush_local(d):
+        nonlocal pending_local
+        if pending_local:
+            d = _local_copy_kernel(d, pending_local, interpret)
+            pending_local = []
+        return d
+
     for s, ax in enumerate(order):
+        local_ivs = []
         for sign in (+1, -1):
             pairs = stages[s][sign]
             if not pairs:
                 continue
-            src_idx = jnp.asarray(_rows([src for _d, src in pairs]))
-            dst_idx = jnp.asarray(_rows([dst for dst, _s in pairs]))
-            perm = _shift_perm(mesh_shape[ax], sign)
-            recv = lax.ppermute(dat[src_idx], axis_names[ax], perm)
-            dat = dat.at[dst_idx].set(recv)
-    return dat
+            ivs = _merge_intervals(pairs)
+            if mesh_shape[ax] > 1:
+                dat = flush_local(dat)
+                send = jnp.concatenate(
+                    [dat[s0:s1] for _d0, _d1, s0, s1 in ivs]) \
+                    if len(ivs) > 1 else dat[ivs[0][2]:ivs[0][3]]
+                perm = _shift_perm(mesh_shape[ax], sign)
+                recv = lax.ppermute(send, axis_names[ax], perm)
+                off = 0
+                for d0, d1, _s0, _s1 in ivs:
+                    dat = dat.at[d0:d1].set(recv[off:off + d1 - d0])
+                    off += d1 - d0
+            else:
+                local_ivs.extend(ivs)
+        if local_ivs:
+            pending_local.append(local_ivs)
+    return flush_local(dat)
 
 
 def exchange_array(arr, ghost: tuple[int, ...],
@@ -124,11 +209,14 @@ def exchange_array(arr, ghost: tuple[int, ...],
         S = arr.shape[ax]
         hi_own = lax.slice_in_dim(arr, S - 2 * g, S - g, axis=ax)
         lo_own = lax.slice_in_dim(arr, g, 2 * g, axis=ax)
-        # my low ghost <- -a neighbor's high owned slab
-        lo_ghost = lax.ppermute(hi_own, axis_names[ax],
-                                _shift_perm(mesh_shape[ax], -1))
-        hi_ghost = lax.ppermute(lo_own, axis_names[ax],
-                                _shift_perm(mesh_shape[ax], +1))
+        if mesh_shape[ax] > 1:
+            # my low ghost <- -a neighbor's high owned slab
+            lo_ghost = lax.ppermute(hi_own, axis_names[ax],
+                                    _shift_perm(mesh_shape[ax], -1))
+            hi_ghost = lax.ppermute(lo_own, axis_names[ax],
+                                    _shift_perm(mesh_shape[ax], +1))
+        else:
+            lo_ghost, hi_ghost = hi_own, lo_own
         arr = lax.dynamic_update_slice_in_dim(arr, lo_ghost, 0, axis=ax)
         arr = lax.dynamic_update_slice_in_dim(arr, hi_ghost, S - g, axis=ax)
     return arr

@@ -158,10 +158,11 @@ def exchange_strong_shift(batch, plan: StrongDecomp,
 
             nface = len(send_rows)
             if nface:
-                send = batch[send_rows][:, src_idx]
-                perm = [((r + sign) % mesh_shape[ax], r)
-                        for r in range(mesh_shape[ax])]
-                recv = lax.ppermute(send, axis_names[ax], perm)
+                recv = batch[send_rows][:, src_idx]
+                if mesh_shape[ax] > 1:
+                    perm = [((r + sign) % mesh_shape[ax], r)
+                            for r in range(mesh_shape[ax])]
+                    recv = lax.ppermute(recv, axis_names[ax], perm)
                 # virtual rows: received sections scattered into zero
                 # rows so local and remote neighbors index uniformly
                 nb, step = batch.shape[1], batch.shape[2]

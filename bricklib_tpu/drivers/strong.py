@@ -65,11 +65,11 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
 
     sharded = jax.device_put(jnp.asarray(stacked),
                              NamedSharding(mesh, P_))
-    step_j = jax.jit(shard_map(step, mesh, P_, P_))
+    step_j = jax.jit(shard_map(step, mesh, P_, P_), donate_argnums=0)
 
     if validate:
         assert st_iter == 1, "validate with -I 1"
-        out = np.asarray(step_j(sharded))
+        out = np.asarray(step_j(jnp.copy(sharded)))
         gp = np.pad(g, 1, mode="wrap")
         want_g = dense_apply(sd, {gname: gp}, DEFAULT_PARAMS, xp=np)
         for c in np.ndindex(*mesh_shape):
@@ -86,7 +86,7 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
                     raise RuntimeError(f"mismatch at {c} sub {row}")
         print("validated against global dense twin: OK")
 
-    avg, samples = time_mpi(step_j, sharded, iters=iters)
+    avg, samples = time_mpi(step_j, jnp.copy(sharded), iters=iters)
     elems = int(np.prod(dom)) * st_iter
     print(f"dom {dom} sdom {sdom} mesh {mesh_shape} "
           f"subs/device {nloc} stencil {stencil}")

@@ -134,11 +134,14 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
 
     sharded = jax.device_put(jnp.asarray(stacked),
                              NamedSharding(mesh, P_))
-    step_j = jax.jit(shard_map(step, mesh, P_, P_))
-    exch_j = jax.jit(shard_map(exchange_only, mesh, P_, P_))
+    # donate so exchanges/stencils update storage in place instead of
+    # copying the full array per scatter
+    step_j = jax.jit(shard_map(step, mesh, P_, P_), donate_argnums=0)
+    exch_j = jax.jit(shard_map(exchange_only, mesh, P_, P_),
+                     donate_argnums=0)
 
     if validate:
-        out = np.asarray(step_j(sharded))
+        out = np.asarray(step_j(jnp.copy(sharded)))
         lo, hi = sd.radius()
         ok = True
         for c, blk in blocks.items():
@@ -162,8 +165,8 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             raise RuntimeError("validation mismatch vs array twin")
         print("validated against array twin: OK")
 
-    avg, samples = time_mpi(step_j, sharded, iters=iters)
-    avg_x, samples_x = time_mpi(exch_j, sharded, iters=iters)
+    avg, samples = time_mpi(step_j, jnp.copy(sharded), iters=iters)
+    avg_x, samples_x = time_mpi(exch_j, jnp.copy(sharded), iters=iters)
 
     n_dev = int(np.prod(mesh_shape))
     elems = int(np.prod(gshape)) * st_iter

@@ -1,0 +1,46 @@
+"""High-level Problem API: init -> step -> result vs dense twin."""
+
+import numpy as np
+import pytest
+
+from bricklib_tpu.api import Problem
+from bricklib_tpu.codegen import dense_apply
+from bricklib_tpu.core import compare_arrays, random_array
+from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
+
+
+def _dense_steps(g, name, n, params):
+    sd = stencil_by_name(name)[0]
+    lo, hi = sd.radius()
+    w = g
+    for _ in range(n):
+        wp = np.pad(w, [(l, h) for l, h in zip(lo, hi)], mode="wrap")
+        w = dense_apply(sd, {next(iter(sd.inputs)): wp}, params, xp=np)
+    return w
+
+
+def test_problem_jnp_multidevice():
+    g = random_array((16, 16, 32), np.float32, 4)
+    p = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                bdims=(4, 4, 8), backend="jnp")
+    p.init(array=g).step(2)
+    want = _dense_steps(g, "mpi7pt", 2, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
+
+
+@pytest.mark.slow
+def test_problem_pencil_singledevice():
+    g = random_array((8, 12, 16), np.float32, 9)
+    p = Problem(dims=(8, 12, 16), stencil="mpi7pt", bdims=(2, 4, 16),
+                mesh=(1, 1, 1), backend="pencil")
+    p.init(array=g).step(2)
+    want = _dense_steps(g, "mpi7pt", 2, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
+
+
+def test_problem_validates_shape():
+    p = Problem(dims=(8, 8, 16), bdims=(4, 4, 8), backend="jnp")
+    with pytest.raises(ValueError):
+        p.init(array=np.zeros((4, 4, 4), np.float32))
+    with pytest.raises(RuntimeError):
+        Problem(dims=(8, 8, 16), bdims=(4, 4, 8), backend="jnp").step()
