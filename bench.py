@@ -25,13 +25,19 @@ def main():
     from bricklib_tpu.core import init_grid
     from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
 
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
     on_tpu = jax.default_backend() in ("tpu", "axon")
     N = 512 if on_tpu else 64
     BD = (8, 8, N)  # pencil bricks: the TPU-canonical fast-path fold
     iters = 20 if on_tpu else 3
 
-    gdims = (N // BD[0] + 2, N // BD[1] + 2, 1)
-    grid, info = init_grid(gdims)
+    # single-chip periodicity through the grid table (zero-copy links):
+    # ghost cells redirect to wrapped owned bricks, no exchange needed
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(BD[0], BD[1], 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    grid = dec.periodic_grid((0, 1, 2))
+    info = dec.info
     params = dict(DEFAULT_PARAMS)
     params["coeff"] = [0.03 * (c + 1) for c in range(27)]
 

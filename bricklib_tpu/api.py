@@ -74,7 +74,9 @@ class Problem:
             skinlist_by_name("good", nd))
         self.mesh = make_domain_mesh(self.mesh_shape)
         names = self.mesh.axis_names
-        self._P = P(*names)
+        # devices stack along the brick axis: shard_map hands each
+        # device its [nbricks, step] storage with no reshapes
+        self._P = P(tuple(names))
         self._sharding = NamedSharding(self.mesh, self._P)
         self.dtype = dtype
 
@@ -82,11 +84,16 @@ class Problem:
         if backend == "pencil":
             from .codegen.pencil_kernel import pallas_pencil_stencil
 
-            kern = pallas_pencil_stencil(self.sdef, dec.grid, bd,
-                                         (1, 1), dec.nbricks, self.params)
+            # zero-copy periodicity on undistributed axes via the table
+            table_axes = tuple(a for a in range(nd) if msh[a] == 1)
+            kern = pallas_pencil_stencil(
+                self.sdef, dec.periodic_grid(table_axes), bd,
+                (1, 1), dec.nbricks, self.params)
 
             def one(d):
-                d = exchange_shift(d, dec, names, msh)
+                if len(table_axes) < nd:
+                    d = exchange_shift(d, dec, names, msh,
+                                       table_axes=table_axes)
                 return kern(d.reshape((-1,) + bd)).reshape(d.shape)
         else:
             from .codegen import brick_apply
@@ -102,12 +109,7 @@ class Problem:
                                   self.params, rows=owned)
                 return view.at[owned].set(out).reshape(d.shape)
 
-        def stepper(dat):
-            d = dat[(0,) * len(msh)]
-            d = one(d)
-            return d[(None,) * len(msh)]
-
-        self._step = jax.jit(shard_map(stepper, self.mesh, self._P,
+        self._step = jax.jit(shard_map(one, self.mesh, self._P,
                                        self._P), donate_argnums=0)
         self._dat = None
 
@@ -128,19 +130,19 @@ class Problem:
         if array.shape != gshape:
             raise ValueError(f"global array must be {gshape}")
         nd = len(self.dims)
-        stacked = np.zeros(self.mesh_shape
-                           + (self.dec.nbricks, int(np.prod(self.bdims))),
+        ndev = int(np.prod(self.mesh_shape))
+        nb = self.dec.nbricks
+        stacked = np.zeros((ndev * nb, int(np.prod(self.bdims))),
                            self.dtype)
-        for c in np.ndindex(*self.mesh_shape):
+        for r, c in enumerate(np.ndindex(*self.mesh_shape)):
             idx = [(np.arange(c[a] * self.dims[a] - self.ghost[a],
                               c[a] * self.dims[a] + self.dims[a]
                               + self.ghost[a]) % gshape[a])
                    for a in range(nd)]
-            dat = np.zeros((self.dec.nbricks,
-                            int(np.prod(self.bdims))), self.dtype)
+            dat = np.zeros((nb, int(np.prod(self.bdims))), self.dtype)
             to_bricks(array[np.ix_(*idx)], self.dec.grid, self.bdims,
                       dat=dat)
-            stacked[c] = dat
+            stacked[r * nb:(r + 1) * nb] = dat
         self._dat = jax.device_put(jnp.asarray(stacked), self._sharding)
         return self
 
@@ -157,11 +159,12 @@ class Problem:
 
         out = np.asarray(self._dat)
         nd = len(self.dims)
+        nb = self.dec.nbricks
         gshape = tuple(m * d for m, d in zip(self.mesh_shape, self.dims))
         full = np.zeros(gshape, self.dtype)
-        for c in np.ndindex(*self.mesh_shape):
-            own = from_bricks(out[c], self.dec.interior_grid(),
-                              self.bdims)
+        for r, c in enumerate(np.ndindex(*self.mesh_shape)):
+            own = from_bricks(out[r * nb:(r + 1) * nb],
+                              self.dec.interior_grid(), self.bdims)
             sl = tuple(slice(c[a] * self.dims[a],
                              (c[a] + 1) * self.dims[a])
                        for a in range(nd))

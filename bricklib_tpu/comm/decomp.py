@@ -247,6 +247,25 @@ class BrickDecomp:
         sl = tuple(slice(g, g + D) for g, D in zip(self.gz, self.gdims))
         return self.grid[sl]
 
+    def periodic_grid(self, axes) -> np.ndarray:
+        """Grid table with ghost cells along ``axes`` redirected to the
+        periodically wrapped owned cells.
+
+        On an undistributed axis no data needs to move at all: kernels
+        reading through this table see the wrapped bricks directly —
+        the TPU analog of the reference's same-rank zero-copy mmap links
+        (strong/main.cpp:204-213).  Exchange then only handles the
+        genuinely distributed axes."""
+        g = self.grid.copy()
+        for a in axes:
+            D, gz = self.gdims[a], self.gz[a]
+            if gz == 0:
+                continue
+            idx = np.arange(g.shape[a])
+            wrapped = gz + (idx - gz) % D
+            g = np.take(g, wrapped, axis=a)
+        return g
+
     def neighbor_runs(self, neighbor: BitSet) -> tuple[list[Run], list[Run]]:
         g = [r for r in self.ghost if r.neighbor == neighbor]
         s = [r for r in self.skin if r.neighbor == ~neighbor]

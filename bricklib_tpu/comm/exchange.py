@@ -145,18 +145,22 @@ def _local_copy_kernel(dat, stage_ivs, interpret: bool):
 def exchange_shift(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
                    mesh_shape: tuple[int, ...],
                    axis_order: "list[int] | None" = None,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None,
+                   table_axes: tuple[int, ...] = ()):
     """Multi-stage SHIFT exchange: 2 ppermutes per mesh axis, corners
     forwarded (ref: MultiStageExchangeView semantics).  One message per
     axis-direction; sections merged into contiguous slice runs.  Stages
     whose mesh axis has one device are periodic self-copies, fused into
-    a single in-place Pallas DMA kernel."""
+    a single in-place Pallas DMA kernel — or skipped entirely for axes
+    in ``table_axes``, where the kernel reads through a
+    ``decomp.periodic_grid`` table instead (zero-copy periodicity)."""
     import jax
     import jax.numpy as jnp
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     order, stages = decomp.stage_sections(axis_order)
+    table_axes = set(table_axes)
 
     pending_local: list[list[tuple[int, int, int, int]]] = []
 
@@ -167,10 +171,16 @@ def exchange_shift(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
             pending_local = []
         return d
 
+    def owner_axes(sec):
+        return {decomp._tag_axis(t) for t in sec.owner}
+
     for s, ax in enumerate(order):
+        if ax in table_axes:
+            continue
         local_ivs = []
         for sign in (+1, -1):
-            pairs = stages[s][sign]
+            pairs = [(d, sr) for d, sr in stages[s][sign]
+                     if not (owner_axes(d) & table_axes)]
             if not pairs:
                 continue
             ivs = _merge_intervals(pairs)

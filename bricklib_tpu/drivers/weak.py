@@ -51,15 +51,20 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     adj = jnp.asarray(dec.info.adj)
     mesh = make_domain_mesh(mesh_shape)
     names = mesh.axis_names
-    P_ = P(*names)
+    P_ = P(tuple(names))  # devices stack along the brick axis
 
-    # per-device data: global periodic domain split over the mesh
+    # per-device data: global periodic domain split over the mesh.
+    # Devices stack along the BRICK axis (device block = its [nbricks,
+    # step] storage) so shard_map hands each device its storage in
+    # kernel-native shape with no reshapes (reshapes around pallas
+    # custom calls materialize full copies).
     gshape = tuple(m * d for m, d in zip(mesh_shape, dims))
     g = random_array(gshape, np.float32, seed=3)
-    stacked = np.zeros(mesh_shape + (dec.nbricks, int(np.prod(bdim))),
+    ndev = int(np.prod(mesh_shape))
+    stacked = np.zeros((ndev * dec.nbricks, int(np.prod(bdim))),
                        np.float32)
     blocks = {}
-    for c in np.ndindex(*mesh_shape):
+    for r, c in enumerate(np.ndindex(*mesh_shape)):
         idx = [(np.arange(c[a] * dims[a] - gz[a],
                           c[a] * dims[a] + dims[a] + gz[a]) % gshape[a])
                for a in range(nd)]
@@ -67,7 +72,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         dat = np.zeros((dec.nbricks, int(np.prod(bdim))), np.float32)
         to_bricks(blocks[c], dec.grid, bdim, dat=dat)
         dat[dec.sep_pos[1]:] = 0
-        stacked[c] = dat
+        stacked[r * dec.nbricks:(r + 1) * dec.nbricks] = dat
 
     # Iterations between exchanges compute into the ghost region too so
     # validity shrinks from the outer ghost edge (gz deep) instead of the
@@ -99,15 +104,20 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
 
         params = dict(DEFAULT_PARAMS)
         params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+        # undistributed axes: periodicity via table indirection, no data
+        # movement (zero-copy links); exchange only distributed axes
+        table_axes = tuple(a for a in range(nd) if mesh_shape[a] == 1)
+        kgrid = dec.periodic_grid(table_axes)
         pencil_fn = pallas_pencil_stencil(
-            sd, dec.grid, bdim, (1, 1), dec.nbricks, params)
+            sd, kgrid, bdim, (1, 1), dec.nbricks, params)
 
-    def step(dat):
-        d = dat[(0,) * len(mesh_shape)]
+    def step(d):
         if pencil_fn is not None:
-            d = exchange_shift(d, dec, names, mesh_shape)
-            out = pencil_fn(d.reshape((-1,) + tuple(bdim)))
-            return out.reshape(d.shape)[(None,) * len(mesh_shape)]
+            if len(table_axes) < nd:
+                d = exchange_shift(d, dec, names, mesh_shape,
+                                   table_axes=table_axes)
+            return pencil_fn(d.reshape((-1,) + tuple(bdim))).reshape(
+                d.shape)
         if overlap:
             view = d.reshape((-1,) + tuple(bdim))
             out_inner = brick_apply(sd, {gname: view}, adj,
@@ -125,12 +135,16 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             d = exchange_shift(d, dec, names, mesh_shape)
             for it in range(st_iter):
                 d = one_iter(d, last=(it == st_iter - 1))
-        return d[(None,) * len(mesh_shape)]
+        return d
 
-    def exchange_only(dat):
-        d = dat[(0,) * len(mesh_shape)]
-        d = exchange_shift(d, dec, names, mesh_shape)
-        return d[(None,) * len(mesh_shape)]
+    def exchange_only(d):
+        if pencil_fn is not None:
+            if len(table_axes) < nd:
+                d = exchange_shift(d, dec, names, mesh_shape,
+                                   table_axes=table_axes)
+        else:
+            d = exchange_shift(d, dec, names, mesh_shape)
+        return d
 
     sharded = jax.device_put(jnp.asarray(stacked),
                              NamedSharding(mesh, P_))
@@ -144,7 +158,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         out = np.asarray(step_j(jnp.copy(sharded)))
         lo, hi = sd.radius()
         ok = True
-        for c, blk in blocks.items():
+        for r, (c, blk) in enumerate(blocks.items()):
             b = blk
             for _ in range(st_iter):
                 nxt = dense_apply(sd, {gname: b}, DEFAULT_PARAMS, xp=np)
@@ -154,7 +168,8 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
                          zip(lo, b.shape, hi))] = nxt
                 b = b2
             own = tuple(slice(gz[a], gz[a] + dims[a]) for a in range(nd))
-            got = from_bricks(out[c], dec.interior_grid(), bdim)
+            got = from_bricks(out[r * dec.nbricks:(r + 1) * dec.nbricks],
+                              dec.interior_grid(), bdim)
             # valid only where st_iter halo sweeps stay inside the block
             m = [st_iter * max(l, h) - gz[a]
                  for a, (l, h) in enumerate(zip(lo, hi))]
