@@ -94,7 +94,7 @@ class Problem:
                 if len(table_axes) < nd:
                     d = exchange_shift(d, dec, names, msh,
                                        table_axes=table_axes)
-                return kern(d.reshape((-1,) + bd)).reshape(d.shape)
+                return kern(d)
         else:
             from .codegen import brick_apply
 
@@ -109,8 +109,11 @@ class Problem:
                                   self.params, rows=owned)
                 return view.at[owned].set(out).reshape(d.shape)
 
-        self._step = jax.jit(shard_map(one, self.mesh, self._P,
-                                       self._P), donate_argnums=0)
+        if int(np.prod(self.mesh_shape)) > 1:
+            self._step = jax.jit(shard_map(one, self.mesh, self._P,
+                                           self._P), donate_argnums=0)
+        else:  # single device: no SPMD wrapper
+            self._step = jax.jit(one, donate_argnums=0)
         self._dat = None
 
     # ------------------------------------------------------------------
@@ -132,8 +135,9 @@ class Problem:
         nd = len(self.dims)
         ndev = int(np.prod(self.mesh_shape))
         nb = self.dec.nbricks
-        stacked = np.zeros((ndev * nb, int(np.prod(self.bdims))),
-                           self.dtype)
+        # kernel-native storage shape end-to-end (no reshapes around
+        # pallas custom calls — they materialize copies)
+        stacked = np.zeros((ndev * nb,) + self.bdims, self.dtype)
         for r, c in enumerate(np.ndindex(*self.mesh_shape)):
             idx = [(np.arange(c[a] * self.dims[a] - self.ghost[a],
                               c[a] * self.dims[a] + self.dims[a]
@@ -142,7 +146,7 @@ class Problem:
             dat = np.zeros((nb, int(np.prod(self.bdims))), self.dtype)
             to_bricks(array[np.ix_(*idx)], self.dec.grid, self.bdims,
                       dat=dat)
-            stacked[r * nb:(r + 1) * nb] = dat
+            stacked[r * nb:(r + 1) * nb] = dat.reshape((-1,) + self.bdims)
         self._dat = jax.device_put(jnp.asarray(stacked), self._sharding)
         return self
 
@@ -163,7 +167,7 @@ class Problem:
         gshape = tuple(m * d for m, d in zip(self.mesh_shape, self.dims))
         full = np.zeros(gshape, self.dtype)
         for r, c in enumerate(np.ndindex(*self.mesh_shape)):
-            own = from_bricks(out[r * nb:(r + 1) * nb],
+            own = from_bricks(out[r * nb:(r + 1) * nb].reshape(nb, -1),
                               self.dec.interior_grid(), self.bdims)
             sl = tuple(slice(c[a] * self.dims[a],
                              (c[a] + 1) * self.dims[a])

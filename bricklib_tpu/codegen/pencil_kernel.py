@@ -86,7 +86,14 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
     KI = GK - 2 * gzk           # interior k rows
     JI = GJ - 2 * gzj
     if tile_j is None:
+        # high-tap stencils keep several row-sized temporaries live in
+        # VMEM during the unrolled compute; shrink the j tile for them
         tile_j = JI
+        if len(ir.sdef.taps) > 30:
+            for cand in (16, 8, 4, 2, 1):
+                if JI % cand == 0 and cand <= JI:
+                    tile_j = min(JI, cand)
+                    break
     TJ = int(tile_j)
     if JI % TJ:
         raise ValueError(f"tile_j {TJ} must divide interior j {JI}")

@@ -61,8 +61,9 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     gshape = tuple(m * d for m, d in zip(mesh_shape, dims))
     g = random_array(gshape, np.float32, seed=3)
     ndev = int(np.prod(mesh_shape))
-    stacked = np.zeros((ndev * dec.nbricks, int(np.prod(bdim))),
-                       np.float32)
+    # storage kept in kernel-native [nbricks, *bdim] shape end-to-end:
+    # any reshape around a pallas custom call materializes a full copy
+    stacked = np.zeros((ndev * dec.nbricks,) + tuple(bdim), np.float32)
     blocks = {}
     for r, c in enumerate(np.ndindex(*mesh_shape)):
         idx = [(np.arange(c[a] * dims[a] - gz[a],
@@ -72,7 +73,8 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         dat = np.zeros((dec.nbricks, int(np.prod(bdim))), np.float32)
         to_bricks(blocks[c], dec.grid, bdim, dat=dat)
         dat[dec.sep_pos[1]:] = 0
-        stacked[r * dec.nbricks:(r + 1) * dec.nbricks] = dat
+        stacked[r * dec.nbricks:(r + 1) * dec.nbricks] = dat.reshape(
+            (-1,) + tuple(bdim))
 
     # Iterations between exchanges compute into the ghost region too so
     # validity shrinks from the outer ghost edge (gz deep) instead of the
@@ -116,8 +118,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             if len(table_axes) < nd:
                 d = exchange_shift(d, dec, names, mesh_shape,
                                    table_axes=table_axes)
-            return pencil_fn(d.reshape((-1,) + tuple(bdim))).reshape(
-                d.shape)
+            return pencil_fn(d)
         if overlap:
             view = d.reshape((-1,) + tuple(bdim))
             out_inner = brick_apply(sd, {gname: view}, adj,
@@ -149,10 +150,15 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     sharded = jax.device_put(jnp.asarray(stacked),
                              NamedSharding(mesh, P_))
     # donate so exchanges/stencils update storage in place instead of
-    # copying the full array per scatter
-    step_j = jax.jit(shard_map(step, mesh, P_, P_), donate_argnums=0)
-    exch_j = jax.jit(shard_map(exchange_only, mesh, P_, P_),
-                     donate_argnums=0)
+    # copying the full array per scatter; a single device needs no SPMD
+    # wrapper at all
+    if ndev > 1:
+        step_j = jax.jit(shard_map(step, mesh, P_, P_), donate_argnums=0)
+        exch_j = jax.jit(shard_map(exchange_only, mesh, P_, P_),
+                         donate_argnums=0)
+    else:
+        step_j = jax.jit(step, donate_argnums=0)
+        exch_j = jax.jit(exchange_only, donate_argnums=0)
 
     if validate:
         out = np.asarray(step_j(jnp.copy(sharded)))
@@ -168,8 +174,9 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
                          zip(lo, b.shape, hi))] = nxt
                 b = b2
             own = tuple(slice(gz[a], gz[a] + dims[a]) for a in range(nd))
-            got = from_bricks(out[r * dec.nbricks:(r + 1) * dec.nbricks],
-                              dec.interior_grid(), bdim)
+            got = from_bricks(
+                out[r * dec.nbricks:(r + 1) * dec.nbricks].reshape(
+                    dec.nbricks, -1), dec.interior_grid(), bdim)
             # valid only where st_iter halo sweeps stay inside the block
             m = [st_iter * max(l, h) - gz[a]
                  for a, (l, h) in enumerate(zip(lo, hi))]
