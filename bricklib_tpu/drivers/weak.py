@@ -39,9 +39,13 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     gname = next(iter(sd.inputs))
     nd = len(dims)
     if backend == "pencil":
-        if nd != 3 or st_iter != 1 or mesh_shape[2] != 1:
-            raise ValueError("pencil backend: 3-D, st_iter=1, i axis "
-                             "undistributed")
+        ndev_ = int(np.prod(mesh_shape))
+        # with every axis table-periodic (single device) each iteration
+        # is globally exact, so any st_iter works; on a real mesh the
+        # fast path exchanges every iteration (st_iter=1) for now
+        if nd != 3 or mesh_shape[2] != 1 or (st_iter != 1 and ndev_ > 1):
+            raise ValueError("pencil backend: 3-D, i axis undistributed, "
+                             "st_iter=1 unless single-device")
         bdim = (bdim[0], bdim[1], dims[2])
         gz = (bdim[0], bdim[1], 0)
     else:
@@ -115,10 +119,12 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
 
     def step(d):
         if pencil_fn is not None:
-            if len(table_axes) < nd:
-                d = exchange_shift(d, dec, names, mesh_shape,
-                                   table_axes=table_axes)
-            return pencil_fn(d)
+            for _ in range(st_iter):
+                if len(table_axes) < nd:
+                    d = exchange_shift(d, dec, names, mesh_shape,
+                                       table_axes=table_axes)
+                d = pencil_fn(d)
+            return d
         if overlap:
             view = d.reshape((-1,) + tuple(bdim))
             out_inner = brick_apply(sd, {gname: view}, adj,

@@ -51,14 +51,15 @@ def test_pallas_brick_matches_oracle(data, name):
 
 
 def test_pallas_dense_matches_twin(data):
+    # pad[1] must cover the sublane-rounded j halo (8 for radius 2)
     sd = stencil_by_name("mpi13pt")[0]
-    arr = random_array((24, 24, 128), np.float32, 3)
-    fn = pallas_dense_stencil(sd, arr.shape, (4, 4, 48), PARAMS,
+    arr = random_array((24, 32, 128), np.float32, 3)
+    fn = pallas_dense_stencil(sd, arr.shape, (4, 8, 48), PARAMS,
                               tile_elems=(8, 8), interpret=True)
     out = np.asarray(fn(jnp.asarray(arr)))
     want = dense_apply(sd, {"in": arr}, PARAMS, xp=np)
     lo, hi = sd.radius()
-    got = out[4:-4, 4:-4, 48:-48]
+    got = out[4:-4, 8:-8, 48:-48]
     want_c = want[tuple(slice(p - l, p - l + s) for p, l, s in
-                        zip((4, 4, 48), lo, got.shape))]
+                        zip((4, 8, 48), lo, got.shape))]
     assert compare_arrays(got, want_c, 1e-5)
