@@ -25,9 +25,6 @@ reference compiles them in via -D defines / const arrays the same way).
 """
 
 from __future__ import annotations
-
-import functools
-import math
 from typing import Sequence
 
 import numpy as np

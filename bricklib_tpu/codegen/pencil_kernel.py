@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .evaluate import resolve_const_from_params
-from .ir import StencilIR
+from .ir import StencilIR  # noqa: F401 (re-exported for callers)
 from .jnp_backend import _as_ir, _np_offsets, _run
 
 W = 4  # window slots: k-1, k, k+1 + one prefetch in flight

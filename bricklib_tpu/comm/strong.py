@@ -22,7 +22,7 @@ The exchange reuses the single-level SHIFT stage plan per subdomain:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -18,7 +18,7 @@ import numpy as np
 
 def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         st_iter=8, mesh_shape=(1, 1, 1), iters=25, validate=True,
-        overlap=False, backend="jnp"):
+        overlap=False, backend="jnp", profile_dir=None):
     """backend="jnp" (oracle executor) or "pencil" (Pallas fast path:
     bricks become whole-i pencils, ghost only in the outer axes, and the
     exchange moves pencil bricks over the mesh; requires st_iter == 1)."""
@@ -174,7 +174,6 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             b = blk
             for _ in range(st_iter):
                 nxt = dense_apply(sd, {gname: b}, DEFAULT_PARAMS, xp=np)
-                pads = [(l, h) for l, h in zip(lo, hi)]
                 b2 = np.zeros_like(b)
                 b2[tuple(slice(l, s - h) for l, s, h in
                          zip(lo, b.shape, hi))] = nxt
@@ -192,6 +191,16 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         if not ok:
             raise RuntimeError("validation mismatch vs array twin")
         print("validated against array twin: OK")
+
+    if profile_dir:
+        # jax.profiler trace of a few steps (the tracing-subsystem analog
+        # of the reference's omp_get_wtime phase accumulators +
+        # nvprof-style runs)
+        with jax.profiler.trace(profile_dir):
+            out = step_j(jnp.copy(sharded))
+            out = step_j(out)
+            out.block_until_ready()
+        print(f"profiler trace written to {profile_dir}")
 
     avg, samples = time_mpi(step_j, jnp.copy(sharded), iters=iters)
     avg_x, samples_x = time_mpi(exch_j, jnp.copy(sharded), iters=iters)
@@ -234,13 +243,15 @@ def main(argv=None):
     p.add_argument("--overlap", action="store_true",
                    help="interior/boundary split to overlap exchange")
     p.add_argument("--backend", default="jnp", choices=["jnp", "pencil"])
+    p.add_argument("--profile", dest="profile_dir", default=None,
+                   help="write a jax.profiler trace to this directory")
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,
         tuple(int(x) for x in a.mesh.split(",")),
         a.iters, validate=not a.no_validate, overlap=a.overlap,
-        backend=a.backend)
+        backend=a.backend, profile_dir=a.profile_dir)
 
 
 if __name__ == "__main__":
