@@ -18,7 +18,8 @@ import numpy as np
 
 def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         st_iter=8, mesh_shape=(1, 1, 1), iters=25, validate=True,
-        overlap=False, backend="jnp", profile_dir=None):
+        overlap=False, backend="jnp", profile_dir=None,
+        exchange="shift"):
     """backend="jnp" (oracle executor) or "pencil" (Pallas fast path:
     bricks become whole-i pencils, ghost only in the outer axes, and the
     exchange moves pencil bricks over the mesh; requires st_iter == 1)."""
@@ -29,7 +30,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     from ..bench.timing import mpi_statistics, time_mpi
     from ..codegen import brick_apply, dense_apply
     from ..comm import BrickDecomp, skinlist_by_name
-    from ..comm.exchange import exchange_shift
+    from ..comm.exchange import exchange_put, exchange_shift
     from ..comm.mesh import make_domain_mesh, shard_map
     from ..core import (compare_arrays, from_bricks, random_array,
                         to_bricks)
@@ -80,6 +81,11 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         stacked[r * dec.nbricks:(r + 1) * dec.nbricks] = dat.reshape(
             (-1,) + tuple(bdim))
 
+    def do_exchange(d):
+        if exchange == "put":
+            return exchange_put(d, dec, names, mesh_shape)
+        return exchange_shift(d, dec, names, mesh_shape)
+
     # Iterations between exchanges compute into the ghost region too so
     # validity shrinks from the outer ghost edge (gz deep) instead of the
     # owned boundary; only the LAST iteration skips the ghost ring — the
@@ -129,7 +135,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             view = d.reshape((-1,) + tuple(bdim))
             out_inner = brick_apply(sd, {gname: view}, adj,
                                     DEFAULT_PARAMS, rows=inner_rows)
-            d = exchange_shift(d, dec, names, mesh_shape)
+            d = do_exchange(d)
             view = d.reshape((-1,) + tuple(bdim))
             out_ring = brick_apply(sd, {gname: view}, adj,
                                    DEFAULT_PARAMS, rows=ring_rows)
@@ -139,7 +145,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             for it in range(1, st_iter):
                 d = one_iter(d, last=(it == st_iter - 1))
         else:
-            d = exchange_shift(d, dec, names, mesh_shape)
+            d = do_exchange(d)
             for it in range(st_iter):
                 d = one_iter(d, last=(it == st_iter - 1))
         return d
@@ -150,7 +156,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
                 d = exchange_shift(d, dec, names, mesh_shape,
                                    table_axes=table_axes)
         else:
-            d = exchange_shift(d, dec, names, mesh_shape)
+            d = do_exchange(d)
         return d
 
     sharded = jax.device_put(jnp.asarray(stacked),
@@ -245,13 +251,16 @@ def main(argv=None):
     p.add_argument("--backend", default="jnp", choices=["jnp", "pencil"])
     p.add_argument("--profile", dest="profile_dir", default=None,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--exchange", default="shift", choices=["shift", "put"],
+                   help="SHIFT multi-stage (6 msgs) or PUT (26 msgs)")
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,
         tuple(int(x) for x in a.mesh.split(",")),
         a.iters, validate=not a.no_validate, overlap=a.overlap,
-        backend=a.backend, profile_dir=a.profile_dir)
+        backend=a.backend, profile_dir=a.profile_dir,
+        exchange=a.exchange)
 
 
 if __name__ == "__main__":
