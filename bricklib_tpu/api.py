@@ -157,6 +157,38 @@ class Problem:
             self._dat = self._step(self._dat)
         return self
 
+    def save(self, path: str):
+        """Checkpoint the sharded brick state + problem config.
+
+        A capability beyond the reference (it has none — SURVEY §5):
+        restart long runs without re-initializing.
+        """
+        if self._dat is None:
+            raise RuntimeError("nothing to save; call init() first")
+        np.savez_compressed(
+            path,
+            dat=np.asarray(self._dat),
+            dims=np.asarray(self.dims),
+            mesh=np.asarray(self.mesh_shape),
+            bdims=np.asarray(self.bdims),
+            ghost=np.asarray(self.ghost))
+        return self
+
+    def load(self, path: str):
+        """Restore a checkpoint saved by :meth:`save` (config must
+        match this Problem)."""
+        import jax
+        import jax.numpy as jnp
+
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        for name, mine in (("dims", self.dims), ("mesh", self.mesh_shape),
+                           ("bdims", self.bdims), ("ghost", self.ghost)):
+            if tuple(z[name]) != tuple(mine):
+                raise ValueError(
+                    f"checkpoint {name} {tuple(z[name])} != {tuple(mine)}")
+        self._dat = jax.device_put(jnp.asarray(z["dat"]), self._sharding)
+        return self
+
     def result(self) -> np.ndarray:
         """Gather the owned region back to one dense global array."""
         from .core import from_bricks

@@ -44,3 +44,27 @@ def test_problem_validates_shape():
         p.init(array=np.zeros((4, 4, 4), np.float32))
     with pytest.raises(RuntimeError):
         Problem(dims=(8, 8, 16), bdims=(4, 4, 8), backend="jnp").step()
+
+
+def test_problem_checkpoint_roundtrip(tmp_path):
+    g = random_array((16, 16, 32), np.float32, 4)
+    p = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                bdims=(4, 4, 8), backend="jnp")
+    p.init(array=g).step(1)
+    path = str(tmp_path / "ckpt")
+    p.save(path)
+    mid = p.result()
+    p.step(1)
+    end = p.result()
+
+    q = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                bdims=(4, 4, 8), backend="jnp")
+    q.load(path)
+    assert compare_arrays(q.result(), mid, 1e-6)
+    q.step(1)
+    assert compare_arrays(q.result(), end, 1e-6)
+
+    bad = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                  bdims=(2, 4, 8), backend="jnp")
+    with pytest.raises(ValueError):
+        bad.load(path)
