@@ -71,6 +71,13 @@ def main():
     elems = N ** 3
     gst = elems / dt / 1e9
 
+    # secondary headline config (BASELINE.md names both 7pt and 125pt)
+    sd125 = stencil_by_name("mpi125pt")[0]
+    fn125 = jax.jit(pallas_pencil_stencil(
+        sd125, grid, BD, (1, 1), info.nbricks, params))
+    dt125 = timeit(fn125, view, max(iters // 2, 2))
+    gst125 = elems / dt125 / 1e9
+
     print(json.dumps({
         "metric": "7pt_512cubed_brick_stencil",
         "value": round(gst, 3),
@@ -82,6 +89,8 @@ def main():
             "brick": list(BD),
             "sol_gstencil_s": round(sol_gst, 3),
             "sol_copy_gb_s": round(sol_bw / 1e9, 1),
+            "125pt_gstencil_s": round(gst125, 3),
+            "125pt_step_ms": round(dt125 * 1e3, 3),
             "backend": jax.default_backend(),
         },
     }))

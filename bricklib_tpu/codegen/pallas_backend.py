@@ -77,15 +77,16 @@ def _tile_compute(ir: StencilIR, params: dict, tile_val, base, out_extent,
 
 def choose_tile(interior_cells: Sequence[int], bdims: Sequence[int],
                 target_elems: int = 32) -> tuple[int, ...]:
-    """Pick per-axis cell-tile sizes (all axes but the innermost; the
-    innermost is always covered whole).  Prefers ~``target_elems``
-    elements per axis, must divide the interior cell count."""
+    """Pick a cell-tile size per given axis (callers pass the axes they
+    tile — the innermost is always covered whole and excluded).  Prefers
+    ~``target_elems`` elements per axis, must divide the interior
+    cell count."""
     out = []
-    for cells, b in list(zip(interior_cells, bdims))[:-1]:
+    for cells, b in zip(interior_cells, bdims):
         want = max(1, target_elems // b)
         t = 1
         for cand in range(1, cells + 1):
-            if cells % cand == 0 and cand * b <= want * b:
+            if cells % cand == 0 and cand <= want:
                 t = cand
         out.append(t)
     return tuple(out)

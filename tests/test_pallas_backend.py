@@ -63,3 +63,17 @@ def test_pallas_dense_matches_twin(data):
     want_c = want[tuple(slice(p - l, p - l + s) for p, l, s in
                         zip((4, 8, 48), lo, got.shape))]
     assert compare_arrays(got, want_c, 1e-5)
+
+
+def test_auto_tile_selection(data):
+    """tile=None goes through choose_tile (regression: it once returned
+    a single axis)."""
+    from bricklib_tpu.codegen.pallas_backend import choose_tile
+
+    assert choose_tile((32, 32), (8, 8)) == (4, 4)
+    assert choose_tile((3, 5), (4, 4)) == (3, 5)  # small grids: full axis
+    arr, grid, info, view = data
+    sd = stencil_by_name("s7pt")[0]
+    fn = pallas_brick_stencil(sd, grid, BD, (1, 1, 1), info.nbricks,
+                              PARAMS, tile=None, interpret=True)
+    assert callable(fn)
