@@ -128,6 +128,14 @@ def _local_copy_kernel(dat, stage_ivs, interpret: bool):
     # DMA: view [n, step] as [n, step/128, 128] (free reshape)
     shape = dat.shape
     n, step = shape[0], int(np.prod(shape[1:]))
+    if step % 128:
+        # sub-lane-tile chunks can't be DMA'd row-wise; fall back to XLA
+        # slice copies (small storages only — every canonical step is a
+        # 128 multiple)
+        for ivs in stage_ivs:
+            for d0, d1, s0, s1 in ivs:
+                dat = dat.at[d0:d1].set(dat[s0:s1])
+        return dat
     v = dat.reshape(n, step // 128, 128)
     out = pl.pallas_call(
         kernel,
