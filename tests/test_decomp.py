@@ -120,3 +120,19 @@ def test_4d_decomp():
     assert d.info.check_involution(d.grid[1:-1, 1:-1, 1:-1, 1:-1])
     neigh = {g.neighbor.set for g in d.ghost}
     assert len(neigh) == 80  # 3^4 - 1
+
+
+def test_periodic_grid_wraps(dec):
+    """Ghost cells on table axes redirect to wrapped owned cells; owned
+    cells are untouched (zero-copy periodicity)."""
+    g = dec.periodic_grid((0, 2))
+    own = dec.grid[1:-1, 1:-1, 1:-1]
+    assert np.array_equal(g[1:-1, 1:-1, 1:-1], own)
+    # k ghost rows -> wrapped owned rows (k interior = 8 cells)
+    assert np.array_equal(g[0], g[8])
+    assert np.array_equal(g[9], g[1])
+    # i ghost -> wrapped (i interior = 4 cells)
+    assert np.array_equal(g[:, :, 0], g[:, :, 4])
+    assert np.array_equal(g[:, :, 5], g[:, :, 1])
+    # axis 1 NOT in table_axes: ghost pencils unchanged
+    assert np.array_equal(g[1:-1, 0, 1:-1], dec.grid[1:-1, 0, 1:-1])
