@@ -109,11 +109,16 @@ class Problem:
                                   self.params, rows=owned)
                 return view.at[owned].set(out).reshape(d.shape)
 
+        # donate only when the step moves ghost data in place; donating
+        # to a pure-output kernel costs an extra copy on this runtime
+        moves = not (backend == "pencil"
+                     and int(np.prod(msh)) == 1)
+        don = dict(donate_argnums=0) if moves else {}
         if int(np.prod(self.mesh_shape)) > 1:
             self._step = jax.jit(shard_map(one, self.mesh, self._P,
-                                           self._P), donate_argnums=0)
+                                           self._P), **don)
         else:  # single device: no SPMD wrapper
-            self._step = jax.jit(one, donate_argnums=0)
+            self._step = jax.jit(one, **don)
         self._dat = None
 
     # ------------------------------------------------------------------
