@@ -56,6 +56,12 @@ class Problem:
         if backend == "auto":
             backend = ("pencil" if nd == 3 and self.mesh_shape[2] == 1
                        else "jnp")
+        if backend == "pencil" and self.mesh_shape[2] != 1:
+            # with ghost_depth[i]=0 the lane roll would wrap per-device,
+            # silently computing per-device-periodic results
+            raise ValueError(
+                "pencil backend needs the innermost axis undistributed "
+                "(mesh[2] == 1); use backend='jnp' instead")
         self.backend = backend
         if bdims is None:
             if backend == "pencil":

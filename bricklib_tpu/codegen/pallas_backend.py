@@ -121,6 +121,10 @@ def pallas_brick_stencil(stencil, grid: np.ndarray, bdims: Sequence[int],
     if dims != 3:
         raise NotImplementedError("pallas brick path is 3-D for now; "
                                   "use brick_apply for other ranks")
+    if len(ir.sdef.inputs) != 1:
+        raise NotImplementedError(
+            "pallas paths read one input grid; multi-input stencils run "
+            "through brick_apply")
     bdims = tuple(int(b) for b in bdims)
     BK, BJ, BI = bdims
     gshape = grid.shape

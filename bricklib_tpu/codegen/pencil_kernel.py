@@ -68,6 +68,10 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
         interpret = jax.default_backend() != "tpu"
     if ir.dims != 3:
         raise NotImplementedError("pencil path is 3-D")
+    if len(ir.sdef.inputs) != 1:
+        raise NotImplementedError(
+            "pallas paths read one input grid; multi-input stencils run "
+            "through brick_apply")
     BK, BJ, BIROW = (int(b) for b in bdims)
     grid = np.asarray(grid)
     if grid.ndim == 3:

@@ -202,21 +202,31 @@ class BrickDecomp:
             inv = ~n_
             run_l: list[int] = []
             run_pos = -1
+            run_end = -1
 
             def flush():
-                nonlocal run_l, run_pos
+                nonlocal run_l, run_pos, run_end
                 if not run_l:
                     return
-                g_len = sum(self.region_size(self.skinlist[l])
-                            for l in run_l)
+                # ghost run length from actual storage positions (end of
+                # last section - run start), symmetric with the skin
+                # side, so alignment padding mypop inserts between
+                # sections is counted on both sides
+                g_len = run_end - run_pos
                 s_pos = skin_pos[run_l[0]][0]
                 s_end = skin_pos[run_l[-1]][0] + skin_pos[run_l[-1]][1]
+                if g_len != s_end - s_pos:
+                    raise AssertionError(
+                        "ghost/skin run length mismatch under align="
+                        f"{self.align}; use align=1 or align-multiple "
+                        "section sizes")
                 self.ghost.append(Run(n_, run_pos, g_len,
                                       run_l[0], run_l[-1] + 1))
                 self.skin.append(Run(inv, s_pos, s_end - s_pos,
                                      run_l[0], run_l[-1] + 1))
                 run_l = []
                 run_pos = -1
+                run_end = -1
 
             for l, s in enumerate(self.skinlist):
                 if s and inv <= s and self.region_size(s) > 0:
@@ -227,6 +237,7 @@ class BrickDecomp:
                     st, cnt = mypop(n_, s)
                     self.sections.append(Section(n_, l, st, cnt))
                     run_l.append(l)
+                    run_end = st + cnt
                 elif run_l:
                     flush()
             flush()

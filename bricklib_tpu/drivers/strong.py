@@ -70,7 +70,10 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
     if validate:
         assert st_iter == 1, "validate with -I 1"
         out = np.asarray(step_j(jnp.copy(sharded)))
-        gp = np.pad(g, 1, mode="wrap")
+        # pad by the stencil's own radius so the dense twin lines up for
+        # every corpus stencil (radius-2/4 star, 5^3 cube), not just r=1
+        lo, hi = sd.radius()
+        gp = np.pad(g, list(zip(lo, hi)), mode="wrap")
         want_g = dense_apply(sd, {gname: gp}, DEFAULT_PARAMS, xp=np)
         for c in np.ndindex(*mesh_shape):
             for row in range(nloc):
