@@ -10,15 +10,27 @@ laid out anyway), and i-taps become in-register lane rolls with periodic
 wrap — the Pallas analog of the reference's dev_shl funnel shift across
 brick boundaries (include/dev_shl.h:11-64).
 
-The k axis streams: grid = (j-tiles, interior k rows) with k fastest; a
-4-slot rolling VMEM window holds brick rows [k-1, k, k+1, prefetch(k+2)],
-so every brick row is read from HBM exactly once per sweep (no k-halo
+The k axis streams: grid = (j-tiles, k rows) with k fastest; a 4-slot
+rolling VMEM window holds brick rows [k-1, k, k+1, prefetch(k+2)], so
+every brick row is read from HBM exactly once per sweep (no k-halo
 re-reads) and the next row's DMA overlaps the current row's compute
 (double buffering, cf. pallas_guide 'Patterns: Double Buffering').
 
-Read amplification at 512^3 with TJ = full j: (66*66)/(64*64) = 1.06 —
-only the genuine ghost pencils — versus 2.0 for the generic
-tile-assembly kernel.
+:func:`pallas_pencil_sweep` computes an arbitrary rectangular sub-range
+of the brick grid; windows clamp at the table edge.  This one emitter
+provides every schedule the drivers need:
+
+- the classic interior sweep (``skip=1`` — the reference drivers'
+  GB-trimmed loops, stencils/3axis.cpp:51-56),
+- the ghost-inclusive sweep (``skip=0``) that lets ``ST_ITER`` deep-ghost
+  iterations run between exchanges with a stale outer ring — the
+  reference's flagship weak-scaling trick (weak/main.cpp:203-212):
+  contamination enters clamped edge windows at radius elements per
+  iteration and stays inside the ghost for st_iter*radius <= ghost depth,
+- interior/ring partial sweeps (in-place via ``out_prev`` aliasing) so a
+  driver can compute ghost-independent rows concurrently with the
+  ppermute exchange — the sep_pos interior/boundary overlap
+  (ref: brick-mpi.h:196; weak/main.cu:251-291).
 
 Works on any layout whose grid table has i-extent 1 (one pencil per
 (k, j) cell): dense init_grid or BrickDecomp with ghost_depth[i] = 0.
@@ -42,25 +54,46 @@ from .jnp_backend import _as_ir, _np_offsets, _run
 W = 4  # window slots: k-1, k, k+1 + one prefetch in flight
 
 
-def pallas_pencil_stencil(stencil, grid: np.ndarray,
-                          bdims: Sequence[int],
-                          ghost_bricks: Sequence[int],
-                          nbricks: int,
-                          params: dict | None = None,
-                          tile_j: int | None = None,
-                          dtype=jnp.float32,
-                          compute_dtype=jnp.float32,
-                          interpret: bool | None = None,
-                          vmem_limit_bytes: int = 110 * 2 ** 20):
-    """Build ``fn(dat_view) -> out_view`` for pencil bricks.
+def default_tile_j(ir, JC: int) -> int:
+    """j-tile heuristic: whole row unless the unrolled compute keeps many
+    row-sized temporaries live in VMEM (high-tap stencils)."""
+    if len(ir.sdef.taps) <= 30:
+        return JC
+    for cand in (16, 11, 8, 6, 4, 3, 2, 1):
+        if JC % cand == 0 and cand <= JC:
+            return cand
+    return JC
 
-    ``grid``: brick-grid table, shape (GK, GJ) or (GK, GJ, 1).
-    ``bdims`` = (BK, BJ, BIROW) with BIROW the full per-device i extent;
-    ``ghost_bricks`` = (gzk, gzj) (i has no ghost — periodic via roll).
+
+def pallas_pencil_sweep(stencil, grid: np.ndarray,
+                        bdims: Sequence[int],
+                        nbricks: int,
+                        params: dict | None = None,
+                        k_range: tuple[int, int] | None = None,
+                        j_range: tuple[int, int] | None = None,
+                        tile_j: int | None = None,
+                        dtype=jnp.float32,
+                        compute_dtype=jnp.float32,
+                        interpret: bool | None = None,
+                        inplace: bool = False,
+                        vmem_limit_bytes: int = 110 * 2 ** 20):
+    """Build a pencil sweep over grid rows ``k_range`` x pencils
+    ``j_range`` (half-open, grid coords).
+
+    Returns ``fn(dat_view) -> out_view`` or, with ``inplace=True``,
+    ``fn(dat_view, out_prev) -> out_view`` where the output buffer is
+    aliased onto ``out_prev`` and only the bricks of this sweep's range
+    are overwritten (partial sweeps compose into one output).
+
+    Windows outside the table clamp to the edge row/pencil, so
+    ghost-inclusive sweeps read the ghost's own edge as its missing
+    neighbor — the stale-ring contamination semantics of the reference's
+    garbage-brick reads (bricksetup.h:44-48).
+
+    ``grid``: brick-grid table, shape (GK, GJ) or (GK, GJ, 1);
+    ``bdims`` = (BK, BJ, BIROW) with BIROW the full per-device i extent.
     ``dtype`` is the storage element type; with ``dtype=bfloat16`` HBM
-    traffic halves and taps are accumulated in ``compute_dtype``
-    (mixed-precision mode — outside the reference's f64 tolerance
-    contract, benchmarked separately).
+    traffic halves and taps are accumulated in ``compute_dtype``.
     """
     ir = _as_ir(stencil)
     params = dict(params or {})
@@ -79,38 +112,41 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
             raise ValueError("pencil layout needs one brick per (k,j)")
         grid = grid[:, :, 0]
     GK, GJ = grid.shape
-    gzk, gzj = int(ghost_bricks[0]), int(ghost_bricks[1])
-    if gzk != 1 or gzj != 1:
-        raise ValueError("pencil path expects exactly one ghost brick "
-                         "in k and j")
+    if k_range is None:
+        k_range = (1, GK - 1)
+    if j_range is None:
+        j_range = (1, GJ - 1)
+    K0, K1 = (int(k) for k in k_range)
+    J0, J1 = (int(j) for j in j_range)
+    if not (0 <= K0 < K1 <= GK and 0 <= J0 < J1 <= GJ):
+        raise ValueError(f"range k{k_range} j{j_range} outside grid "
+                         f"({GK}, {GJ})")
+    KC, JC = K1 - K0, J1 - J0
     lo, hi = ir.radius()
-    if lo[0] > BK or hi[0] > BK or lo[1] > gzj * BJ or hi[1] > gzj * BJ:
-        raise ValueError("stencil radius exceeds brick/ghost depth")
+    if lo[0] > BK or hi[0] > BK or lo[1] > BJ or hi[1] > BJ:
+        raise ValueError("stencil radius exceeds brick dims")
 
-    KI = GK - 2 * gzk           # interior k rows
-    JI = GJ - 2 * gzj
     if tile_j is None:
-        # high-tap stencils keep several row-sized temporaries live in
-        # VMEM during the unrolled compute; shrink the j tile for them
-        tile_j = JI
-        if len(ir.sdef.taps) > 30:
-            for cand in (16, 8, 4, 2, 1):
-                if JI % cand == 0 and cand <= JI:
-                    tile_j = min(JI, cand)
-                    break
+        tile_j = default_tile_j(ir, JC)
     TJ = int(tile_j)
-    if JI % TJ:
-        raise ValueError(f"tile_j {TJ} must divide interior j {JI}")
-    JT = JI // TJ
-    JW = TJ + 2                 # window pencils incl one ghost each side
+    if JC % TJ:
+        raise ValueError(f"tile_j {TJ} must divide computed j extent {JC}")
+    JT = JC // TJ
+    JW = TJ + 2                 # window pencils incl one each side
 
     row_shape = (BK, JW * BJ, BIROW)
 
+    def _clip(x, n):
+        return jnp.clip(x, 0, n - 1)
+
     def _row_copies(ids_ref, dat_ref, win, sem, jt, w, slot):
-        """Copy descriptors loading grid row w (k index) for j-tile jt."""
+        """Copy descriptors loading window row w (rolling index; absolute
+        grid row K0 - 1 + w, edge-clamped) for j-tile jt."""
+        krow = _clip(K0 - 1 + w, GK)
         cps = []
         for cj in range(JW):
-            bid = ids_ref[w * GJ + gzj + jt * TJ - 1 + cj]
+            jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
+            bid = ids_ref[krow * GJ + jcol]
             cps.append(pltpu.make_async_copy(
                 dat_ref.at[bid],
                 win.at[slot, :, cj * BJ:(cj + 1) * BJ, :],
@@ -188,85 +224,96 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
 
         return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
 
-    def kernel(ids_ref, dat_ref, out_ref, win, tout, sem, osem):
-        jt = pl.program_id(0)
-        t = pl.program_id(1)
+    def make_kernel(extra_ref: bool):
+        def kernel(ids_ref, dat_ref, *rest):
+            if extra_ref:
+                _prev_ref, out_ref, win, tout, sem, osem = rest
+            else:
+                out_ref, win, tout, sem, osem = rest
+            jt = pl.program_id(0)
+            t = pl.program_id(1)
 
-        # startup for this j-tile: rows 0..3 (fills all W slots)
-        @pl.when(t == 0)
-        def _():
-            for w in range(min(W, GK)):
+            # startup for this j-tile: window rows 0..3 (fills all slots)
+            @pl.when(t == 0)
+            def _():
+                for w in range(min(W, KC + 2)):
+                    for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+                                          w, w % W):
+                        cp.start()
+
+            # prefetch window row t+3 into slot (t+3)%W (it held row t-1,
+            # consumed)
+            @pl.when(jnp.logical_and(t > 0, t + 3 <= KC + 1))
+            def _():
                 for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
-                                      w, w % W):
+                                      t + 3, (t + 3) % W):
                     cp.start()
 
-        # prefetch row t+3 into slot (t+3)%W (it held row t-1, consumed)
-        @pl.when(jnp.logical_and(t > 0, t + 3 <= GK - 1))
-        def _():
+            # wait rows t, t+1 (t==0 only; later steps waited them already)
+            @pl.when(t == 0)
+            def _():
+                for w in range(2):
+                    for cp in _row_copies(ids_ref, dat_ref, win, sem,
+                                          jt, w, w % W):
+                        cp.wait()
+            # wait row t+2 (issued at startup or by step t-1's prefetch)
             for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
-                                  t + 3, (t + 3) % W):
-                cp.start()
-
-        # wait rows t, t+1 (t==0 only; later steps waited them already)
-        @pl.when(t == 0)
-        def _():
-            for w in range(2):
-                for cp in _row_copies(ids_ref, dat_ref, win, sem,
-                                      jt, w, w % W):
-                    cp.wait()
-        # wait row t+2 (issued at startup or by step t-1's prefetch)
-        for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
-                              t + 2, (t + 2) % W):
-            cp.wait()
-
-        # dynamic-slot value reads; slice thin k-halo pieces before concat
-        prev_tail = win[t % W, BK - lo[0]:, :, :]
-        cur = win[(t + 1) % W]
-        nxt_head = win[(t + 2) % W, :hi[0], :, :]
-        kslab = jnp.concatenate([prev_tail, cur, nxt_head], axis=0)
-        if compute_dtype != dtype:
-            kslab = kslab.astype(compute_dtype)
-
-        out_row = _compute(kslab)
-        if compute_dtype != dtype:
-            out_row = out_row.astype(dtype)
-
-        def _out_copies(tt, parity):
-            cps = []
-            for cj in range(TJ):
-                bid = ids_ref[(gzk + tt) * GJ + gzj + jt * TJ + cj]
-                cps.append(pltpu.make_async_copy(
-                    tout.at[parity, :, cj * BJ:(cj + 1) * BJ, :],
-                    out_ref.at[bid], osem.at[parity]))
-            return cps
-
-        # wait the out-DMAs issued two steps ago from this tout slot
-        @pl.when(t >= 2)
-        def _():
-            for cp in _out_copies(t - 2, t % 2):
+                                  t + 2, (t + 2) % W):
                 cp.wait()
 
-        tout[t % 2] = out_row
-        for cp in _out_copies(t, t % 2):
-            cp.start()
+            # dynamic-slot reads; slice thin k-halo pieces before concat
+            prev_tail = win[t % W, BK - lo[0]:, :, :]
+            cur = win[(t + 1) % W]
+            nxt_head = win[(t + 2) % W, :hi[0], :, :]
+            kslab = jnp.concatenate([prev_tail, cur, nxt_head], axis=0)
+            if compute_dtype != dtype:
+                kslab = kslab.astype(compute_dtype)
 
-        # drain at the end of each j-tile sweep
-        @pl.when(t == KI - 1)
-        def _():
-            for tt in range(max(KI - 2, 0), KI):
-                for cp in _out_copies(tt, tt % 2):
+            out_row = _compute(kslab)
+            if compute_dtype != dtype:
+                out_row = out_row.astype(dtype)
+
+            def _out_copies(tt, parity):
+                cps = []
+                for cj in range(TJ):
+                    bid = ids_ref[(K0 + tt) * GJ + J0 + jt * TJ + cj]
+                    cps.append(pltpu.make_async_copy(
+                        tout.at[parity, :, cj * BJ:(cj + 1) * BJ, :],
+                        out_ref.at[bid], osem.at[parity]))
+                return cps
+
+            # wait the out-DMAs issued two steps ago from this tout slot
+            @pl.when(t >= 2)
+            def _():
+                for cp in _out_copies(t - 2, t % 2):
                     cp.wait()
 
-    nelems = KI * BK * JI * BJ * BIROW
+            tout[t % 2] = out_row
+            for cp in _out_copies(t, t % 2):
+                cp.start()
+
+            # drain at the end of each j-tile sweep
+            @pl.when(t == KC - 1)
+            def _():
+                for tt in range(max(KC - 2, 0), KC):
+                    for cp in _out_copies(tt, tt % 2):
+                        cp.wait()
+
+        return kernel
+
+    nelems = KC * BK * JC * BJ * BIROW
     cost = pl.CostEstimate(
         flops=ir.flops_per_element() * nelems,
         bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
         transcendentals=0,
     )
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if inplace:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(JT, KI),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        grid=(JT, KC),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((W,) + row_shape, dtype),
@@ -275,8 +322,11 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # input indices for aliasing count the scalar-prefetch operand:
+    # operand 2 is out_prev when inplace
+    alias = dict(input_output_aliases={2: 0}) if inplace else {}
     call = pl.pallas_call(
-        kernel,
+        make_kernel(inplace),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbricks, BK, BJ, BIROW), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -285,10 +335,44 @@ def pallas_pencil_stencil(stencil, grid: np.ndarray,
         ),
         cost_estimate=cost,
         interpret=interpret,
+        **alias,
     )
     ids = jnp.asarray(grid.ravel().astype(np.int32))
 
-    def fn(dat_view):
-        return call(ids, dat_view)
+    if inplace:
+        def fn(dat_view, out_prev):
+            return call(ids, dat_view, out_prev)
+    else:
+        def fn(dat_view):
+            return call(ids, dat_view)
 
     return fn
+
+
+def pallas_pencil_stencil(stencil, grid: np.ndarray,
+                          bdims: Sequence[int],
+                          ghost_bricks: Sequence[int],
+                          nbricks: int,
+                          params: dict | None = None,
+                          tile_j: int | None = None,
+                          skip: int = 1,
+                          **kw):
+    """Classic full-domain pencil sweep (back-compat surface).
+
+    ``ghost_bricks`` = (gzk, gzj) must be (1, 1); ``skip=1`` computes the
+    owned rows/pencils only (the reference's skip parameter,
+    weak/main.cpp:26-36), ``skip=0`` additionally computes the ghost ring
+    with edge-clamped windows (deep-ghost ST_ITER mode).
+    """
+    gzk, gzj = int(ghost_bricks[0]), int(ghost_bricks[1])
+    if gzk != 1 or gzj != 1:
+        raise ValueError("pencil path expects exactly one ghost brick "
+                         "in k and j")
+    if skip not in (0, 1):
+        raise ValueError("skip is 0 (ghost-inclusive) or 1 (owned only)")
+    g = np.asarray(grid)
+    GK, GJ = g.shape[0], g.shape[1]
+    return pallas_pencil_sweep(
+        stencil, grid, bdims, nbricks, params,
+        k_range=(skip, GK - skip), j_range=(skip, GJ - skip),
+        tile_j=tile_j, **kw)

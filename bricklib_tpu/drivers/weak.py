@@ -39,16 +39,23 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     sd = stencil_by_name(stencil)[0]
     gname = next(iter(sd.inputs))
     nd = len(dims)
+    lo_r, hi_r = sd.radius()
+    rad = max(max(lo_r), max(hi_r))
     if backend == "pencil":
-        ndev_ = int(np.prod(mesh_shape))
-        # with every axis table-periodic (single device) each iteration
-        # is globally exact, so any st_iter works; on a real mesh the
-        # fast path exchanges every iteration (st_iter=1) for now
-        if nd != 3 or mesh_shape[2] != 1 or (st_iter != 1 and ndev_ > 1):
-            raise ValueError("pencil backend: 3-D, i axis undistributed, "
-                             "st_iter=1 unless single-device")
+        if nd != 3 or mesh_shape[2] != 1:
+            raise ValueError("pencil backend: 3-D, i axis undistributed")
         bdim = (bdim[0], bdim[1], dims[2])
         gz = (bdim[0], bdim[1], 0)
+        # deep-ghost ST_ITER bound (ref: weak/main.cpp:203-212): every
+        # iteration contaminates the ghost ring radius elements deeper;
+        # st_iter sweeps between exchanges stay exact in the owned
+        # region iff st_iter*radius fits in the ghost depth.  Axes that
+        # are table-periodic (1 device) are exact every iteration.
+        if any(m > 1 for m in mesh_shape) and st_iter * rad > min(
+                bdim[0], bdim[1]):
+            raise ValueError(
+                f"st_iter {st_iter} x radius {rad} exceeds ghost depth "
+                f"{min(bdim[0], bdim[1])}")
     else:
         gz = tuple(bdim)
     dec = BrickDecomp(dims=dims, ghost_depth=gz, bdims=bdim).initialize(
@@ -110,9 +117,9 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     ring_rows = jnp.asarray(
         np.arange(dec.sep_pos[0], dec.nbricks, dtype=np.int32))
 
-    pencil_fn = None
+    pencil_fn = pencil_ghost_fn = None
     if backend == "pencil":
-        from ..codegen.pencil_kernel import pallas_pencil_stencil
+        from ..codegen.pencil_kernel import pallas_pencil_sweep
 
         params = dict(DEFAULT_PARAMS)
         params["coeff"] = [0.03 * (c + 1) for c in range(27)]
@@ -120,16 +127,36 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         # movement (zero-copy links); exchange only distributed axes
         table_axes = tuple(a for a in range(nd) if mesh_shape[a] == 1)
         kgrid = dec.periodic_grid(table_axes)
-        pencil_fn = pallas_pencil_stencil(
-            sd, kgrid, bdim, (1, 1), dec.nbricks, params)
+        GKg, GJg = kgrid.shape[0], kgrid.shape[1]
+
+        def _ranges(skip):
+            # table axes compute owned rows only (their ghost cells
+            # redirect to owned bricks — writing them would double-write)
+            k = (1, GKg - 1) if 0 in table_axes else (skip, GKg - skip)
+            j = (1, GJg - 1) if 1 in table_axes else (skip, GJg - skip)
+            return k, j
+
+        kr, jr = _ranges(1)
+        pencil_fn = pallas_pencil_sweep(
+            sd, kgrid, bdim, dec.nbricks, params,
+            k_range=kr, j_range=jr)
+        if st_iter > 1 and len(table_axes) < nd:
+            # non-last iterations compute the distributed-axis ghost
+            # ring too (deep-ghost mode, ref: weak/main.cpp:203-212)
+            kr0, jr0 = _ranges(0)
+            pencil_ghost_fn = pallas_pencil_sweep(
+                sd, kgrid, bdim, dec.nbricks, params,
+                k_range=kr0, j_range=jr0)
 
     def step(d):
         if pencil_fn is not None:
-            for _ in range(st_iter):
-                if len(table_axes) < nd:
-                    d = exchange_shift(d, dec, names, mesh_shape,
-                                       table_axes=table_axes)
-                d = pencil_fn(d)
+            if len(table_axes) < nd:
+                d = exchange_shift(d, dec, names, mesh_shape,
+                                   table_axes=table_axes)
+            for it in range(st_iter):
+                last = it == st_iter - 1
+                d = pencil_fn(d) if (last or pencil_ghost_fn is None) \
+                    else pencil_ghost_fn(d)
             return d
         if overlap:
             view = d.reshape((-1,) + tuple(bdim))
