@@ -54,17 +54,6 @@ from .jnp_backend import _as_ir, _np_offsets, _run
 W = 4  # window slots: k-1, k, k+1 + one prefetch in flight
 
 
-def default_tile_j(ir, JC: int) -> int:
-    """j-tile heuristic: whole row unless the unrolled compute keeps many
-    row-sized temporaries live in VMEM (high-tap stencils)."""
-    if len(ir.sdef.taps) <= 30:
-        return JC
-    for cand in (16, 11, 8, 6, 4, 3, 2, 1):
-        if JC % cand == 0 and cand <= JC:
-            return cand
-    return JC
-
-
 def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         bdims: Sequence[int],
                         nbricks: int,
@@ -126,8 +115,87 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     if lo[0] > BK or hi[0] > BK or lo[1] > BJ or hi[1] > BJ:
         raise ValueError("stencil radius exceeds brick dims")
 
+    resolve = resolve_const_from_params(params)
+
+    def _roll_i(v, di):
+        return pltpu.roll(v, (-di) % BIROW, 2) if di else v
+
+    # Hierarchical axis factorization (the VMEM-era form of the reference
+    # codegen's reduction grouping, codegen/st/codegen/base.py:
+    # conv_reduction + optGreedy).  Shifts distribute over sums, and the
+    # three shift kinds have very different costs on TPU — k-slices are
+    # free (outer dim), j sublane realignments cheap, i lane rolls move
+    # the whole row through the VPU — so fold coefficients innermost-
+    # cost-first:
+    #   W[dj,di] = Σ_dk c(dk,dj,di)·kslice(dk)   (free slices, MACs)
+    #   V[di]    = Σ_dj jshift(W[dj,di], dj)     (one realign per dj)
+    #   out      = Σ_di roll_i(V[di], di)        (ONE roll per distinct di)
+    # 125pt: 24 rolls → 4, plus shared k-pair sums across profiles.
+    lin = None
+    if ir.linear is not None:
+        C: dict = {}
+        for _key, cexpr, taps in ir.linear:
+            c = float(resolve(cexpr.name)) if hasattr(
+                cexpr, "name") else float(cexpr.val)
+            for sign, _gname, offs in taps:
+                dk, dj, di = offs[2], offs[1], offs[0]  # eDSL -> (k,j,i)
+                C[(dk, dj, di)] = C.get((dk, dj, di), 0.0) + (
+                    c if sign > 0 else -c)
+        # k-profile per (dj, di) column; identical profiles share W
+        kprof: dict = {}
+        for (dk, dj, di), c in C.items():
+            kprof.setdefault((dj, di), []).append((dk, c))
+        wid_of: dict = {}       # (dj, di) -> W id
+        wdefs: list = []        # W id -> [(coeff, (dk, ...) slice-sum)]
+        wkey_to_id: dict = {}
+        for col, terms in kprof.items():
+            by_c: dict = {}
+            for dk, c in sorted(terms):
+                by_c.setdefault(c, []).append(dk)
+            wkey = tuple(sorted((c, tuple(dks))
+                                for c, dks in by_c.items()))
+            if wkey not in wkey_to_id:
+                wkey_to_id[wkey] = len(wdefs)
+                wdefs.append(list(wkey))
+            wid_of[col] = wkey_to_id[wkey]
+        # j-structure per di; identical structures share V
+        vterms: dict = {}
+        for (dj, di), wid in wid_of.items():
+            vterms.setdefault(di, []).append((dj, wid))
+        djs = [dj for (dj, _di) in wid_of]
+        jneed = (max(0, -min(djs)), max(0, max(djs)))
+        lin = (wdefs, {di: tuple(sorted(t)) for di, t in vterms.items()},
+               jneed)
+
+    # --- VMEM-budget tile selection (the surviving form of the
+    # reference codegen's MSIZE/THRES machinery, base.py:445-519):
+    # window slots + out double-buffer + kslab + live row-sized
+    # temporaries of the factorized compute must fit the scoped budget.
+    isz = np.dtype(dtype).itemsize
+    csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
+
+    def vmem_estimate(tj: int) -> int:
+        row = BK * (tj + 2) * BJ * BIROW
+        est = W * row * isz                       # rolling window
+        est += 2 * BK * tj * BJ * BIROW * isz     # tout double buffer
+        est += (BK + lo[0] + hi[0]) * (tj + 2) * BJ * BIROW * csz  # kslab
+        if lin is not None:
+            wdefs_, vmap_, (jl, jh) = lin
+            nksum = len({dks for terms in wdefs_ for _c, dks in terms})
+            nv = len(set(vmap_.values()))
+            live = nksum + len(wdefs_) + nv + 2
+            ext = BK * (tj * BJ + jl + jh) * BIROW * csz
+        else:
+            live = min(len(ir.sdef.taps), 6) + 2
+            ext = BK * tj * BJ * BIROW * csz
+        return est + live * ext
+
     if tile_j is None:
-        tile_j = default_tile_j(ir, JC)
+        budget = int(0.85 * vmem_limit_bytes)
+        tile_j = 1
+        for cand in range(1, JC + 1):
+            if JC % cand == 0 and vmem_estimate(cand) <= budget:
+                tile_j = cand
     TJ = int(tile_j)
     if JC % TJ:
         raise ValueError(f"tile_j {TJ} must divide computed j extent {JC}")
@@ -153,65 +221,44 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 sem.at[slot]))
         return cps
 
-    resolve = resolve_const_from_params(params)
-
-    def _read_base(kslab, dk, dj):
-        return kslab[lo[0] + dk:lo[0] + dk + BK,
-                     BJ + dj:BJ + dj + TJ * BJ, :]
-
-    def _roll_i(v, di):
-        return pltpu.roll(v, (-di) % BIROW, 2) if di else v
-
-    # i-profile factorization: group (dk, dj) columns with identical
-    # i-tap profiles, sum them once, then apply the profile with lane
-    # rolls — halves both adds and rolls for dense cubes like 125pt
-    # (the VMEM-era analog of the reference codegen's reduction grouping,
-    # codegen/st/codegen/base.py:conv_reduction).
-    fact = None
-    if ir.linear is not None:
-        cols: dict = {}
-        for key, cexpr, taps in ir.linear:
-            for sign, gname, offs in taps:
-                dk, dj, di = offs[2], offs[1], offs[0]  # eDSL -> (k,j,i)
-                cols.setdefault((dk, dj), {})[di] = (sign, key, cexpr)
-        groups: dict = {}
-        for col, prof in cols.items():
-            sig = frozenset((di, s, k) for di, (s, k, _c) in prof.items())
-            groups.setdefault(sig, (prof, []))[1].append(col)
-        plain_ops = sum(len(t) for _k, _c, t in ir.linear) \
-            + sum(1 for _k, _c, taps in ir.linear
-                  for _s, _g, o in taps if o[0]) \
-            + len(ir.linear)
-        fact_ops = (sum(len(cs) for _p, cs in groups.values())
-                    + sum(len(p) * 2 for p, _cs in groups.values()))
-        if fact_ops < plain_ops:
-            fact = list(groups.values())
-
     def _compute(kslab):
         """kslab: [BK+lo0+hi0, JW*BJ, BIROW] -> out row
         [BK, TJ*BJ, BIROW]."""
-        if fact is not None:
+        if lin is not None:
+            wdefs, vmap_, (jlo_r, jhi_r) = lin
+            JE = TJ * BJ + jlo_r + jhi_r
+
+            kcache: dict = {}
+
+            def ksum(dks):
+                if dks not in kcache:
+                    v = None
+                    for dk in dks:
+                        s = kslab[lo[0] + dk:lo[0] + dk + BK,
+                                  BJ - jlo_r:BJ - jlo_r + JE, :]
+                        v = s if v is None else v + s
+                    kcache[dks] = v
+                return kcache[dks]
+
+            Ws = []
+            for terms in wdefs:
+                W = None
+                for c, dks in terms:
+                    t = ksum(dks)
+                    t = t if c == 1.0 else c * t
+                    W = t if W is None else W + t
+                Ws.append(W)
             out = None
-            for prof, cls in fact:
-                U = None
-                for dk, dj in cls:
-                    v = _read_base(kslab, dk, dj)
-                    U = v if U is None else U + v
-                # pair ±di taps sharing a coefficient before multiplying
-                done = set()
-                for di, (sign, key, cexpr) in sorted(prof.items()):
-                    if di in done:
-                        continue
-                    v = _roll_i(U, di)
-                    mirror = prof.get(-di)
-                    if (di and mirror is not None
-                            and mirror[0] == sign and mirror[1] == key):
-                        v = v + _roll_i(U, -di)
-                        done.add(-di)
-                    c = float(resolve(cexpr.name)) if hasattr(
-                        cexpr, "name") else float(cexpr.val)
-                    term = (c if sign > 0 else -c) * v
-                    out = term if out is None else out + term
+            vcache: dict = {}    # ±di with equal structure share one V
+            for di, terms in sorted(vmap_.items()):
+                V = vcache.get(terms)
+                if V is None:
+                    for dj, wid in terms:
+                        sl = Ws[wid][:, jlo_r + dj:jlo_r + dj + TJ * BJ, :]
+                        V = sl if V is None else V + sl
+                    vcache[terms] = V
+                t = _roll_i(V, di)
+                out = t if out is None else out + t
             return out
 
         def read_tap(_name, offs_edsl):
@@ -262,10 +309,14 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 cp.wait()
 
             # dynamic-slot reads; slice thin k-halo pieces before concat
-            prev_tail = win[t % W, BK - lo[0]:, :, :]
-            cur = win[(t + 1) % W]
-            nxt_head = win[(t + 2) % W, :hi[0], :, :]
-            kslab = jnp.concatenate([prev_tail, cur, nxt_head], axis=0)
+            pieces = []
+            if lo[0]:
+                pieces.append(win[t % W, BK - lo[0]:, :, :])
+            pieces.append(win[(t + 1) % W])
+            if hi[0]:
+                pieces.append(win[(t + 2) % W, :hi[0], :, :])
+            kslab = (jnp.concatenate(pieces, axis=0)
+                     if len(pieces) > 1 else pieces[0])
             if compute_dtype != dtype:
                 kslab = kslab.astype(compute_dtype)
 

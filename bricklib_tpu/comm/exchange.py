@@ -124,8 +124,12 @@ def _local_copy_kernel(dat, stage_ivs, interpret: bool):
             for cp in cps:
                 cp.wait()
 
-    # brick rows must live on an untiled axis for arbitrary-interval
-    # DMA: view [n, step] as [n, step/128, 128] (free reshape)
+    # brick rows must live on an untiled axis for arbitrary-interval DMA.
+    # Storage in kernel-native [n, ..., SUB, LANE] shape already has n
+    # untiled (only the last two dims carry the (8,128) tiling) — pass it
+    # through UNRESHAPED: a reshape around the pallas call changes the
+    # physical tiling and materializes two full-array copies
+    # (~10x the ghost traffic at 512^3).
     shape = dat.shape
     n, step = shape[0], int(np.prod(shape[1:]))
     if step % 128:
@@ -136,7 +140,10 @@ def _local_copy_kernel(dat, stage_ivs, interpret: bool):
             for d0, d1, s0, s1 in ivs:
                 dat = dat.at[d0:d1].set(dat[s0:s1])
         return dat
-    v = dat.reshape(n, step // 128, 128)
+    if len(shape) >= 3 and shape[-1] % 128 == 0 and shape[-2] % 8 == 0:
+        v = dat                       # already DMA-able per brick row
+    else:
+        v = dat.reshape(n, step // 128, 128)   # flat [n, step] storage
     out = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],

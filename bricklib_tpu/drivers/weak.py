@@ -19,10 +19,16 @@ import numpy as np
 def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         st_iter=8, mesh_shape=(1, 1, 1), iters=25, validate=True,
         overlap=False, backend="jnp", profile_dir=None,
-        exchange="shift"):
+        exchange="shift", table_periodic=True):
     """backend="jnp" (oracle executor) or "pencil" (Pallas fast path:
     bricks become whole-i pencils, ghost only in the outer axes, and the
-    exchange moves pencil bricks over the mesh; requires st_iter == 1)."""
+    exchange moves pencil bricks over the mesh).
+
+    ``table_periodic=False`` disables the zero-copy table wrap on
+    1-device axes so they exchange real ghost bricks via in-place DMA
+    self-copies — the honest distributed configuration on any device
+    count (how the reference's np=1 torus run exercises all 26 exchange
+    directions)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -51,8 +57,8 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         # st_iter sweeps between exchanges stay exact in the owned
         # region iff st_iter*radius fits in the ghost depth.  Axes that
         # are table-periodic (1 device) are exact every iteration.
-        if any(m > 1 for m in mesh_shape) and st_iter * rad > min(
-                bdim[0], bdim[1]):
+        if ((any(m > 1 for m in mesh_shape) or not table_periodic)
+                and st_iter * rad > min(bdim[0], bdim[1])):
             raise ValueError(
                 f"st_iter {st_iter} x radius {rad} exceeds ghost depth "
                 f"{min(bdim[0], bdim[1])}")
@@ -124,8 +130,11 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         params = dict(DEFAULT_PARAMS)
         params["coeff"] = [0.03 * (c + 1) for c in range(27)]
         # undistributed axes: periodicity via table indirection, no data
-        # movement (zero-copy links); exchange only distributed axes
-        table_axes = tuple(a for a in range(nd) if mesh_shape[a] == 1)
+        # movement (zero-copy links); exchange only distributed axes.
+        # The i axis never exchanges — pencil rolls are periodic in i.
+        table_axes = tuple(
+            a for a in range(nd)
+            if mesh_shape[a] == 1 and (table_periodic or a == 2))
         kgrid = dec.periodic_grid(table_axes)
         GKg, GJg = kgrid.shape[0], kgrid.shape[1]
 
@@ -291,6 +300,9 @@ def main(argv=None):
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--exchange", default="shift", choices=["shift", "put"],
                    help="SHIFT multi-stage (6 msgs) or PUT (26 msgs)")
+    p.add_argument("--no-table-periodic", action="store_true",
+                   help="exchange real ghost bricks even on 1-device "
+                        "axes (honest distributed config)")
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
@@ -298,7 +310,7 @@ def main(argv=None):
         tuple(int(x) for x in a.mesh.split(",")),
         a.iters, validate=not a.no_validate, overlap=a.overlap,
         backend=a.backend, profile_dir=a.profile_dir,
-        exchange=a.exchange)
+        exchange=a.exchange, table_periodic=not a.no_table_periodic)
 
 
 if __name__ == "__main__":
