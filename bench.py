@@ -3,80 +3,160 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` is achieved GStencil/s over the speed-of-light GStencil/s
-implied by a measured HBM copy roofline (2 x 4 B moved per element), i.e.
-the fraction of the BASELINE.md target ("512^3 7pt at >= 90% of
-HBM-bandwidth roofline").  Protocol: warm-up excluded, fixed-iteration
-averaging (ref: stencils/stencils.h:40-53; weak/main.cpp:229-251 derives
-GStencil/s the same way).
+implied by a measured HBM copy roofline (2 x 4 B moved per element) —
+the BASELINE.md target ("512^3 7pt at >= 90% of HBM-bandwidth roofline").
+
+Measurement rules learned the hard way on this runtime (see CLAUDE.md):
+
+- the tunnel chip is multi-tenant: absolute times swing >2x between
+  minutes, so the roofline copy and every kernel are measured in
+  INTERLEAVED rounds and the minimum per item is kept (noise only adds
+  time); vs_baseline is a ratio of adjacently-measured minima;
+- the roofline copy is a Pallas DMA copy, not an XLA elementwise op —
+  XLA composes chained elementwise iterations into fewer passes, which
+  once inflated the "measured bandwidth" 2x;
+- every chain is dependent calls ending in a scalar readback
+  (block_until_ready is not a barrier here).
+
+Reports the honest distributed configuration too: ghost bricks + SHIFT
+exchange + deep-ghost ST_ITER=8 (7 ghost-inclusive sweeps + 1 owned
+sweep per exchange, ref: weak/main.cpp:203-212), per-iteration.
 """
 
 import json
 import sys
 import time
 
-import numpy as np
+
+def chain(fn, x, it):
+    """(avg seconds, last output) for a dependent chain with a scalar
+    readback barrier; donation-safe (never reuses a consumed buffer)."""
+    import jax.numpy as jnp
+
+    out = fn(x)
+    float(jnp.sum(out.ravel()[:1]))
+    t0 = time.perf_counter()
+    for _ in range(it):
+        out = fn(out)
+    float(jnp.sum(out.ravel()[:1]))
+    return (time.perf_counter() - t0) / it, out
 
 
 def main():
+    import numpy as np
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_stencil
-    from bricklib_tpu.core import init_grid
-    from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
-
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
     from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.comm.exchange import exchange_shift
+    from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     N = 512 if on_tpu else 64
     BD = (8, 8, N)  # pencil bricks: the TPU-canonical fast-path fold
-    iters = 20 if on_tpu else 3
+    iters = 3 if on_tpu else 1    # outer chained jit calls per round
+    R = 8 if on_tpu else 2        # sweeps inside one jit call
+    rounds = 4 if on_tpu else 1
+    ST_ITER = 8
 
-    # single-chip periodicity through the grid table (zero-copy links):
-    # ghost cells redirect to wrapped owned bricks, no exchange needed
     dec = BrickDecomp(dims=(N, N, N), ghost_depth=(BD[0], BD[1], 0),
                       bdims=BD).initialize(skinlist_by_name("good", 3))
-    grid = dec.periodic_grid((0, 1, 2))
-    info = dec.info
     params = dict(DEFAULT_PARAMS)
     params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+    nb = dec.nbricks
+    GK, GJ = dec.grid.shape[0], dec.grid.shape[1]
 
-    key = jax.random.PRNGKey(0)
-    view = jax.random.uniform(key, (info.nbricks,) + BD, jnp.float32)
+    # headline config: single-chip periodicity through the grid table
+    # (zero-copy links) — ghost cells redirect to wrapped owned bricks
+    # every item is an R-iteration dependent loop inside ONE jit call:
+    # per-call dispatch on the tunnel costs ~1-2 ms and would otherwise
+    # pollute both sides of the ratio.  Pallas calls cannot be composed
+    # by XLA, so the loop measures R true passes.
+    def rep(f, r=R):
+        def g(d):
+            for _ in range(r):
+                d = f(d)
+            return d
+        return jax.jit(g, donate_argnums=0)
 
-    def timeit(fn, x, n):
-        # chained dependent iterations + scalar readback: on the axon
-        # tunnel, block_until_ready alone does not guarantee execution
-        # completed, so the barrier is a data readback
-        out = fn(x)
-        float(jnp.sum(out[:1]))
-        t0 = time.perf_counter()
-        out = x
-        for _ in range(n):
-            out = fn(out)
-        float(jnp.sum(out[:1]))
-        return (time.perf_counter() - t0) / n
+    tgrid = dec.periodic_grid((0, 1, 2))
+    k7 = rep(pallas_pencil_sweep(
+        stencil_by_name("s7pt")[0], tgrid, BD, nb, params))
+    k125 = rep(pallas_pencil_sweep(
+        stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params))
 
-    # measured copy roofline: 1 read + 1 write of the domain
-    dom = jax.random.uniform(key, (N, N, N), jnp.float32)
-    copy = jax.jit(lambda x: x + 1.0)
-    t_copy = timeit(copy, dom, iters)
-    sol_bw = 2 * dom.size * 4 / t_copy          # B/s
-    sol_gst = sol_bw / (2 * 4) / 1e9            # GStencil/s at 8 B/elem
+    # honest distributed config: real ghost bricks + SHIFT exchange +
+    # deep-ghost ST_ITER (i stays periodic via lane rolls)
+    g_skip = pallas_pencil_sweep(
+        stencil_by_name("s7pt")[0], dec.grid, BD, nb, params)
+    g_ghost = pallas_pencil_sweep(
+        stencil_by_name("s7pt")[0], dec.grid, BD, nb, params,
+        k_range=(0, GK), j_range=(0, GJ))
 
-    sd = stencil_by_name("s7pt")[0]
-    fn = jax.jit(pallas_pencil_stencil(
-        sd, grid, BD, (1, 1), info.nbricks, params))
-    dt = timeit(fn, view, iters)
+    def honest_step(d):
+        d = exchange_shift(d, dec, ("x", "y", "z"), (1, 1, 1),
+                           table_axes=(2,))
+        for it in range(ST_ITER):
+            d = g_skip(d) if it == ST_ITER - 1 else g_ghost(d)
+        return d
+
+    honest = jax.jit(honest_step, donate_argnums=0)
+
+    def noex_step(d):
+        for it in range(ST_ITER):
+            d = g_skip(d) if it == ST_ITER - 1 else g_ghost(d)
+        return d
+
+    noex = jax.jit(noex_step, donate_argnums=0)
+
+    # composition-immune roofline: Pallas DMA copy of the same storage
+    def copy_kernel(dat_ref, out_ref, sem):
+        cps = []
+        for w in range(0, nb, 128):
+            e = min(w + 128, nb)
+            cp = pltpu.make_async_copy(dat_ref.at[w:e], out_ref.at[w:e],
+                                       sem)
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    dma_copy = rep(pl.pallas_call(
+        copy_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb,) + BD, jnp.float32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=not on_tpu))
+
+    def fresh(seed):
+        return jax.random.uniform(jax.random.PRNGKey(seed), (nb,) + BD,
+                                  jnp.float32)
+
+    # per nominal iteration: R for rep-items, ST_ITER for the honest step
+    items = {"copy": (dma_copy, R), "7pt": (k7, R), "125pt": (k125, R),
+             "honest": (honest, ST_ITER), "noex": (noex, ST_ITER)}
+    times = {k: [] for k in items}
+    bufs = {k: fresh(s) for s, k in enumerate(items)}
+    for _ in range(rounds):
+        for k, (fn, per) in items.items():
+            dt, bufs[k] = chain(fn, bufs[k], iters)
+            times[k].append(dt / per)
+    best = {k: min(v) for k, v in times.items()}
+    spread = {k: (max(v) - min(v)) / min(v) for k, v in times.items()}
+
     elems = N ** 3
-    gst = elems / dt / 1e9
-
-    # secondary headline config (BASELINE.md names both 7pt and 125pt)
-    sd125 = stencil_by_name("mpi125pt")[0]
-    fn125 = jax.jit(pallas_pencil_stencil(
-        sd125, grid, BD, (1, 1), info.nbricks, params))
-    dt125 = timeit(fn125, view, max(iters // 2, 2))
-    gst125 = elems / dt125 / 1e9
+    sol_bw = 2 * elems * 4 / best["copy"]
+    sol_gst = sol_bw / (2 * 4) / 1e9
+    gst = elems / best["7pt"] / 1e9
+    honest_iter = best["honest"]
+    noex_iter = best["noex"]
+    exch_share = max(0.0, (honest_iter - noex_iter) / honest_iter)
 
     print(json.dumps({
         "metric": "7pt_512cubed_brick_stencil",
@@ -84,13 +164,24 @@ def main():
         "unit": "GStencil/s",
         "vs_baseline": round(gst / sol_gst, 4),
         "details": {
-            "step_ms": round(dt * 1e3, 3),
+            "step_ms": round(best["7pt"] * 1e3, 3),
             "domain": N,
             "brick": list(BD),
             "sol_gstencil_s": round(sol_gst, 3),
             "sol_copy_gb_s": round(sol_bw / 1e9, 1),
-            "125pt_gstencil_s": round(gst125, 3),
-            "125pt_step_ms": round(dt125 * 1e3, 3),
+            "spread_7pt": round(spread["7pt"], 3),
+            "spread_copy": round(spread["copy"], 3),
+            "rounds": rounds,
+            "125pt_gstencil_s": round(elems / best["125pt"] / 1e9, 3),
+            "125pt_step_ms": round(best["125pt"] * 1e3, 3),
+            "125pt_vs_sol": round(best["copy"] / best["125pt"], 4),
+            "honest_exchange_config": {
+                "st_iter": ST_ITER,
+                "per_iter_ms": round(honest_iter * 1e3, 3),
+                "gstencil_s": round(elems / honest_iter / 1e9, 3),
+                "vs_sol": round((elems / honest_iter / 1e9) / sol_gst, 4),
+                "exchange_share": round(exch_share, 4),
+            },
             "backend": jax.default_backend(),
         },
     }))
