@@ -397,6 +397,9 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         def fn(dat_view):
             return call(ids, dat_view)
 
+    fn.tile_j = TJ
+    fn.vmem_bytes = vmem_estimate(TJ)
+    fn.vmem_limit_bytes = vmem_limit_bytes
     return fn
 
 

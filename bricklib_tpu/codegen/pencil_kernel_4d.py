@@ -1,0 +1,357 @@
+"""4-D pencil-brick streaming kernel (ref: weak/main-4d.cpp:36-53).
+
+Same architecture as the 3-D flagship (:mod:`.pencil_kernel`): bricks
+span the device's full innermost (i) extent, the k axis streams through
+a rolling double-buffered VMEM window, j is tiled, and i-taps are lane
+rolls.  The extra outer axis w rides along two ways that are both free
+on TPU:
+
+- within a brick, w is an outer dim of the (BW, BK, BJ, BIROW) block —
+  w-taps are outer-dim slices, costing nothing;
+- across bricks, the w-halo is a THIN outer-dim slice of the w±1
+  neighbor brick, DMA-able at any size (only the last two dims carry
+  the (8,128) tile granularity), so each window row load is 3 small
+  DMAs per j-cell instead of the 3-D path's one.
+
+The pallas grid is (w-planes, j-tiles, k-rows); each (w, j-tile) pair
+runs its own k-stream.  Windows clamp at the table edge like the 3-D
+sweep (ghost-inclusive deep-ghost semantics).
+
+The hierarchical factorization folds (dw, dk) — both free slices — into
+per-(dj, di) profiles, then j-shifts, then one lane roll per distinct
+di, exactly as in 3-D.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .evaluate import resolve_const_from_params
+from .jnp_backend import _as_ir, _np_offsets, _run
+
+W = 4  # k-window slots, as in the 3-D sweep
+
+
+def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
+                           bdims: Sequence[int],
+                           nbricks: int,
+                           params: dict | None = None,
+                           w_range: tuple[int, int] | None = None,
+                           k_range: tuple[int, int] | None = None,
+                           j_range: tuple[int, int] | None = None,
+                           tile_j: int | None = None,
+                           dtype=jnp.float32,
+                           compute_dtype=jnp.float32,
+                           interpret: bool | None = None,
+                           vmem_limit_bytes: int = 110 * 2 ** 20):
+    """Build ``fn(dat_view) -> out_view`` for 4-D pencil bricks.
+
+    ``grid``: brick-grid table, shape (GW, GK, GJ) or (GW, GK, GJ, 1);
+    ``bdims`` = (BW, BK, BJ, BIROW); ranges are half-open grid coords
+    (default: skip one ghost ring per axis).
+    """
+    ir = _as_ir(stencil)
+    params = dict(params or {})
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if ir.dims != 4:
+        raise NotImplementedError("this path is 4-D; use pencil_kernel "
+                                  "for 3-D")
+    if len(ir.sdef.inputs) != 1:
+        raise NotImplementedError(
+            "pallas paths read one input grid; multi-input stencils run "
+            "through brick_apply")
+    BW, BK, BJ, BIROW = (int(b) for b in bdims)
+    grid = np.asarray(grid)
+    if grid.ndim == 4:
+        if grid.shape[3] != 1:
+            raise ValueError("pencil layout needs one brick per (w,k,j)")
+        grid = grid[:, :, :, 0]
+    GW, GK, GJ = grid.shape
+    if w_range is None:
+        w_range = (1, GW - 1)
+    if k_range is None:
+        k_range = (1, GK - 1)
+    if j_range is None:
+        j_range = (1, GJ - 1)
+    W0, W1 = (int(x) for x in w_range)
+    K0, K1 = (int(x) for x in k_range)
+    J0, J1 = (int(x) for x in j_range)
+    WC, KC, JC = W1 - W0, K1 - K0, J1 - J0
+    lo, hi = ir.radius()   # numpy order: (w, k, j, i)
+    if lo[0] > BW or hi[0] > BW or lo[1] > BK or hi[1] > BK \
+            or lo[2] > BJ or hi[2] > BJ:
+        raise ValueError("stencil radius exceeds brick dims")
+
+    resolve = resolve_const_from_params(params)
+
+    def _roll_i(v, di):
+        return pltpu.roll(v, (-di) % BIROW, 3) if di else v
+
+    # hierarchical factorization: (dw, dk) free slices -> W[dj,di],
+    # j-shifts -> V[di], one roll per distinct di
+    lin = None
+    if ir.linear is not None:
+        C: dict = {}
+        for _key, cexpr, taps in ir.linear:
+            c = float(resolve(cexpr.name)) if hasattr(
+                cexpr, "name") else float(cexpr.val)
+            for sign, _g, offs in taps:
+                dw, dk, dj, di = offs[3], offs[2], offs[1], offs[0]
+                key = (dw, dk, dj, di)
+                C[key] = C.get(key, 0.0) + (c if sign > 0 else -c)
+        kprof: dict = {}
+        for (dw, dk, dj, di), c in C.items():
+            kprof.setdefault((dj, di), []).append(((dw, dk), c))
+        wid_of: dict = {}
+        wdefs: list = []
+        wkey_to_id: dict = {}
+        for col, terms in kprof.items():
+            by_c: dict = {}
+            for wk, c in sorted(terms):
+                by_c.setdefault(c, []).append(wk)
+            wkey = tuple(sorted((c, tuple(wks))
+                                for c, wks in by_c.items()))
+            if wkey not in wkey_to_id:
+                wkey_to_id[wkey] = len(wdefs)
+                wdefs.append(list(wkey))
+            wid_of[col] = wkey_to_id[wkey]
+        vterms: dict = {}
+        for (dj, di), wid in wid_of.items():
+            vterms.setdefault(di, []).append((dj, wid))
+        djs = [dj for (dj, _di) in wid_of]
+        jneed = (max(0, -min(djs)), max(0, max(djs)))
+        lin = (wdefs, {di: tuple(sorted(t)) for di, t in vterms.items()},
+               jneed)
+
+    # VMEM-budget j-tile (same model as 3-D, with the w extent folded in)
+    isz = np.dtype(dtype).itemsize
+    csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
+    WE = BW + lo[0] + hi[0]
+
+    def vmem_estimate(tj: int) -> int:
+        row = WE * BK * (tj + 2) * BJ * BIROW
+        est = W * row * isz + 2 * BW * BK * tj * BJ * BIROW * isz
+        est += WE * (BK + lo[1] + hi[1]) * (tj + 2) * BJ * BIROW * csz
+        if lin is not None:
+            wdefs_, vmap_, (jl, jh) = lin
+            nksum = len({tuple(wks) for terms in wdefs_
+                         for _c, wks in terms})
+            live = nksum + len(wdefs_) + len(set(vmap_.values())) + 2
+            ext = BW * BK * (tj * BJ + jl + jh) * BIROW * csz
+        else:
+            live = min(len(ir.sdef.taps), 6) + 2
+            ext = BW * BK * tj * BJ * BIROW * csz
+        return est + live * ext
+
+    if tile_j is None:
+        budget = int(0.85 * vmem_limit_bytes)
+        tile_j = 1
+        for cand in range(1, JC + 1):
+            if JC % cand == 0 and vmem_estimate(cand) <= budget:
+                tile_j = cand
+    TJ = int(tile_j)
+    if JC % TJ:
+        raise ValueError(f"tile_j {TJ} must divide computed j extent {JC}")
+    JT = JC // TJ
+    JW = TJ + 2
+
+    # window slot: w-extended center row (thin w-halo slices of the w±1
+    # bricks live alongside the full center brick)
+    row_shape = (WE, BK, JW * BJ, BIROW)
+
+    def _clip(x, n):
+        return jnp.clip(x, 0, n - 1)
+
+    def _row_copies(ids_ref, dat_ref, win, sem, wc, jt, w, slot):
+        wrow = _clip(W0 + wc, GW)
+        wlo = _clip(W0 + wc - 1, GW)
+        whi = _clip(W0 + wc + 1, GW)
+        krow = _clip(K0 - 1 + w, GK)
+        cps = []
+        for cj in range(JW):
+            jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
+            jsl = slice(cj * BJ, (cj + 1) * BJ)
+            base = (krow * GJ + jcol)
+            cps.append(pltpu.make_async_copy(
+                dat_ref.at[ids_ref[wrow * GK * GJ + base]],
+                win.at[slot, lo[0]:lo[0] + BW, :, jsl, :], sem.at[slot]))
+            if lo[0]:
+                cps.append(pltpu.make_async_copy(
+                    dat_ref.at[ids_ref[wlo * GK * GJ + base],
+                               BW - lo[0]:, :, :, :],
+                    win.at[slot, :lo[0], :, jsl, :], sem.at[slot]))
+            if hi[0]:
+                cps.append(pltpu.make_async_copy(
+                    dat_ref.at[ids_ref[whi * GK * GJ + base],
+                               :hi[0], :, :, :],
+                    win.at[slot, lo[0] + BW:, :, jsl, :], sem.at[slot]))
+        return cps
+
+    def _compute(kslab):
+        """kslab: [WE, BK+lok+hik, JW*BJ, BIROW] ->
+        [BW, BK, TJ*BJ, BIROW]."""
+        if lin is not None:
+            wdefs_, vmap_, (jlo_r, jhi_r) = lin
+            JE = TJ * BJ + jlo_r + jhi_r
+            kcache: dict = {}
+
+            def ksum(wks):
+                if wks not in kcache:
+                    v = None
+                    for dw, dk in wks:
+                        s = kslab[lo[0] + dw:lo[0] + dw + BW,
+                                  lo[1] + dk:lo[1] + dk + BK,
+                                  BJ - jlo_r:BJ - jlo_r + JE, :]
+                        v = s if v is None else v + s
+                    kcache[wks] = v
+                return kcache[wks]
+
+            Ws = []
+            for terms in wdefs_:
+                acc = None
+                for c, wks in terms:
+                    t = ksum(wks)
+                    t = t if c == 1.0 else c * t
+                    acc = t if acc is None else acc + t
+                Ws.append(acc)
+            out = None
+            vcache: dict = {}
+            for di, terms in sorted(vmap_.items()):
+                V = vcache.get(terms)
+                if V is None:
+                    for dj, wid in terms:
+                        sl = Ws[wid][:, :,
+                                     jlo_r + dj:jlo_r + dj + TJ * BJ, :]
+                        V = sl if V is None else V + sl
+                    vcache[terms] = V
+                t = _roll_i(V, di)
+                out = t if out is None else out + t
+            return out
+
+        def read_tap(_name, offs_edsl):
+            offs = _np_offsets(offs_edsl, 4)
+            v = kslab[lo[0] + offs[0]:lo[0] + offs[0] + BW,
+                      lo[1] + offs[1]:lo[1] + offs[1] + BK,
+                      BJ + offs[2]:BJ + offs[2] + TJ * BJ, :]
+            if offs[3]:
+                v = pltpu.roll(v, (-offs[3]) % BIROW, 3)
+            return v
+
+        return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
+
+    def kernel(ids_ref, dat_ref, out_ref, win, tout, sem, osem):
+        wc = pl.program_id(0)
+        jt = pl.program_id(1)
+        t = pl.program_id(2)
+
+        @pl.when(t == 0)
+        def _():
+            for w in range(min(W, KC + 2)):
+                for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
+                                      w, w % W):
+                    cp.start()
+
+        @pl.when(jnp.logical_and(t > 0, t + 3 <= KC + 1))
+        def _():
+            for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
+                                  t + 3, (t + 3) % W):
+                cp.start()
+
+        @pl.when(t == 0)
+        def _():
+            for w in range(2):
+                for cp in _row_copies(ids_ref, dat_ref, win, sem,
+                                      wc, jt, w, w % W):
+                    cp.wait()
+        for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
+                              t + 2, (t + 2) % W):
+            cp.wait()
+
+        pieces = []
+        if lo[1]:
+            pieces.append(win[t % W, :, BK - lo[1]:, :, :])
+        pieces.append(win[(t + 1) % W])
+        if hi[1]:
+            pieces.append(win[(t + 2) % W, :, :hi[1], :, :])
+        kslab = (jnp.concatenate(pieces, axis=1)
+                 if len(pieces) > 1 else pieces[0])
+        if compute_dtype != dtype:
+            kslab = kslab.astype(compute_dtype)
+
+        out_row = _compute(kslab)
+        if compute_dtype != dtype:
+            out_row = out_row.astype(dtype)
+
+        def _out_copies(tt, parity):
+            wrow = W0 + wc
+            cps = []
+            for cj in range(TJ):
+                bid = ids_ref[(wrow * GK + K0 + tt) * GJ
+                              + J0 + jt * TJ + cj]
+                cps.append(pltpu.make_async_copy(
+                    tout.at[parity, :, :, cj * BJ:(cj + 1) * BJ, :],
+                    out_ref.at[bid], osem.at[parity]))
+            return cps
+
+        @pl.when(t >= 2)
+        def _():
+            for cp in _out_copies(t - 2, t % 2):
+                cp.wait()
+
+        tout[t % 2] = out_row
+        for cp in _out_copies(t, t % 2):
+            cp.start()
+
+        @pl.when(t == KC - 1)
+        def _():
+            for tt in range(max(KC - 2, 0), KC):
+                for cp in _out_copies(tt, tt % 2):
+                    cp.wait()
+
+    nelems = WC * BW * KC * BK * JC * BJ * BIROW
+    cost = pl.CostEstimate(
+        flops=ir.flops_per_element() * nelems,
+        bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
+        transcendentals=0,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(WC, JT, KC),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((W,) + row_shape, dtype),
+            pltpu.VMEM((2, BW, BK, TJ * BJ, BIROW), dtype),
+            pltpu.SemaphoreType.DMA((W,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbricks, BW, BK, BJ, BIROW),
+                                       dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    ids = jnp.asarray(grid.ravel().astype(np.int32))
+
+    def fn(dat_view):
+        return call(ids, dat_view)
+
+    fn.tile_j = TJ
+    fn.vmem_bytes = vmem_estimate(TJ)
+    fn.vmem_limit_bytes = vmem_limit_bytes
+    return fn

@@ -48,20 +48,21 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     lo_r, hi_r = sd.radius()
     rad = max(max(lo_r), max(hi_r))
     if backend == "pencil":
-        if nd != 3 or mesh_shape[2] != 1:
-            raise ValueError("pencil backend: 3-D, i axis undistributed")
-        bdim = (bdim[0], bdim[1], dims[2])
-        gz = (bdim[0], bdim[1], 0)
+        if nd not in (3, 4) or mesh_shape[-1] != 1:
+            raise ValueError("pencil backend: 3-D or 4-D, innermost "
+                             "axis undistributed")
+        bdim = tuple(bdim[:nd - 1]) + (dims[-1],)
+        gz = tuple(bdim[:nd - 1]) + (0,)
         # deep-ghost ST_ITER bound (ref: weak/main.cpp:203-212): every
         # iteration contaminates the ghost ring radius elements deeper;
         # st_iter sweeps between exchanges stay exact in the owned
         # region iff st_iter*radius fits in the ghost depth.  Axes that
         # are table-periodic (1 device) are exact every iteration.
         if ((any(m > 1 for m in mesh_shape) or not table_periodic)
-                and st_iter * rad > min(bdim[0], bdim[1])):
+                and st_iter * rad > min(bdim[:nd - 1])):
             raise ValueError(
                 f"st_iter {st_iter} x radius {rad} exceeds ghost depth "
-                f"{min(bdim[0], bdim[1])}")
+                f"{min(bdim[:nd - 1])}")
     else:
         gz = tuple(bdim)
     dec = BrickDecomp(dims=dims, ghost_depth=gz, bdims=bdim).initialize(
@@ -126,6 +127,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     pencil_fn = pencil_ghost_fn = None
     if backend == "pencil":
         from ..codegen.pencil_kernel import pallas_pencil_sweep
+        from ..codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
 
         params = dict(DEFAULT_PARAMS)
         params["coeff"] = [0.03 * (c + 1) for c in range(27)]
@@ -134,28 +136,26 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         # The i axis never exchanges — pencil rolls are periodic in i.
         table_axes = tuple(
             a for a in range(nd)
-            if mesh_shape[a] == 1 and (table_periodic or a == 2))
+            if mesh_shape[a] == 1 and (table_periodic or a == nd - 1))
         kgrid = dec.periodic_grid(table_axes)
-        GKg, GJg = kgrid.shape[0], kgrid.shape[1]
 
         def _ranges(skip):
             # table axes compute owned rows only (their ghost cells
             # redirect to owned bricks — writing them would double-write)
-            k = (1, GKg - 1) if 0 in table_axes else (skip, GKg - skip)
-            j = (1, GJg - 1) if 1 in table_axes else (skip, GJg - skip)
-            return k, j
+            return {f"{'wkj'[a + 4 - nd]}_range":
+                    (1, kgrid.shape[a] - 1) if a in table_axes
+                    else (skip, kgrid.shape[a] - skip)
+                    for a in range(nd - 1)}
 
-        kr, jr = _ranges(1)
-        pencil_fn = pallas_pencil_sweep(
-            sd, kgrid, bdim, dec.nbricks, params,
-            k_range=kr, j_range=jr)
+        sweep = (pallas_pencil_sweep if nd == 3
+                 else pallas_pencil_sweep_4d)
+        pencil_fn = sweep(sd, kgrid, bdim, dec.nbricks, params,
+                          **_ranges(1))
         if st_iter > 1 and len(table_axes) < nd:
             # non-last iterations compute the distributed-axis ghost
             # ring too (deep-ghost mode, ref: weak/main.cpp:203-212)
-            kr0, jr0 = _ranges(0)
-            pencil_ghost_fn = pallas_pencil_sweep(
-                sd, kgrid, bdim, dec.nbricks, params,
-                k_range=kr0, j_range=jr0)
+            pencil_ghost_fn = sweep(sd, kgrid, bdim, dec.nbricks,
+                                    params, **_ranges(0))
 
     def step(d):
         if pencil_fn is not None:

@@ -1,0 +1,48 @@
+"""4-D pencil streaming kernel vs dense twin + distributed driver
+(ref: weak/main-4d.cpp:36-53)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bricklib_tpu.codegen import dense_apply
+from bricklib_tpu.codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
+from bricklib_tpu.core import (compare_arrays, from_bricks, init_grid,
+                               random_array, to_bricks)
+from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
+
+pytestmark = pytest.mark.slow
+
+BD = (2, 2, 4, 16)
+G = (4, 5, 4, 1)
+
+
+def test_pencil_4d_matches_dense_periodic():
+    grid, info = init_grid(G)
+    WI, KI, JI = (g - 2 for g in G[:3])
+    core = random_array((WI * BD[0], KI * BD[1], JI * BD[2], BD[3]),
+                        np.float32, 9)
+    ext = np.pad(core, ((BD[0], BD[0]), (BD[1], BD[1]), (BD[2], BD[2]),
+                        (0, 0)), mode="wrap")
+    view = jnp.asarray(to_bricks(ext, grid, BD).reshape((-1,) + BD))
+    sd = stencil_by_name("mpi9pt")[0]
+    fn = pallas_pencil_sweep_4d(sd, grid, BD, info.nbricks,
+                                DEFAULT_PARAMS, interpret=True)
+    out = np.asarray(fn(view))
+    lo, hi = sd.radius()
+    corep = np.pad(core, [(l, h) for l, h in zip(lo, hi)], mode="wrap")
+    want = dense_apply(sd, {next(iter(sd.inputs)): corep},
+                       DEFAULT_PARAMS, xp=np)
+    got = from_bricks(out, grid[1:-1, 1:-1, 1:-1], BD)
+    assert compare_arrays(got, want, 1e-5)
+
+
+def test_weak_driver_4d_pencil_distributed():
+    """4-D pencil on a (2,1,1,1) mesh with deep-ghost ST_ITER=2,
+    validated against the array twin inside the driver."""
+    from bricklib_tpu.drivers import weak
+
+    weak.run(dims=(4, 4, 8, 16), bdim=(2, 2, 4, 16), stencil="mpi9pt",
+             st_iter=2, mesh_shape=(2, 1, 1, 1), iters=1, validate=True,
+             backend="pencil")
