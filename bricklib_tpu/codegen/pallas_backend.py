@@ -92,148 +92,273 @@ def choose_tile(interior_cells: Sequence[int], bdims: Sequence[int],
     return tuple(out)
 
 
+W = 4  # rolling-window slots, as in the pencil sweep
+
+
 def pallas_brick_stencil(stencil, grid: np.ndarray, bdims: Sequence[int],
                          ghost_bricks: Sequence[int], nbricks: int,
                          params: dict | None = None,
                          tile: Sequence[int] | None = None,
+                         tile_j: int | None = None,
                          dtype=jnp.float32,
+                         compute_dtype=jnp.float32,
                          interpret: bool | None = None,
-                         vmem_limit_bytes: int = 100 * 2 ** 20):
-    """Build a jittable ``fn(dat_in_view) -> dat_out_view`` brick stencil.
+                         vmem_limit_bytes: int = 110 * 2 ** 20):
+    """Streaming brick stencil for distributed-i layouts (BI-brick folds,
+    canonically (8, 8, 128)).
 
-    - ``grid``: i32 brick-grid table (grid coords → storage brick index),
-      covering interior+skin+ghost cells like the reference's
-      ``bDecomp[k][j][i]`` accessor (include/brick-mpi.h:49-75).
-    - ``bdims``: brick shape (outermost first).  Pallas path requires the
-      last dim to be a multiple of 128 and the middle a multiple of 8
-      for float32 (the canonical TPU fold); other folds use the jnp path.
-    - ``ghost_bricks``: ghost depth per axis in bricks; output is computed
-      for interior (non-ghost) bricks only, like the drivers' GB-trimmed
-      loops (stencils/3axis.cpp:51-56).
+    Same architecture as the pencil flagship (pencil_kernel.py): the k
+    axis streams through a 4-slot rolling double-buffered VMEM window so
+    every brick row is read from HBM exactly once per sweep (no k-halo
+    re-reads), j is tiled, and the FULL i extent — including the i-ghost
+    bricks — is assembled contiguously along the lane axis per row, so
+    i-taps are static lane-offset slices (no rolls: the assembled halo
+    plays the reference's dev_shl funnel-shift role, dev_shl.h:11-64).
+
+    - ``grid``: i32 brick-grid table (GK, GJ, GI), interior+skin+ghost
+      like the reference's ``bDecomp[k][j][i]`` (brick-mpi.h:49-75);
+    - ``ghost_bricks``: per-axis ghost depth in bricks (one ring);
+      output covers interior bricks (GB-trimmed, stencils/3axis.cpp:51-56);
     - views are ``[nbricks, *bdims]`` reshapes of storage fields.
     """
     ir = _as_ir(stencil)
     params = dict(params or {})
     if interpret is None:
         interpret = _default_interpret()
-
-    dims = ir.dims
-    if dims != 3:
+    if ir.dims != 3:
         raise NotImplementedError("pallas brick path is 3-D for now; "
                                   "use brick_apply for other ranks")
     if len(ir.sdef.inputs) != 1:
         raise NotImplementedError(
             "pallas paths read one input grid; multi-input stencils run "
             "through brick_apply")
-    bdims = tuple(int(b) for b in bdims)
-    BK, BJ, BI = bdims
-    gshape = grid.shape
+    BK, BJ, BI = (int(b) for b in bdims)
+    grid = np.asarray(grid)
+    GK, GJ, GI = grid.shape
     gz = tuple(int(g) for g in ghost_bricks)
     lo, hi = ir.radius()
-    for a in range(dims):
-        if lo[a] > bdims[a] or hi[a] > bdims[a]:
+    for a in range(3):
+        if lo[a] > (BK, BJ, BI)[a] or hi[a] > (BK, BJ, BI)[a]:
             raise ValueError("stencil radius exceeds brick dim")
 
-    interior = tuple(gshape[a] - 2 * gz[a] for a in range(dims))
-    if tile is None:
-        tile = choose_tile(interior[:2], bdims[:2])
-    TK, TJ = (int(t) for t in tile)
-    if interior[0] % TK or interior[1] % TJ:
-        raise ValueError(f"tile {tile} must divide interior {interior[:2]}")
-    NI = interior[2]
+    K0, K1 = gz[0], GK - gz[0]
+    J0, J1 = gz[1], GJ - gz[1]
+    I0 = gz[2]
+    KC, JC = K1 - K0, J1 - J0
+    NI = GI - 2 * gz[2]
+    IW = NI * BI                   # written i extent (elements)
+    ilo_r, ihi_r = lo[2], hi[2]
 
-    # Halo-extended tile extents.  DMA slices must be whole (8,128) tiles
-    # in the VMEM (sublane, lane) = (j, i) axes, so j/i halos are full
-    # bricks; only the k-axis halo is a thin slab clipped to the stencil
-    # radius (outer dims slice freely).
-    halo_lo = (lo[0], BJ, BI)
-    halo_hi = (hi[0], BJ, BI)
-    EK = TK * BK + lo[0] + hi[0]
-    EJ = (TJ + 2) * BJ
-    EI = (NI + 2) * BI
-    out_extent = (TK * BK, TJ * BJ, NI * BI)
-    # output is computed and written back one j brick-row at a time to
-    # halve VMEM pressure (tout holds a single row chunk)
-    chunk_extent = (TK * BK, BJ, NI * BI)
+    from .evaluate import resolve_const_from_params as _res
+    resolve = _res(params)
 
-    # grid table padded with one ring of garbage brick 0 so halo reads
-    # beyond the table are well-defined; flattened because SMEM pads the
-    # trailing dim of multi-D scalar-prefetch arrays to 128 lanes
-    gridp = np.zeros(tuple(s + 2 for s in gshape), dtype=np.int32)
-    gridp[1:-1, 1:-1, 1:-1] = grid
-    GJP, GIP = gridp.shape[1], gridp.shape[2]
+    # hierarchical factorization, i handled like j (slices of the
+    # assembled row instead of lane rolls) — see pencil_kernel.py
+    lin = None
+    if ir.linear is not None:
+        C: dict = {}
+        for _key, cexpr, taps in ir.linear:
+            c = float(resolve(cexpr.name)) if hasattr(
+                cexpr, "name") else float(cexpr.val)
+            for sign, _g, offs in taps:
+                dk, dj, di = offs[2], offs[1], offs[0]
+                C[(dk, dj, di)] = C.get((dk, dj, di), 0.0) + (
+                    c if sign > 0 else -c)
+        kprof: dict = {}
+        for (dk, dj, di), c in C.items():
+            kprof.setdefault((dj, di), []).append((dk, c))
+        wid_of: dict = {}
+        wdefs: list = []
+        wkey_to_id: dict = {}
+        for col, terms in kprof.items():
+            by_c: dict = {}
+            for dk, c in sorted(terms):
+                by_c.setdefault(c, []).append(dk)
+            wkey = tuple(sorted((c, tuple(dks))
+                                for c, dks in by_c.items()))
+            if wkey not in wkey_to_id:
+                wkey_to_id[wkey] = len(wdefs)
+                wdefs.append(list(wkey))
+            wid_of[col] = wkey_to_id[wkey]
+        vterms: dict = {}
+        for (dj, di), wid in wid_of.items():
+            vterms.setdefault(di, []).append((dj, wid))
+        djs = [dj for (dj, _di) in wid_of]
+        jneed = (max(0, -min(djs)), max(0, max(djs)))
+        lin = (wdefs, {di: tuple(sorted(t)) for di, t in vterms.items()},
+               jneed)
 
-    cells = (TK + 2, TJ + 2, NI + 2)
+    isz = np.dtype(dtype).itemsize
+    csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
+    RI = GI * BI                  # assembled row i extent
 
-    def borig(a, c):
-        # element origin of window cell c in tile coords (cell 0 = low halo)
-        return bdims[a] * (c - 1) + halo_lo[a]
+    def vmem_estimate(tj: int) -> int:
+        row = BK * (tj + 2) * BJ * RI
+        est = W * row * isz + 2 * BK * tj * BJ * IW * isz
+        est += (BK + lo[0] + hi[0]) * (tj + 2) * BJ * RI * csz  # kslab
+        if lin is not None:
+            wdefs_, vmap_, (jl, jh) = lin
+            nksum = len({dks for terms in wdefs_ for _c, dks in terms})
+            live = nksum + len(wdefs_) + len(set(vmap_.values())) + 2
+            ext = BK * (tj * BJ + jl + jh) * (IW + ilo_r + ihi_r) * csz
+        else:
+            live = min(len(ir.sdef.taps), 6) + 2
+            ext = BK * tj * BJ * IW * csz
+        return est + live * ext
 
-    def kernel(ids_ref, dat_ref, out_ref, tin, tout, sem):
-        a = pl.program_id(0)
-        b = pl.program_id(1)
-        # padded-grid coord of window cell 0 per axis
-        p0 = (gz[0] + a * TK, gz[1] + b * TJ, gz[2])
+    if tile_j is None and tile is not None:
+        tile_j = int(tile[-1])     # legacy (TK, TJ) tuples: TK is moot
+    if tile_j is None:
+        budget = int(0.85 * vmem_limit_bytes)
+        tile_j = 1
+        for cand in range(1, JC + 1):
+            if JC % cand == 0 and vmem_estimate(cand) <= budget:
+                tile_j = cand
+    TJ = int(tile_j)
+    if JC % TJ:
+        raise ValueError(f"tile_j {TJ} must divide interior j {JC}")
+    JT = JC // TJ
+    JW = TJ + 2
 
-        def bid_at(ck, cj, ci):
-            return ids_ref[((p0[0] + ck) * GJP + p0[1] + cj) * GIP
-                           + p0[2] + ci]
+    row_shape = (BK, JW * BJ, RI)
 
-        # -- assemble halo window ---------------------------------------
-        copies = []
-        for ck in range(cells[0]):
-            for cj in range(cells[1]):
-                for ci in range(cells[2]):
-                    src, dst = [], []
-                    skip = False
-                    for ax, c in zip(range(3), (ck, cj, ci)):
-                        o = borig(ax, c)
-                        if ax != 0:
-                            # sublane/lane axes: whole bricks (tile-aligned)
-                            dst.append(slice(o, o + bdims[ax]))
-                            src.append(slice(0, bdims[ax]))
-                            continue
-                        s0 = max(o, 0)
-                        s1 = min(o + bdims[ax], EK)
-                        if s1 <= s0:
-                            skip = True
-                            break
-                        dst.append(slice(s0, s1))
-                        src.append(slice(s0 - o, s1 - o))
-                    if skip:
-                        continue
-                    bid = bid_at(ck, cj, ci)
-                    cp = pltpu.make_async_copy(
-                        dat_ref.at[(bid,) + tuple(src)],
-                        tin.at[tuple(dst)], sem)
+    def _clip(x, n):
+        return jnp.clip(x, 0, n - 1)
+
+    def _row_copies(ids_ref, dat_ref, win, sem, jt, w, slot):
+        krow = _clip(K0 - 1 + w, GK)
+        cps = []
+        for cj in range(JW):
+            jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
+            for ci in range(GI):
+                bid = ids_ref[(krow * GJ + jcol) * GI + ci]
+                cps.append(pltpu.make_async_copy(
+                    dat_ref.at[bid],
+                    win.at[slot, :, cj * BJ:(cj + 1) * BJ,
+                           ci * BI:(ci + 1) * BI],
+                    sem.at[slot]))
+        return cps
+
+    ibase = I0 * BI
+
+    def _compute(kslab):
+        """kslab: [BK+lok+hik, JW*BJ, RI] -> [BK, TJ*BJ, IW]."""
+        if lin is not None:
+            wdefs_, vmap_, (jlo_r, jhi_r) = lin
+            JE = TJ * BJ + jlo_r + jhi_r
+            IE = IW + ilo_r + ihi_r
+            kcache: dict = {}
+
+            def ksum(dks):
+                if dks not in kcache:
+                    v = None
+                    for dk in dks:
+                        s = kslab[lo[0] + dk:lo[0] + dk + BK,
+                                  BJ - jlo_r:BJ - jlo_r + JE,
+                                  ibase - ilo_r:ibase - ilo_r + IE]
+                        v = s if v is None else v + s
+                    kcache[dks] = v
+                return kcache[dks]
+
+            Ws = []
+            for terms in wdefs_:
+                acc = None
+                for c, dks in terms:
+                    t = ksum(dks)
+                    t = t if c == 1.0 else c * t
+                    acc = t if acc is None else acc + t
+                Ws.append(acc)
+            out = None
+            vcache: dict = {}
+            for di, terms in sorted(vmap_.items()):
+                V = vcache.get(terms)
+                if V is None:
+                    for dj, wid in terms:
+                        sl = Ws[wid][:, jlo_r + dj:jlo_r + dj + TJ * BJ, :]
+                        V = sl if V is None else V + sl
+                    vcache[terms] = V
+                t = V[:, :, ilo_r + di:ilo_r + di + IW]
+                out = t if out is None else out + t
+            return out
+
+        def read_tap(_name, offs_edsl):
+            offs = _np_offsets(offs_edsl, 3)
+            return kslab[lo[0] + offs[0]:lo[0] + offs[0] + BK,
+                         BJ + offs[1]:BJ + offs[1] + TJ * BJ,
+                         ibase + offs[2]:ibase + offs[2] + IW]
+
+        return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
+
+    def kernel(ids_ref, dat_ref, out_ref, win, tout, sem, osem):
+        jt = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            for w in range(min(W, KC + 2)):
+                for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+                                      w, w % W):
                     cp.start()
-                    copies.append(cp)
-        for cp in copies:
+
+        @pl.when(jnp.logical_and(t > 0, t + 3 <= KC + 1))
+        def _():
+            for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+                                  t + 3, (t + 3) % W):
+                cp.start()
+
+        @pl.when(t == 0)
+        def _():
+            for w in range(2):
+                for cp in _row_copies(ids_ref, dat_ref, win, sem,
+                                      jt, w, w % W):
+                    cp.wait()
+        for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+                              t + 2, (t + 2) % W):
             cp.wait()
 
-        # -- compute + scatter, one j brick-row at a time ------------------
-        tile_val = tin[...]
-        prev = []
-        for cj in range(TJ):
-            base = (lo[0], (1 + cj) * BJ, BI)
-            chunk = _tile_compute(ir, params, tile_val, base, chunk_extent)
-            for cp in prev:  # previous row's writes must land before reuse
-                cp.wait()
-            prev = []
-            tout[...] = chunk
-            for ck in range(TK):
+        pieces = []
+        if lo[0]:
+            pieces.append(win[t % W, BK - lo[0]:, :, :])
+        pieces.append(win[(t + 1) % W])
+        if hi[0]:
+            pieces.append(win[(t + 2) % W, :hi[0], :, :])
+        kslab = (jnp.concatenate(pieces, axis=0)
+                 if len(pieces) > 1 else pieces[0])
+        if compute_dtype != dtype:
+            kslab = kslab.astype(compute_dtype)
+
+        out_row = _compute(kslab)
+        if compute_dtype != dtype:
+            out_row = out_row.astype(dtype)
+
+        def _out_copies(tt, parity):
+            cps = []
+            for cj in range(TJ):
                 for ci in range(NI):
-                    bid = bid_at(1 + ck, 1 + cj, 1 + ci)
-                    cp = pltpu.make_async_copy(
-                        tout.at[ck * BK:(ck + 1) * BK, :,
+                    bid = ids_ref[((K0 + tt) * GJ + J0 + jt * TJ + cj)
+                                  * GI + I0 + ci]
+                    cps.append(pltpu.make_async_copy(
+                        tout.at[parity, :, cj * BJ:(cj + 1) * BJ,
                                 ci * BI:(ci + 1) * BI],
-                        out_ref.at[bid], sem)
-                    cp.start()
-                    prev.append(cp)
-        for cp in prev:
-            cp.wait()
+                        out_ref.at[bid], osem.at[parity]))
+            return cps
 
-    nelems = int(np.prod(interior)) * BK * BJ * BI
+        @pl.when(t >= 2)
+        def _():
+            for cp in _out_copies(t - 2, t % 2):
+                cp.wait()
+
+        tout[t % 2] = out_row
+        for cp in _out_copies(t, t % 2):
+            cp.start()
+
+        @pl.when(t == KC - 1)
+        def _():
+            for tt in range(max(KC - 2, 0), KC):
+                for cp in _out_copies(tt, tt % 2):
+                    cp.wait()
+
+    nelems = KC * BK * JC * BJ * IW
     cost = pl.CostEstimate(
         flops=ir.flops_per_element() * nelems,
         bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
@@ -241,13 +366,14 @@ def pallas_brick_stencil(stencil, grid: np.ndarray, bdims: Sequence[int],
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(interior[0] // TK, interior[1] // TJ),
+        grid=(JT, KC),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((EK, EJ, EI), dtype),
-            pltpu.VMEM(chunk_extent, dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((W,) + row_shape, dtype),
+            pltpu.VMEM((2, BK, TJ * BJ, IW), dtype),
+            pltpu.SemaphoreType.DMA((W,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     call = pl.pallas_call(
@@ -261,11 +387,14 @@ def pallas_brick_stencil(stencil, grid: np.ndarray, bdims: Sequence[int],
         cost_estimate=cost,
         interpret=interpret,
     )
-    ids = jnp.asarray(gridp.ravel())
+    ids = jnp.asarray(grid.ravel().astype(np.int32))
 
     def fn(dat_in_view):
         return call(ids, dat_in_view)
 
+    fn.tile_j = TJ
+    fn.vmem_bytes = vmem_estimate(TJ)
+    fn.vmem_limit_bytes = vmem_limit_bytes
     return fn
 
 
