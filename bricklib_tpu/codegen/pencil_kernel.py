@@ -65,9 +65,18 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         compute_dtype=jnp.float32,
                         interpret: bool | None = None,
                         inplace: bool = False,
+                        batch: int = 1,
+                        batch_stride: int | None = None,
                         vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build a pencil sweep over grid rows ``k_range`` x pencils
     ``j_range`` (half-open, grid coords).
+
+    ``batch`` > 1 sweeps ``batch`` identical subdomains whose storage is
+    stacked along the brick axis with ``batch_stride`` bricks per
+    subdomain (the strong-scaling two-level layout,
+    ref: strong/main.cpp:37-50): the same grid table serves every
+    subdomain with a per-subdomain brick offset, and each (sub, j-tile)
+    runs its own clamped k-stream.
 
     Returns ``fn(dat_view) -> out_view`` or, with ``inplace=True``,
     ``fn(dat_view, out_prev) -> out_view`` where the output buffer is
@@ -111,6 +120,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         raise ValueError(f"range k{k_range} j{j_range} outside grid "
                          f"({GK}, {GJ})")
     KC, JC = K1 - K0, J1 - J0
+    batch = int(batch)
+    if batch > 1 and batch_stride is None:
+        raise ValueError("batch > 1 needs batch_stride (bricks per "
+                         "subdomain)")
     lo, hi = ir.radius()
     if lo[0] > BK or hi[0] > BK or lo[1] > BJ or hi[1] > BJ:
         raise ValueError("stencil radius exceeds brick dims")
@@ -207,14 +220,15 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     def _clip(x, n):
         return jnp.clip(x, 0, n - 1)
 
-    def _row_copies(ids_ref, dat_ref, win, sem, jt, w, slot):
+    def _row_copies(ids_ref, dat_ref, win, sem, sb, jt, w, slot):
         """Copy descriptors loading window row w (rolling index; absolute
-        grid row K0 - 1 + w, edge-clamped) for j-tile jt."""
+        grid row K0 - 1 + w, edge-clamped) for j-tile jt of batch sub
+        sb."""
         krow = _clip(K0 - 1 + w, GK)
         cps = []
         for cj in range(JW):
             jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
-            bid = ids_ref[krow * GJ + jcol]
+            bid = ids_ref[sb * (GK * GJ) + krow * GJ + jcol]
             cps.append(pltpu.make_async_copy(
                 dat_ref.at[bid],
                 win.at[slot, :, cj * BJ:(cj + 1) * BJ, :],
@@ -277,22 +291,23 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 _prev_ref, out_ref, win, tout, sem, osem = rest
             else:
                 out_ref, win, tout, sem, osem = rest
-            jt = pl.program_id(0)
-            t = pl.program_id(1)
+            sb = pl.program_id(0)   # subdomain in the batch
+            jt = pl.program_id(1)
+            t = pl.program_id(2)
 
             # startup for this j-tile: window rows 0..3 (fills all slots)
             @pl.when(t == 0)
             def _():
                 for w in range(min(W, KC + 2)):
-                    for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
-                                          w, w % W):
+                    for cp in _row_copies(ids_ref, dat_ref, win, sem, sb,
+                                          jt, w, w % W):
                         cp.start()
 
             # prefetch window row t+3 into slot (t+3)%W (it held row t-1,
             # consumed)
             @pl.when(jnp.logical_and(t > 0, t + 3 <= KC + 1))
             def _():
-                for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+                for cp in _row_copies(ids_ref, dat_ref, win, sem, sb, jt,
                                       t + 3, (t + 3) % W):
                     cp.start()
 
@@ -301,10 +316,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             def _():
                 for w in range(2):
                     for cp in _row_copies(ids_ref, dat_ref, win, sem,
-                                          jt, w, w % W):
+                                          sb, jt, w, w % W):
                         cp.wait()
             # wait row t+2 (issued at startup or by step t-1's prefetch)
-            for cp in _row_copies(ids_ref, dat_ref, win, sem, jt,
+            for cp in _row_copies(ids_ref, dat_ref, win, sem, sb, jt,
                                   t + 2, (t + 2) % W):
                 cp.wait()
 
@@ -327,7 +342,8 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             def _out_copies(tt, parity):
                 cps = []
                 for cj in range(TJ):
-                    bid = ids_ref[(K0 + tt) * GJ + J0 + jt * TJ + cj]
+                    bid = ids_ref[sb * (GK * GJ) + (K0 + tt) * GJ
+                                  + J0 + jt * TJ + cj]
                     cps.append(pltpu.make_async_copy(
                         tout.at[parity, :, cj * BJ:(cj + 1) * BJ, :],
                         out_ref.at[bid], osem.at[parity]))
@@ -352,7 +368,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
         return kernel
 
-    nelems = KC * BK * JC * BJ * BIROW
+    nelems = batch * KC * BK * JC * BJ * BIROW
     cost = pl.CostEstimate(
         flops=ir.flops_per_element() * nelems,
         bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
@@ -363,7 +379,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(JT, KC),
+        grid=(batch, JT, KC),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -381,14 +397,18 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbricks, BK, BJ, BIROW), dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * 3,
             vmem_limit_bytes=vmem_limit_bytes,
         ),
         cost_estimate=cost,
         interpret=interpret,
         **alias,
     )
-    ids = jnp.asarray(grid.ravel().astype(np.int32))
+    flat = grid.ravel().astype(np.int32)
+    if batch > 1:
+        flat = np.concatenate([flat + s * int(batch_stride)
+                               for s in range(batch)])
+    ids = jnp.asarray(flat)
 
     if inplace:
         def fn(dat_view, out_prev):

@@ -130,51 +130,137 @@ class StrongDecomp:
                 np.array(recv_order, dtype=np.int64))
 
 
+def _stage_copy(flat, local_ivs, recv, recv_ivs, interpret):
+    """One exchange stage as in-place DMAs on the flattened brick rows.
+
+    ``local_ivs``: row intervals copied within the buffer (the TPU form
+    of the reference's same-rank mmap links, strong/main.cpp:204-213);
+    ``recv``/``recv_ivs``: the ppermuted face sections scattered into
+    ghost intervals.  Writes (ghost) and reads (skin/recv) are disjoint
+    within a stage, so all copies run concurrently.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not local_ivs and not recv_ivs:
+        return flat
+    shape = flat.shape
+    dma_ok = (interpret or (len(shape) >= 3 and shape[-1] % 128 == 0
+                            and shape[-2] % 8 == 0))
+    if not dma_ok:
+        # non-canonical folds: XLA slice updates (tests / small shapes)
+        for d0, d1, s0, s1 in local_ivs:
+            flat = flat.at[d0:d1].set(flat[s0:s1])
+        for d0, d1, r0, r1 in recv_ivs:
+            flat = flat.at[d0:d1].set(recv[r0:r1])
+        return flat
+
+    have_recv = recv is not None and len(recv_ivs) > 0
+
+    def kernel(*refs):
+        if have_recv:
+            _dat_ref, recv_ref, out_ref, sem = refs
+        else:
+            _dat_ref, out_ref, sem = refs
+        cps = []
+        for d0, d1, s0, s1 in local_ivs:
+            cp = pltpu.make_async_copy(out_ref.at[s0:s1],
+                                       out_ref.at[d0:d1], sem)
+            cp.start()
+            cps.append(cp)
+        if have_recv:
+            for d0, d1, r0, r1 in recv_ivs:
+                cp = pltpu.make_async_copy(recv_ref.at[r0:r1],
+                                           out_ref.at[d0:d1], sem)
+                cp.start()
+                cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    ins = [flat] + ([recv] if have_recv else [])
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ins),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(shape, flat.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*ins)
+
+
 def exchange_strong_shift(batch, plan: StrongDecomp,
                           axis_names: tuple[str, ...],
-                          axis_order: "list[int] | None" = None):
+                          axis_order: "list[int] | None" = None,
+                          interpret: bool | None = None):
     """SHIFT exchange over the two-level decomposition.
 
-    ``batch``: per-device ``[nsub_local, nbricks, step]``.
+    ``batch``: per-device ``[nsub_local, nbricks, ...]``.  Intra-device
+    neighbor links move as in-place row DMAs (no full-batch
+    gather/scatter); cross-device links gather ONLY the face subdomains'
+    stage sections, ppermute them, and DMA-scatter into ghost rows —
+    the analog of the reference's per-peer coalesced views
+    (strong/main.cpp:288-320), with corner forwarding across stages.
     """
+    import jax
     import jax.numpy as jnp
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     sdec = plan.sdec
     order, stages = sdec.stage_sections(axis_order)
     mesh_shape = plan.mesh_shape
+    nsub = plan.nsub_local
+    nb = sdec.nbricks
+    shape0 = batch.shape
+    flat = batch.reshape((nsub * nb,) + shape0[2:])
     for s, ax in enumerate(order):
         for sign in (+1, -1):
             pairs = stages[s][sign]
             if not pairs:
                 continue
+            from .exchange import _merge_intervals
+            ivs = _merge_intervals(pairs)
             rows, remote, send_rows, recv_rows = plan.neighbor_rows(
                 ax, sign)
-            src_idx = np.concatenate(
-                [np.arange(src.pos, src.pos + src.len)
-                 for _d, src in pairs]).astype(np.int32)
-            dst_idx = np.concatenate(
-                [np.arange(dst.pos, dst.pos + dst.len)
-                 for dst, _s in pairs]).astype(np.int32)
 
+            local_ivs = []
+            for r in range(nsub):
+                if remote[r]:
+                    continue
+                nr = int(rows[r])
+                for d0, d1, s0, s1 in ivs:
+                    local_ivs.append((r * nb + d0, r * nb + d1,
+                                      nr * nb + s0, nr * nb + s1))
+
+            recv_buf = None
+            recv_ivs = []
             nface = len(send_rows)
             if nface:
-                recv = batch[send_rows][:, src_idx]
+                src_idx = np.concatenate(
+                    [np.arange(s0, s1) for _d0, _d1, s0, s1 in ivs]
+                ).astype(np.int32)
+                gather = (send_rows[:, None] * nb
+                          + src_idx[None, :]).ravel()
+                send = flat[jnp.asarray(gather)]
                 if mesh_shape[ax] > 1:
                     perm = [((r + sign) % mesh_shape[ax], r)
                             for r in range(mesh_shape[ax])]
-                    recv = lax.ppermute(recv, axis_names[ax], perm)
-                # virtual rows: received sections scattered into zero
-                # rows so local and remote neighbors index uniformly
-                nb, step = batch.shape[1], batch.shape[2]
-                virt = jnp.zeros((nface, nb, step), batch.dtype)
-                virt = virt.at[:, src_idx].set(recv)
-                ext = jnp.concatenate([batch, virt], axis=0)
-                rows_ext = rows.copy()
-                rows_ext[recv_rows] = plan.nsub_local + np.arange(nface)
-            else:
-                ext = batch
-                rows_ext = rows
+                    send = lax.ppermute(send, axis_names[ax], perm)
+                recv_buf = send
+                nsec = len(src_idx)
+                for f, r in enumerate(recv_rows):
+                    pos = 0
+                    for d0, d1, _s0, _s1 in ivs:
+                        ln = d1 - d0
+                        recv_ivs.append((r * nb + d0, r * nb + d1,
+                                         f * nsec + pos,
+                                         f * nsec + pos + ln))
+                        pos += ln
 
-            src_rows = ext[jnp.asarray(rows_ext)]
-            batch = batch.at[:, dst_idx].set(src_rows[:, src_idx])
-    return batch
+            flat = _stage_copy(flat, local_ivs, recv_buf, recv_ivs,
+                               interpret)
+    return flat.reshape(shape0)

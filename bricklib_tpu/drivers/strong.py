@@ -1,7 +1,14 @@
 """Strong-scaling driver: fixed global domain over a growing mesh via
 the two-level decomposition (ref: strong/main.cpp:73-482,
 strong/args.cpp:16-26; CLI -d global domain, -s subdomain, -I
-iterations, -v validate)."""
+iterations, -v validate).
+
+Backends: "pencil" (Pallas fast path — subdomains keep the full global
+i extent so i stays table-periodic via lane rolls and only k/j
+exchange; the batched sweep runs all local subdomains in one kernel) or
+"jnp" (oracle executor, any subdomain shape).  "auto" picks pencil when
+eligible.
+"""
 
 from __future__ import annotations
 
@@ -12,7 +19,7 @@ import numpy as np
 
 def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
         stencil="mpi7pt", st_iter=1, mesh_shape=(2, 1, 1), iters=25,
-        validate=False):
+        validate=False, backend="auto"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -25,12 +32,26 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
     from ..core import compare_arrays, from_bricks, random_array, to_bricks
     from ..stencils import DEFAULT_PARAMS, stencil_by_name
 
-    gz = tuple(bdim)
+    sd = stencil_by_name(stencil)[0]
+    gname = next(iter(sd.inputs))
+    lo, hi = sd.radius()
+    rad = max(max(lo), max(hi))
+    if backend == "auto":
+        backend = ("pencil" if sdom[2] == dom[2] and mesh_shape[2] == 1
+                   else "jnp")
+    if backend == "pencil":
+        if sdom[2] != dom[2] or mesh_shape[2] != 1:
+            raise ValueError("pencil strong path needs the i axis "
+                             "unsplit: sdom[2] == dom[2], mesh[2] == 1")
+        bdim = (bdim[0], bdim[1], sdom[2])
+        gz = (bdim[0], bdim[1], 0)
+        if st_iter * rad > min(bdim[0], bdim[1]):
+            raise ValueError("st_iter x radius exceeds ghost depth")
+    else:
+        gz = tuple(bdim)
     plan = StrongDecomp(dom=dom, sdom=sdom, mesh_shape=mesh_shape,
                         bdims=bdim, ghost_depth=gz).initialize(skin3d_good)
     sdec = plan.sdec
-    sd = stencil_by_name(stencil)[0]
-    gname = next(iter(sd.inputs))
     adj = jnp.asarray(sdec.info.adj)
     mesh = make_domain_mesh(mesh_shape)
     names = mesh.axis_names
@@ -38,8 +59,10 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
 
     g = random_array(dom, np.float32, seed=4)
     nloc = plan.nsub_local
-    stacked = np.zeros(mesh_shape + (nloc, sdec.nbricks,
-                                     int(np.prod(bdim))), np.float32)
+    nb = sdec.nbricks
+    # kernel-native 5-D storage end-to-end: reshapes that split the
+    # tiled trailing dims around a pallas call materialize copies
+    stacked = np.zeros(mesh_shape + (nloc, nb) + tuple(bdim), np.float32)
     for c in np.ndindex(*mesh_shape):
         for row in range(nloc):
             lc = plan.sub_order[row]
@@ -48,19 +71,41 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
             idx = [(np.arange(base[a] * sdom[a] - gz[a],
                               base[a] * sdom[a] + sdom[a] + gz[a])
                     % dom[a]) for a in range(3)]
-            dat = np.zeros((sdec.nbricks, int(np.prod(bdim))), np.float32)
+            dat = np.zeros((nb, int(np.prod(bdim))), np.float32)
             to_bricks(g[np.ix_(*idx)], sdec.grid, bdim, dat=dat)
             dat[sdec.sep_pos[1]:] = 0
-            stacked[c + (row,)] = dat
+            stacked[c + (row,)] = dat.reshape((nb,) + tuple(bdim))
+
+    sweep_skip = sweep_ghost = None
+    if backend == "pencil":
+        from ..codegen.pencil_kernel import pallas_pencil_sweep
+
+        kgrid = sdec.periodic_grid((2,))
+        GKs, GJs = kgrid.shape[0], kgrid.shape[1]
+        sweep_skip = pallas_pencil_sweep(
+            sd, kgrid, bdim, nloc * nb, DEFAULT_PARAMS,
+            batch=nloc, batch_stride=nb)
+        if st_iter > 1:
+            sweep_ghost = pallas_pencil_sweep(
+                sd, kgrid, bdim, nloc * nb, DEFAULT_PARAMS,
+                k_range=(0, GKs), j_range=(0, GJs),
+                batch=nloc, batch_stride=nb)
 
     def step(batch):
         x = batch[(0,) * len(mesh_shape)]
         x = exchange_strong_shift(x, plan, names)
-        for _ in range(st_iter):
-            view = x.reshape(x.shape[0], -1, *bdim)
-            out = jax.vmap(lambda v: brick_apply(
-                sd, {gname: v}, adj, DEFAULT_PARAMS))(view)
-            x = out.reshape(x.shape)
+        if sweep_skip is not None:
+            flat = x.reshape((nloc * nb,) + tuple(bdim))
+            for it in range(st_iter):
+                last = it == st_iter - 1
+                flat = (sweep_skip if (last or sweep_ghost is None)
+                        else sweep_ghost)(flat)
+            x = flat.reshape(x.shape)
+        else:
+            for it in range(st_iter):
+                out = jax.vmap(lambda v: brick_apply(
+                    sd, {gname: v}, adj, DEFAULT_PARAMS))(x)
+                x = out
         return x[(None,) * len(mesh_shape)]
 
     sharded = jax.device_put(jnp.asarray(stacked),
@@ -68,13 +113,14 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
     step_j = jax.jit(shard_map(step, mesh, P_, P_), donate_argnums=0)
 
     if validate:
-        assert st_iter == 1, "validate with -I 1"
         out = np.asarray(step_j(jnp.copy(sharded)))
         # pad by the stencil's own radius so the dense twin lines up for
         # every corpus stencil (radius-2/4 star, 5^3 cube), not just r=1
-        lo, hi = sd.radius()
-        gp = np.pad(g, list(zip(lo, hi)), mode="wrap")
-        want_g = dense_apply(sd, {gname: gp}, DEFAULT_PARAMS, xp=np)
+        b = g
+        for _ in range(st_iter):
+            gp = np.pad(b, list(zip(lo, hi)), mode="wrap")
+            b = dense_apply(sd, {gname: gp}, DEFAULT_PARAMS, xp=np)
+        want_g = b
         for c in np.ndindex(*mesh_shape):
             for row in range(nloc):
                 lc = plan.sub_order[row]
@@ -83,8 +129,9 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
                 sl = tuple(slice(base[a] * sdom[a],
                                  (base[a] + 1) * sdom[a])
                            for a in range(3))
-                got = from_bricks(out[c + (row,)], sdec.interior_grid(),
-                                  bdim)
+                got = from_bricks(
+                    out[c + (row,)].reshape(nb, -1),
+                    sdec.interior_grid(), bdim)
                 if not compare_arrays(got, want_g[sl], 1e-4):
                     raise RuntimeError(f"mismatch at {c} sub {row}")
         print("validated against global dense twin: OK")
@@ -92,7 +139,7 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
     avg, samples = time_mpi(step_j, jnp.copy(sharded), iters=iters)
     elems = int(np.prod(dom)) * st_iter
     print(f"dom {dom} sdom {sdom} mesh {mesh_shape} "
-          f"subs/device {nloc} stencil {stencil}")
+          f"subs/device {nloc} stencil {stencil} backend {backend}")
     print(f"perf {elems / avg / 1e9:8.3f} GStencil/s "
           f"({avg * 1e3:.3f} ms/step)")
     st = mpi_statistics(samples)
@@ -111,13 +158,15 @@ def main(argv=None):
     p.add_argument("--mesh", default="2,1,1")
     p.add_argument("--iters", type=int, default=25)
     p.add_argument("-v", "--validate", action="store_true")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "jnp", "pencil"])
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dom.split(",")),
         tuple(int(x) for x in a.sdom.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,
         tuple(int(x) for x in a.mesh.split(",")),
-        a.iters, a.validate)
+        a.iters, a.validate, a.backend)
 
 
 if __name__ == "__main__":

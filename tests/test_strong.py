@@ -115,3 +115,13 @@ def test_strong_step_vs_global_dense(plan):
         got = from_bricks(out[dz, 0, 0, row],
                           plan.sdec.interior_grid(), BD)
         assert compare_arrays(got, want, 1e-5), (dz, row)
+
+
+def test_strong_pencil_fast_path_validates():
+    """Batched pencil sweep + in-place link exchange on a (2,2,1) mesh
+    with deep-ghost ST_ITER=2 (ref: strong/main.cpp:204-213,288-320)."""
+    from bricklib_tpu.drivers import strong
+
+    strong.run(dom=(32, 32, 64), sdom=(8, 8, 64), bdim=(4, 4, 8),
+               stencil="mpi7pt", st_iter=2, mesh_shape=(2, 2, 1),
+               iters=1, validate=True, backend="pencil")
