@@ -131,6 +131,28 @@ def mpi_statistics(samples) -> dict:
             "sigma": math.sqrt(var)}
 
 
+def device_statistics(fn, make_arg, devices=None, iters: int = 5):
+    """Per-device timing spread, reduced like the reference's
+    cross-rank ``mpi_statistics`` (brick-mpi.h:758-793).
+
+    SPMD steps are lock-stepped by collectives, so per-device imbalance
+    is measured by running the same single-device program placed on
+    each device (``make_arg(device)`` commits the input there) — the
+    slow-rank detector the reference's reduction exists for.
+
+    Returns (stats dict, per-device averages).
+    """
+    import jax
+
+    if devices is None:
+        devices = jax.devices()
+    per = []
+    for d in devices:
+        avg, _ = time_mpi(fn, make_arg(d), iters=iters)
+        per.append(avg)
+    return mpi_statistics(per), per
+
+
 @dataclass
 class PhaseTimers:
     """The reference's five-phase taxonomy."""

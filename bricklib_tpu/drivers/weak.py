@@ -19,7 +19,8 @@ import numpy as np
 def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         st_iter=8, mesh_shape=(1, 1, 1), iters=25, validate=True,
         overlap=False, backend="jnp", profile_dir=None,
-        exchange="shift", table_periodic=True):
+        exchange="shift", table_periodic=True, skin="good",
+        f64_validate=False):
     """backend="jnp" (oracle executor) or "pencil" (Pallas fast path:
     bricks become whole-i pencils, ghost only in the outer axes, and the
     exchange moves pencil bricks over the mesh).
@@ -66,7 +67,12 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     else:
         gz = tuple(bdim)
     dec = BrickDecomp(dims=dims, ghost_depth=gz, bdims=bdim).initialize(
-        skinlist_by_name("good", nd))
+        skinlist_by_name(skin, nd))
+    # layout-quality report (ref: the good/normal/bad comparison of
+    # src/brick-mpi.cpp:54-136): each contiguous ghost run is one PUT
+    # message; the good ordering minimizes the count
+    print(f"skin ordering '{skin}': {len(dec.ghost)} ghost runs "
+          f"(PUT messages), {len(dec.sections)} sections")
     adj = jnp.asarray(dec.info.adj)
     mesh = make_domain_mesh(mesh_shape)
     names = mesh.axis_names
@@ -235,6 +241,39 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             raise RuntimeError("validation mismatch vs array twin")
         print("validated against array twin: OK")
 
+    if f64_validate:
+        # honor the reference's 1e-6 brickcompare contract
+        # (include/cmpconst.h:9) where it is actually defined: double
+        # precision.  The brick layout + executor semantics run in
+        # numpy float64 against the float64 dense twin.
+        from ..core.compare import BRICK_TOLERANCE
+
+        blk64 = next(iter(blocks.values())).astype(np.float64)
+        dat64 = np.zeros((dec.nbricks, int(np.prod(bdim))), np.float64)
+        to_bricks(blk64, dec.grid, bdim, dat=dat64)
+        view64 = dat64.reshape((-1,) + tuple(bdim))
+        b = blk64
+        lo, hi = sd.radius()
+        for _ in range(st_iter):
+            out64 = brick_apply(sd, {gname: view64},
+                                np.asarray(dec.info.adj),
+                                DEFAULT_PARAMS, xp=np)
+            view64 = out64
+            nxt = dense_apply(sd, {gname: b}, DEFAULT_PARAMS, xp=np)
+            b2 = np.zeros_like(b)
+            b2[tuple(slice(l, s - h) for l, s, h in
+                     zip(lo, b.shape, hi))] = nxt
+            b = b2
+        own = tuple(slice(gz[a], gz[a] + dims[a]) for a in range(nd))
+        got64 = from_bricks(view64.reshape(dec.nbricks, -1),
+                            dec.interior_grid(), bdim)
+        m = [max(st_iter * max(l, h) - gz[a], 0)
+             for a, (l, h) in enumerate(zip(lo, hi))]
+        sl = tuple(slice(m[a], dims[a] - m[a]) for a in range(nd))
+        if not compare_arrays(got64[sl], b[own][sl], BRICK_TOLERANCE):
+            raise RuntimeError("float64 validation mismatch at 1e-6")
+        print(f"validated in float64 at {BRICK_TOLERANCE:g}: OK")
+
     if profile_dir:
         # jax.profiler trace of a few steps (the tracing-subsystem analog
         # of the reference's omp_get_wtime phase accumulators +
@@ -280,6 +319,24 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         st = mpi_statistics(s)
         print(f"  {nm:9s} min {st['min']*1e3:7.3f} avg {st['avg']*1e3:7.3f} "
               f"max {st['max']*1e3:7.3f} sigma {st['sigma']*1e3:7.3f} ms")
+    if n_dev > 1:
+        # cross-device spread (ref: mpi_statistics across ranks,
+        # brick-mpi.h:758-793): same shard-local program timed on each
+        # device separately — the slow-rank detector
+        from ..bench.timing import device_statistics
+
+        local = jnp.asarray(stacked[:dec.nbricks])
+        shard_fn = jax.jit(
+            lambda d: brick_apply(sd, {gname: d.reshape((-1,)
+                                  + tuple(bdim))}, adj, DEFAULT_PARAMS
+                                  ).reshape(d.shape))
+        dstat, _per = device_statistics(
+            shard_fn, lambda dev: jax.device_put(local, dev),
+            devices=mesh.devices.ravel(), iters=min(iters, 5))
+        print(f"  devices   min {dstat['min']*1e3:7.3f} "
+              f"avg {dstat['avg']*1e3:7.3f} max {dstat['max']*1e3:7.3f} "
+              f"sigma {dstat['sigma']*1e3:7.3f} ms (per-device "
+              f"shard-local step)")
     return {"step": avg, "exchange": avg_x, "phases": phases}
 
 
@@ -303,6 +360,14 @@ def main(argv=None):
     p.add_argument("--no-table-periodic", action="store_true",
                    help="exchange real ghost bricks even on 1-device "
                         "axes (honest distributed config)")
+    p.add_argument("--skin", default="good",
+                   choices=["good", "normal", "bad", "lex"],
+                   help="skin ordering (layout-quality comparison, "
+                        "ref: src/brick-mpi.cpp:54-136)")
+    p.add_argument("--f64-validate", action="store_true",
+                   help="also validate the layout+executor semantics "
+                        "in numpy float64 at the 1e-6 brickcompare "
+                        "tolerance")
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
@@ -310,7 +375,8 @@ def main(argv=None):
         tuple(int(x) for x in a.mesh.split(",")),
         a.iters, validate=not a.no_validate, overlap=a.overlap,
         backend=a.backend, profile_dir=a.profile_dir,
-        exchange=a.exchange, table_periodic=not a.no_table_periodic)
+        exchange=a.exchange, table_periodic=not a.no_table_periodic,
+        skin=a.skin, f64_validate=a.f64_validate)
 
 
 if __name__ == "__main__":
