@@ -163,12 +163,56 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             pencil_ghost_fn = sweep(sd, kgrid, bdim, dec.nbricks,
                                     params, **_ranges(0))
 
+        pencil_inner_fn = pencil_ring_fns = None
+        if overlap and len(table_axes) < nd and nd == 3:
+            # interior/ring split of the first post-exchange sweep
+            # (the sep_pos interior-first idea, brick-mpi.h:196;
+            # weak/main.cu:251-291): the inner sweep reads no ghost
+            # bricks, so XLA can run the ppermutes concurrently; ring
+            # sweeps then write their bricks in place (aliased output)
+            GK_, GJ_ = kgrid.shape[0], kgrid.shape[1]
+            s0 = 0 if st_iter > 1 else 1
+            kin = (1, GK_ - 1) if 0 in table_axes else (2, GK_ - 2)
+            jin = (1, GJ_ - 1) if 1 in table_axes else (2, GJ_ - 2)
+            kfull = (1, GK_ - 1) if 0 in table_axes else (s0, GK_ - s0)
+            jfull = (1, GJ_ - 1) if 1 in table_axes else (s0, GJ_ - s0)
+            if kin[1] <= kin[0] or jin[1] <= jin[0]:
+                raise ValueError(
+                    "--overlap needs an interior: per-device grid too "
+                    "thin (every owned brick row touches the ghost)")
+            pencil_inner_fn = pallas_pencil_sweep(
+                sd, kgrid, bdim, dec.nbricks, params,
+                k_range=kin, j_range=jin)
+            parts = []
+            if 0 not in table_axes:
+                parts.append(((kfull[0], kin[0]), jfull))
+                parts.append(((kin[1], kfull[1]), jfull))
+            if 1 not in table_axes:
+                parts.append((kin, (jfull[0], jin[0])))
+                parts.append((kin, (jin[1], jfull[1])))
+            pencil_ring_fns = [pallas_pencil_sweep(
+                sd, kgrid, bdim, dec.nbricks, params,
+                k_range=kr, j_range=jr, inplace=True)
+                for kr, jr in parts]
+
     def step(d):
         if pencil_fn is not None:
-            if len(table_axes) < nd:
+            it0 = 0
+            if pencil_inner_fn is not None:
+                # ghost-independent interior first: its compute and the
+                # exchange's ppermutes have no data dependence
+                inner = pencil_inner_fn(d)
                 d = exchange_shift(d, dec, names, mesh_shape,
                                    table_axes=table_axes)
-            for it in range(st_iter):
+                out = inner
+                for rf in pencil_ring_fns:
+                    out = rf(d, out)
+                d = out
+                it0 = 1
+            elif len(table_axes) < nd:
+                d = exchange_shift(d, dec, names, mesh_shape,
+                                   table_axes=table_axes)
+            for it in range(it0, st_iter):
                 last = it == st_iter - 1
                 d = pencil_fn(d) if (last or pencil_ghost_fn is None) \
                     else pencil_ghost_fn(d)

@@ -108,3 +108,17 @@ def test_weak_driver_distributed_pencil_st_iter():
     weak.run(dims=(16, 16, 32), bdim=(8, 8, 8), stencil="mpi7pt",
              st_iter=2, mesh_shape=(2, 1, 1), iters=1, validate=True,
              backend="pencil")
+
+
+def test_weak_driver_overlap_pencil():
+    """Interior/ring split (sep_pos interior-first, brick-mpi.h:196):
+    inner sweep from pre-exchange data + in-place ring sweeps after the
+    exchange must equal the monolithic step."""
+    from bricklib_tpu.drivers import weak
+
+    weak.run(dims=(32, 32, 32), bdim=(8, 8, 8), stencil="mpi7pt",
+             st_iter=1, mesh_shape=(2, 2, 1), iters=1, validate=True,
+             backend="pencil", overlap=True)
+    weak.run(dims=(32, 16, 32), bdim=(8, 8, 8), stencil="mpi7pt",
+             st_iter=4, mesh_shape=(2, 1, 1), iters=1, validate=True,
+             backend="pencil", overlap=True)
