@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Mosaic compile-smoke of every Pallas kernel variant on the real chip.
+
+Interpret mode does not check DMA tile-alignment rules (CLAUDE.md rule
+7), so every kernel variant must compile and execute on hardware once
+before its results are trusted.  Runs tiny canonical-fold configs of
+each variant and prints PASS/FAIL per item; exits nonzero on failure.
+
+Usage: python tools/tpu_smoke.py    (on the default — axon/TPU — platform)
+"""
+
+import sys
+import traceback
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+    from bricklib_tpu.codegen.pallas_backend import (
+        pallas_brick_stencil, pallas_dense_stencil)
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
+    from bricklib_tpu.codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
+    from bricklib_tpu.comm import BrickDecomp, skin3d_good
+    from bricklib_tpu.comm.exchange import exchange_shift
+    from bricklib_tpu.comm.strong import StrongDecomp, exchange_strong_shift
+    from bricklib_tpu.core import init_grid
+    from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
+
+    params = dict(DEFAULT_PARAMS)
+    params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+    results = {}
+
+    def check(name, fn):
+        try:
+            out = fn()
+            if hasattr(out, "block_until_ready"):
+                float(jnp.sum(out.ravel()[:1]))
+            results[name] = "PASS"
+        except Exception:
+            results[name] = "FAIL"
+            traceback.print_exc()
+
+    BD = (8, 8, 128)
+    grid3, info3 = init_grid((4, 4, 1))
+    view = jnp.zeros((info3.nbricks, 8, 8, 128), jnp.float32)
+    sd7 = stencil_by_name("s7pt")[0]
+    sdc = stencil_by_name("cond")[0]
+    sd125 = stencil_by_name("mpi125pt")[0]
+
+    check("pencil skip", lambda: jax.jit(pallas_pencil_sweep(
+        sd7, grid3, BD, info3.nbricks, params))(view))
+    check("pencil ghost-incl", lambda: jax.jit(pallas_pencil_sweep(
+        sd7, grid3, BD, info3.nbricks, params,
+        k_range=(0, 4), j_range=(0, 4)))(view))
+    check("pencil inplace ring", lambda: jax.jit(pallas_pencil_sweep(
+        sd7, grid3, BD, info3.nbricks, params,
+        k_range=(0, 2), j_range=(0, 4), inplace=True))(
+            view, jnp.zeros_like(view)))
+    check("pencil 125pt factorized", lambda: jax.jit(pallas_pencil_sweep(
+        sd125, grid3, BD, info3.nbricks, params))(view))
+    check("pencil cond (generic)", lambda: jax.jit(pallas_pencil_sweep(
+        sdc, grid3, BD, info3.nbricks, params))(view))
+    check("pencil bf16 storage", lambda: jax.jit(pallas_pencil_sweep(
+        sd7, grid3, BD, info3.nbricks, params,
+        dtype=jnp.bfloat16, compute_dtype=jnp.float32))(
+            view.astype(jnp.bfloat16)))
+    check("pencil batched (strong)", lambda: jax.jit(pallas_pencil_sweep(
+        sd7, grid3, BD, 2 * info3.nbricks, params,
+        batch=2, batch_stride=info3.nbricks))(
+            jnp.zeros((2 * info3.nbricks, 8, 8, 128), jnp.float32)))
+
+    grid4, info4 = init_grid((4, 4, 4, 1))
+    sd9 = stencil_by_name("mpi9pt")[0]
+    check("pencil 4-D", lambda: jax.jit(pallas_pencil_sweep_4d(
+        sd9, grid4, (2, 8, 8, 128), info4.nbricks, DEFAULT_PARAMS))(
+            jnp.zeros((info4.nbricks, 2, 8, 8, 128), jnp.float32)))
+
+    gridb, infob = init_grid((4, 4, 4))
+    check("generic brick streaming", lambda: jax.jit(pallas_brick_stencil(
+        sd7, gridb, BD, (1, 1, 1), infob.nbricks, params))(
+            jnp.zeros((infob.nbricks, 8, 8, 128), jnp.float32)))
+
+    check("dense twin", lambda: jax.jit(pallas_dense_stencil(
+        sd7, (32, 32, 256), (8, 8, 64), params))(
+            jnp.zeros((32, 32, 256), jnp.float32)))
+
+    dec = BrickDecomp(dims=(16, 16, 128), ghost_depth=(8, 8, 0),
+                      bdims=(8, 8, 128)).initialize(skin3d_good)
+    check("exchange local in-place DMA", lambda: jax.jit(
+        lambda d: exchange_shift(d, dec, ("x", "y", "z"), (1, 1, 1),
+                                 table_axes=(2,)), donate_argnums=0)(
+            jnp.zeros((dec.nbricks, 8, 8, 128), jnp.float32)))
+
+    plan = StrongDecomp(dom=(32, 32, 128), sdom=(16, 16, 128),
+                        mesh_shape=(1, 1, 1), bdims=(8, 8, 128),
+                        ghost_depth=(8, 8, 0)).initialize(skin3d_good)
+    check("strong stage-copy DMA", lambda: jax.jit(
+        lambda b: exchange_strong_shift(b, plan, ("x", "y", "z")),
+        donate_argnums=0)(
+            jnp.zeros((plan.nsub_local, plan.sdec.nbricks, 8, 8, 128),
+                      jnp.float32)))
+
+    width = max(len(k) for k in results)
+    for k, v in results.items():
+        print(f"{k:{width}s}  {v}")
+    if any(v == "FAIL" for v in results.values()):
+        return 1
+    print(f"all {len(results)} kernel variants compile + run on "
+          f"{jax.default_backend()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
