@@ -27,7 +27,7 @@ import numpy as np
 class Problem:
     def __init__(self, dims, stencil="mpi7pt", params=None,
                  bdims=None, ghost=None, mesh=(1, 1, 1),
-                 backend="auto", dtype=np.float32):
+                 backend="auto", dtype=np.float32, st_iter=1):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -86,24 +86,54 @@ class Problem:
         self._sharding = NamedSharding(self.mesh, self._P)
         self.dtype = dtype
 
+        self.st_iter = int(st_iter)
+        lo_r, hi_r = self.sdef.radius()
+        rad = max(max(lo_r), max(hi_r))
         dec, msh, bd = self.dec, self.mesh_shape, self.bdims
         if backend == "pencil":
-            from .codegen.pencil_kernel import pallas_pencil_stencil
+            from .codegen.pencil_kernel import pallas_pencil_sweep
 
             # zero-copy periodicity on undistributed axes via the table
             table_axes = tuple(a for a in range(nd) if msh[a] == 1)
-            kern = pallas_pencil_stencil(
-                self.sdef, dec.periodic_grid(table_axes), bd,
-                (1, 1), dec.nbricks, self.params)
+            distributed = len(table_axes) < nd
+            if distributed and self.st_iter * rad > min(bd[0], bd[1]):
+                raise ValueError(
+                    f"st_iter {self.st_iter} x radius {rad} exceeds "
+                    f"ghost depth {min(bd[0], bd[1])}")
+            kgrid = dec.periodic_grid(table_axes)
+            GKg, GJg = kgrid.shape[0], kgrid.shape[1]
+
+            def _rng(skip):
+                k = (1, GKg - 1) if 0 in table_axes else (skip, GKg - skip)
+                j = (1, GJg - 1) if 1 in table_axes else (skip, GJg - skip)
+                return dict(k_range=k, j_range=j)
+
+            kern = pallas_pencil_sweep(self.sdef, kgrid, bd, dec.nbricks,
+                                       self.params, **_rng(1))
+            kern_ghost = None
+            if self.st_iter > 1 and distributed:
+                # deep-ghost ST_ITER: one exchange amortizes over
+                # st_iter sweeps (ref: weak/main.cpp:203-212)
+                kern_ghost = pallas_pencil_sweep(
+                    self.sdef, kgrid, bd, dec.nbricks, self.params,
+                    **_rng(0))
 
             def one(d):
-                if len(table_axes) < nd:
+                if distributed:
                     d = exchange_shift(d, dec, names, msh,
                                        table_axes=table_axes)
-                return kern(d)
+                for it in range(self.st_iter):
+                    last = it == self.st_iter - 1
+                    d = kern(d) if (last or kern_ghost is None) \
+                        else kern_ghost(d)
+                return d
         else:
             from .codegen import brick_apply
 
+            if (any(m > 1 for m in msh)
+                    and self.st_iter * rad > min(g for g in self.ghost
+                                                 if g)):
+                raise ValueError("st_iter x radius exceeds ghost depth")
             adj = jnp.asarray(dec.info.adj)
             owned = jnp.asarray(
                 np.arange(1, dec.sep_pos[1], dtype=np.int32))
@@ -111,9 +141,16 @@ class Problem:
             def one(d):
                 d = exchange_shift(d, dec, names, msh)
                 view = d.reshape((-1,) + bd)
-                out = brick_apply(self.sdef, {self.gname: view}, adj,
-                                  self.params, rows=owned)
-                return view.at[owned].set(out).reshape(d.shape)
+                for it in range(self.st_iter):
+                    if it == self.st_iter - 1:   # last: owned only
+                        out = brick_apply(self.sdef, {self.gname: view},
+                                          adj, self.params, rows=owned)
+                        view = view.at[owned].set(out)
+                    else:  # ghost-inclusive (deep-ghost semantics)
+                        view = brick_apply(self.sdef,
+                                           {self.gname: view}, adj,
+                                           self.params)
+                return view.reshape(d.shape)
 
         # donate only when the step moves ghost data in place; donating
         # to a pure-output kernel costs an extra copy on this runtime

@@ -68,3 +68,19 @@ def test_problem_checkpoint_roundtrip(tmp_path):
                   bdims=(2, 4, 8), backend="jnp")
     with pytest.raises(ValueError):
         bad.load(path)
+
+
+def test_problem_st_iter_deep_ghost():
+    """One step with st_iter=2 (single exchange, deep-ghost sweeps)
+    equals two dense iterations, on both backends."""
+    g = random_array((16, 16, 32), np.float32, 11)
+    pj = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                 bdims=(4, 4, 8), backend="jnp", st_iter=2)
+    want = _dense_steps(g, "mpi7pt", 2, pj.params)
+    pj.init(array=g).step(1)
+    assert compare_arrays(pj.result(), want, 1e-4)
+
+    pp = Problem(dims=(8, 16, 32), stencil="mpi7pt", mesh=(2, 1, 1),
+                 bdims=(4, 8, 32), backend="pencil", st_iter=2)
+    pp.init(array=g).step(1)
+    assert compare_arrays(pp.result(), want, 1e-4)
