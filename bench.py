@@ -88,27 +88,31 @@ def main():
     k125 = rep(pallas_pencil_sweep(
         stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params))
 
-    # honest distributed config: real ghost bricks + SHIFT exchange +
-    # deep-ghost ST_ITER (i stays periodic via lane rolls)
+    # honest distributed config — THE HEADLINE: real ghost bricks +
+    # SHIFT exchange + deep-ghost ST_ITER=8 run as two temporally-FUSED
+    # sweeps (fuse=4: four stencil iterations per HBM pass; the
+    # reference's ST_ITER amortization carried into VMEM).  i stays
+    # periodic via lane rolls.
+    FUSE = 4 if on_tpu else 2
     g_skip = pallas_pencil_sweep(
-        stencil_by_name("s7pt")[0], dec.grid, BD, nb, params)
+        stencil_by_name("s7pt")[0], dec.grid, BD, nb, params, fuse=FUSE)
     g_ghost = pallas_pencil_sweep(
         stencil_by_name("s7pt")[0], dec.grid, BD, nb, params,
-        k_range=(0, GK), j_range=(0, GJ))
+        k_range=(0, GK), j_range=(0, GJ), fuse=FUSE)
 
     def honest_step(d):
         d = exchange_shift(d, dec, ("x", "y", "z"), (1, 1, 1),
                            table_axes=(2,))
-        for it in range(ST_ITER):
-            d = g_skip(d) if it == ST_ITER - 1 else g_ghost(d)
-        return d
+        for _ in range(ST_ITER // FUSE - 1):
+            d = g_ghost(d)
+        return g_skip(d)
 
     honest = jax.jit(honest_step, donate_argnums=0)
 
     def noex_step(d):
-        for it in range(ST_ITER):
-            d = g_skip(d) if it == ST_ITER - 1 else g_ghost(d)
-        return d
+        for _ in range(ST_ITER // FUSE - 1):
+            d = g_ghost(d)
+        return g_skip(d)
 
     noex = jax.jit(noex_step, donate_argnums=0)
 
@@ -153,10 +157,10 @@ def main():
     elems = N ** 3
     sol_bw = 2 * elems * 4 / best["copy"]
     sol_gst = sol_bw / (2 * 4) / 1e9
-    gst = elems / best["7pt"] / 1e9
     honest_iter = best["honest"]
     noex_iter = best["noex"]
     exch_share = max(0.0, (honest_iter - noex_iter) / honest_iter)
+    gst = elems / honest_iter / 1e9
 
     print(json.dumps({
         "metric": "7pt_512cubed_brick_stencil",
@@ -164,24 +168,26 @@ def main():
         "unit": "GStencil/s",
         "vs_baseline": round(gst / sol_gst, 4),
         "details": {
-            "step_ms": round(best["7pt"] * 1e3, 3),
+            "config": (f"ghost bricks + SHIFT exchange, ST_ITER="
+                       f"{ST_ITER} as {ST_ITER // FUSE} fused sweeps "
+                       f"(fuse={FUSE}), per-iteration"),
+            "per_iter_ms": round(honest_iter * 1e3, 3),
+            "exchange_share": round(exch_share, 4),
             "domain": N,
             "brick": list(BD),
             "sol_gstencil_s": round(sol_gst, 3),
             "sol_copy_gb_s": round(sol_bw / 1e9, 1),
-            "spread_7pt": round(spread["7pt"], 3),
+            "spread_honest": round(spread["honest"], 3),
             "spread_copy": round(spread["copy"], 3),
             "rounds": rounds,
+            "plain_sweep": {
+                "gstencil_s": round(elems / best["7pt"] / 1e9, 3),
+                "sweep_ms": round(best["7pt"] * 1e3, 3),
+                "vs_sol": round(best["copy"] / best["7pt"], 4),
+            },
             "125pt_gstencil_s": round(elems / best["125pt"] / 1e9, 3),
             "125pt_step_ms": round(best["125pt"] * 1e3, 3),
             "125pt_vs_sol": round(best["copy"] / best["125pt"], 4),
-            "honest_exchange_config": {
-                "st_iter": ST_ITER,
-                "per_iter_ms": round(honest_iter * 1e3, 3),
-                "gstencil_s": round(elems / honest_iter / 1e9, 3),
-                "vs_sol": round((elems / honest_iter / 1e9) / sol_gst, 4),
-                "exchange_share": round(exch_share, 4),
-            },
             "backend": jax.default_backend(),
         },
     }))

@@ -67,6 +67,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         inplace: bool = False,
                         batch: int = 1,
                         batch_stride: int | None = None,
+                        fuse: int = 1,
                         vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build a pencil sweep over grid rows ``k_range`` x pencils
     ``j_range`` (half-open, grid coords).
@@ -77,6 +78,18 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     ref: strong/main.cpp:37-50): the same grid table serves every
     subdomain with a per-subdomain brick offset, and each (sub, j-tile)
     runs its own clamped k-stream.
+
+    ``fuse`` = F > 1 applies F stencil iterations per HBM pass
+    (temporal blocking in VMEM): intermediate iterations live in
+    per-level rolling rings and never touch HBM, so per-iteration
+    memory traffic divides by F — the deep-ghost ST_ITER amortization
+    (weak/main.cpp:203-212) carried to its TPU-logical end.  The
+    kernels are memory-bound with a near-idle VPU, so throughput scales
+    with F until the VPU saturates.  Semantics are identical to F
+    composed sweeps: the output range gets skip semantics, intermediate
+    levels extend (F-f) rows/elements beyond it with edge-clamped
+    windows (same contamination as F ghost-inclusive sweeps), and
+    lane rolls keep i exact.  Requires fuse*radius_j <= BJ.
 
     Returns ``fn(dat_view) -> out_view`` or, with ``inplace=True``,
     ``fn(dat_view, out_prev) -> out_view`` where the output buffer is
@@ -127,6 +140,26 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     lo, hi = ir.radius()
     if lo[0] > BK or hi[0] > BK or lo[1] > BJ or hi[1] > BJ:
         raise ValueError("stencil radius exceeds brick dims")
+    F = int(fuse)
+    if F < 1:
+        raise ValueError("fuse must be >= 1")
+    if F > 1:
+        if inplace:
+            raise NotImplementedError("fuse>1 with inplace partial "
+                                      "sweeps is not supported")
+        if F * lo[1] > BJ or F * hi[1] > BJ:
+            raise ValueError(
+                f"fuse {F} x j-radius exceeds the one-pencil window "
+                f"halo (BJ={BJ})")
+    # fused-level bookkeeping: level f in [1, F) holds intermediate
+    # iteration f; level F is the output. Ranges in grid rows; j
+    # extensions in elements.
+    lvlA = {f: max(K0 - (F - f), 0) for f in range(1, F)}
+    lvlB = {f: min(K1 + (F - f), GK) for f in range(1, F)}
+    lvlS = {f: 2 * (F - f) + 3 for f in range(1, F)}  # ring slots
+    ext_lo = {f: (F - f) * lo[1] for f in range(1, F + 1)}
+    ext_hi = {f: (F - f) * hi[1] for f in range(1, F + 1)}
+    NW = 2 * F + 2              # window slots (warmup span + prefetch)
 
     resolve = resolve_const_from_params(params)
 
@@ -189,9 +222,12 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
     def vmem_estimate(tj: int) -> int:
         row = BK * (tj + 2) * BJ * BIROW
-        est = W * row * isz                       # rolling window
+        est = NW * row * isz                      # rolling window
         est += 2 * BK * tj * BJ * BIROW * isz     # tout double buffer
         est += (BK + lo[0] + hi[0]) * (tj + 2) * BJ * BIROW * csz  # kslab
+        for f in range(1, F):                     # fused-level rings
+            est += (lvlS[f] * BK
+                    * (tj * BJ + ext_lo[f] + ext_hi[f]) * BIROW * csz)
         if lin is not None:
             wdefs_, vmap_, (jl, jh) = lin
             nksum = len({dks for terms in wdefs_ for _c, dks in terms})
@@ -222,9 +258,9 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
     def _row_copies(ids_ref, dat_ref, win, sem, sb, jt, w, slot):
         """Copy descriptors loading window row w (rolling index; absolute
-        grid row K0 - 1 + w, edge-clamped) for j-tile jt of batch sub
+        grid row K0 - F + w, edge-clamped) for j-tile jt of batch sub
         sb."""
-        krow = _clip(K0 - 1 + w, GK)
+        krow = _clip(K0 - F + w, GK)
         cps = []
         for cj in range(JW):
             jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
@@ -235,12 +271,17 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 sem.at[slot]))
         return cps
 
-    def _compute(kslab):
-        """kslab: [BK+lo0+hi0, JW*BJ, BIROW] -> out row
-        [BK, TJ*BJ, BIROW]."""
+    def _compute(kslab, j0=None, jout=None):
+        """kslab: [BK+lo0+hi0, >= j0+jout+hi-radius, BIROW] -> one level
+        row [BK, jout, BIROW]; ``j0`` is the kslab j coordinate of the
+        output's first element (defaults: the classic owned row)."""
+        if j0 is None:
+            j0 = BJ
+        if jout is None:
+            jout = TJ * BJ
         if lin is not None:
             wdefs, vmap_, (jlo_r, jhi_r) = lin
-            JE = TJ * BJ + jlo_r + jhi_r
+            JE = jout + jlo_r + jhi_r
 
             kcache: dict = {}
 
@@ -249,26 +290,26 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                     v = None
                     for dk in dks:
                         s = kslab[lo[0] + dk:lo[0] + dk + BK,
-                                  BJ - jlo_r:BJ - jlo_r + JE, :]
+                                  j0 - jlo_r:j0 - jlo_r + JE, :]
                         v = s if v is None else v + s
                     kcache[dks] = v
                 return kcache[dks]
 
             Ws = []
             for terms in wdefs:
-                W = None
+                W_ = None
                 for c, dks in terms:
                     t = ksum(dks)
                     t = t if c == 1.0 else c * t
-                    W = t if W is None else W + t
-                Ws.append(W)
+                    W_ = t if W_ is None else W_ + t
+                Ws.append(W_)
             out = None
             vcache: dict = {}    # ±di with equal structure share one V
             for di, terms in sorted(vmap_.items()):
                 V = vcache.get(terms)
                 if V is None:
                     for dj, wid in terms:
-                        sl = Ws[wid][:, jlo_r + dj:jlo_r + dj + TJ * BJ, :]
+                        sl = Ws[wid][:, jlo_r + dj:jlo_r + dj + jout, :]
                         V = sl if V is None else V + sl
                     vcache[terms] = V
                 t = _roll_i(V, di)
@@ -278,7 +319,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         def read_tap(_name, offs_edsl):
             offs = _np_offsets(offs_edsl, 3)
             v = kslab[lo[0] + offs[0]:lo[0] + offs[0] + BK,
-                      BJ + offs[1]:BJ + offs[1] + TJ * BJ, :]
+                      j0 + offs[1]:j0 + offs[1] + jout, :]
             if offs[2]:
                 v = pltpu.roll(v, (-offs[2]) % BIROW, 2)
             return v
@@ -288,54 +329,91 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     def make_kernel(extra_ref: bool):
         def kernel(ids_ref, dat_ref, *rest):
             if extra_ref:
-                _prev_ref, out_ref, win, tout, sem, osem = rest
+                _prev_ref, out_ref, *rest = rest
             else:
-                out_ref, win, tout, sem, osem = rest
+                out_ref, *rest = rest
+            win, tout = rest[0], rest[1]
+            rings = rest[2:2 + (F - 1)]
+            sem, osem = rest[2 + (F - 1):]
             sb = pl.program_id(0)   # subdomain in the batch
             jt = pl.program_id(1)
             t = pl.program_id(2)
 
-            # startup for this j-tile: window rows 0..3 (fills all slots)
+            # startup for this j-tile: fill the window (warmup span)
             @pl.when(t == 0)
             def _():
-                for w in range(min(W, KC + 2)):
+                for w in range(min(NW, KC + 2 * F)):
                     for cp in _row_copies(ids_ref, dat_ref, win, sem, sb,
-                                          jt, w, w % W):
+                                          jt, w, w % NW):
                         cp.start()
 
-            # prefetch window row t+3 into slot (t+3)%W (it held row t-1,
-            # consumed)
-            @pl.when(jnp.logical_and(t > 0, t + 3 <= KC + 1))
+            # prefetch one window row ahead of the steady-state wait
+            @pl.when(jnp.logical_and(t > 0,
+                                     t + 2 * F + 1 <= KC + 2 * F - 1))
             def _():
                 for cp in _row_copies(ids_ref, dat_ref, win, sem, sb, jt,
-                                      t + 3, (t + 3) % W):
+                                      t + 2 * F + 1,
+                                      (t + 2 * F + 1) % NW):
                     cp.start()
 
-            # wait rows t, t+1 (t==0 only; later steps waited them already)
+            # wait the warmup rows (t==0 only; later steps waited them)
             @pl.when(t == 0)
             def _():
-                for w in range(2):
+                for w in range(min(2 * F, KC + 2 * F - 1)):
                     for cp in _row_copies(ids_ref, dat_ref, win, sem,
-                                          sb, jt, w, w % W):
+                                          sb, jt, w, w % NW):
                         cp.wait()
-            # wait row t+2 (issued at startup or by step t-1's prefetch)
+            # wait the newest row this step consumes
             for cp in _row_copies(ids_ref, dat_ref, win, sem, sb, jt,
-                                  t + 2, (t + 2) % W):
+                                  t + 2 * F, (t + 2 * F) % NW):
                 cp.wait()
 
-            # dynamic-slot reads; slice thin k-halo pieces before concat
-            pieces = []
-            if lo[0]:
-                pieces.append(win[t % W, BK - lo[0]:, :, :])
-            pieces.append(win[(t + 1) % W])
-            if hi[0]:
-                pieces.append(win[(t + 2) % W, :hi[0], :, :])
-            kslab = (jnp.concatenate(pieces, axis=0)
-                     if len(pieces) > 1 else pieces[0])
-            if compute_dtype != dtype:
-                kslab = kslab.astype(compute_dtype)
+            # --- fused-level machinery ---------------------------------
+            def win_row(a):
+                # absolute grid row -> window slot (content edge-clamped
+                # by _row_copies, so no index clipping needed)
+                return win[(a + F - K0) % NW]
 
-            out_row = _compute(kslab)
+            def lvl_row(f, x):
+                xx = jnp.clip(x, lvlA[f], lvlB[f] - 1)
+                return rings[f - 1][xx % lvlS[f]]
+
+            def compute_level(f, x):
+                """Level-f row x from level f-1 (f==1 reads the input
+                window); f==F emits the output row."""
+                src = (win_row if f == 1
+                       else (lambda a, g=f - 1: lvl_row(g, a)))
+                pieces = []
+                if lo[0]:
+                    pieces.append(src(x - 1)[BK - lo[0]:, :, :])
+                pieces.append(src(x))
+                if hi[0]:
+                    pieces.append(src(x + 1)[:hi[0], :, :])
+                kslab = (jnp.concatenate(pieces, axis=0)
+                         if len(pieces) > 1 else pieces[0])
+                if f == 1 and compute_dtype != dtype:
+                    kslab = kslab.astype(compute_dtype)
+                elo = ext_lo[f] if f <= F else 0
+                ehi = ext_hi[f] if f <= F else 0
+                j0 = (BJ - elo) if f == 1 else (ext_lo[f - 1] - elo)
+                return _compute(kslab, j0, TJ * BJ + elo + ehi)
+
+            # warmup: prime each level's backlog (static rows)
+            @pl.when(t == 0)
+            def _():
+                for f in range(1, F):
+                    for x in range(lvlA[f], K0 + (F - f)):
+                        rings[f - 1][x % lvlS[f]] = compute_level(f, x)
+
+            # cadence: one row per intermediate level per step
+            for f in range(1, F):
+                x = K0 + t + (F - f)
+
+                @pl.when(x < lvlB[f])
+                def _(f=f, x=x):
+                    rings[f - 1][x % lvlS[f]] = compute_level(f, x)
+
+            out_row = compute_level(F, K0 + t)
             if compute_dtype != dtype:
                 out_row = out_row.astype(dtype)
 
@@ -370,22 +448,27 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
     nelems = batch * KC * BK * JC * BJ * BIROW
     cost = pl.CostEstimate(
-        flops=ir.flops_per_element() * nelems,
+        flops=ir.flops_per_element() * nelems * F,
         bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
         transcendentals=0,
     )
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if inplace:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    ring_shapes = [
+        pltpu.VMEM((lvlS[f], BK, TJ * BJ + ext_lo[f] + ext_hi[f],
+                    BIROW), compute_dtype)
+        for f in range(1, F)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch, JT, KC),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((W,) + row_shape, dtype),
+            pltpu.VMEM((NW,) + row_shape, dtype),
             pltpu.VMEM((2, BK, TJ * BJ, BIROW), dtype),
-            pltpu.SemaphoreType.DMA((W,)),
+        ] + ring_shapes + [
+            pltpu.SemaphoreType.DMA((NW,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

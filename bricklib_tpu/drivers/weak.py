@@ -20,7 +20,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         st_iter=8, mesh_shape=(1, 1, 1), iters=25, validate=True,
         overlap=False, backend="jnp", profile_dir=None,
         exchange="shift", table_periodic=True, skin="good",
-        f64_validate=False):
+        f64_validate=False, fuse=1):
     """backend="jnp" (oracle executor) or "pencil" (Pallas fast path:
     bricks become whole-i pencils, ghost only in the outer axes, and the
     exchange moves pencil bricks over the mesh).
@@ -153,15 +153,26 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
                     else (skip, kgrid.shape[a] - skip)
                     for a in range(nd - 1)}
 
+        if fuse > 1:
+            # temporal fusion: fuse iterations per HBM pass; a step is
+            # st_iter/fuse fused sweeps (all ghost-inclusive except the
+            # last, whose OUTPUT gets skip semantics)
+            if nd != 3:
+                raise ValueError("fuse>1 is 3-D only")
+            if st_iter % fuse:
+                raise ValueError("st_iter must be a multiple of fuse")
+            if overlap:
+                raise ValueError("--overlap with fuse>1 not supported")
         sweep = (pallas_pencil_sweep if nd == 3
                  else pallas_pencil_sweep_4d)
+        fkw = dict(fuse=fuse) if fuse > 1 else {}
         pencil_fn = sweep(sd, kgrid, bdim, dec.nbricks, params,
-                          **_ranges(1))
-        if st_iter > 1 and len(table_axes) < nd:
+                          **_ranges(1), **fkw)
+        if st_iter > fuse and len(table_axes) < nd:
             # non-last iterations compute the distributed-axis ghost
             # ring too (deep-ghost mode, ref: weak/main.cpp:203-212)
             pencil_ghost_fn = sweep(sd, kgrid, bdim, dec.nbricks,
-                                    params, **_ranges(0))
+                                    params, **_ranges(0), **fkw)
 
         pencil_inner_fn = pencil_ring_fns = None
         if overlap and len(table_axes) < nd and nd == 3:
@@ -212,8 +223,9 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             elif len(table_axes) < nd:
                 d = exchange_shift(d, dec, names, mesh_shape,
                                    table_axes=table_axes)
-            for it in range(it0, st_iter):
-                last = it == st_iter - 1
+            nsweeps = st_iter // fuse
+            for it in range(it0, nsweeps):
+                last = it == nsweeps - 1
                 d = pencil_fn(d) if (last or pencil_ghost_fn is None) \
                     else pencil_ghost_fn(d)
             return d
@@ -412,6 +424,9 @@ def main(argv=None):
                    help="also validate the layout+executor semantics "
                         "in numpy float64 at the 1e-6 brickcompare "
                         "tolerance")
+    p.add_argument("--fuse", type=int, default=1,
+                   help="stencil iterations fused per HBM pass "
+                        "(pencil backend; must divide st_iter)")
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
@@ -420,7 +435,7 @@ def main(argv=None):
         a.iters, validate=not a.no_validate, overlap=a.overlap,
         backend=a.backend, profile_dir=a.profile_dir,
         exchange=a.exchange, table_periodic=not a.no_table_periodic,
-        skin=a.skin, f64_validate=a.f64_validate)
+        skin=a.skin, f64_validate=a.f64_validate, fuse=a.fuse)
 
 
 if __name__ == "__main__":

@@ -122,3 +122,43 @@ def test_weak_driver_overlap_pencil():
     weak.run(dims=(32, 16, 32), bdim=(8, 8, 8), stencil="mpi7pt",
              st_iter=4, mesh_shape=(2, 1, 1), iters=1, validate=True,
              backend="pencil", overlap=True)
+
+
+@pytest.mark.parametrize("name,F", [("s7pt", 2), ("s7pt", 3),
+                                    ("mpi13pt", 2)])
+def test_fused_sweep_matches_dense(name, F):
+    """Temporal fusion: F iterations per HBM pass == F dense iterations
+    on the periodic table (exact), any radius with F*r <= BJ."""
+    from bricklib_tpu.comm import BrickDecomp, skin3d_good
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
+
+    BDf = (8, 8, 32)
+    dec = BrickDecomp(dims=(32, 32, 32), ghost_depth=(8, 8, 0),
+                      bdims=BDf).initialize(skin3d_good)
+    core = random_array((32, 32, 32), np.float32, 5)
+    ext = np.pad(core, ((8, 8), (8, 8), (0, 0)), mode="wrap")
+    dat = np.zeros((dec.nbricks, int(np.prod(BDf))), np.float32)
+    to_bricks(ext, dec.grid, BDf, dat=dat)
+    view = jnp.asarray(dat.reshape((-1,) + BDf))
+    sd = stencil_by_name(name)[0]
+    gname = next(iter(sd.inputs))
+    lo, hi = sd.radius()
+    fn = pallas_pencil_sweep(sd, dec.periodic_grid((0, 1, 2)), BDf,
+                             dec.nbricks, PARAMS, fuse=F,
+                             interpret=True)
+    out = np.asarray(fn(view))
+    b = core
+    for _ in range(F):
+        bp = np.pad(b, [(l, h) for l, h in zip(lo, hi)], mode="wrap")
+        b = dense_apply(sd, {gname: bp}, PARAMS, xp=np)
+    got = from_bricks(out, dec.interior_grid(), BDf)
+    assert compare_arrays(got, b, 1e-4)
+
+
+def test_weak_driver_fused_deep_ghost():
+    """st_iter=4 as two fused F=2 sweeps on a (2,1,1) mesh."""
+    from bricklib_tpu.drivers import weak
+
+    weak.run(dims=(32, 16, 32), bdim=(8, 8, 8), stencil="mpi7pt",
+             st_iter=4, mesh_shape=(2, 1, 1), iters=1, validate=True,
+             backend="pencil", fuse=2)
