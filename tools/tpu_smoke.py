@@ -72,6 +72,12 @@ def main():
         sd7, grid3, BD, 2 * info3.nbricks, params,
         batch=2, batch_stride=info3.nbricks))(
             jnp.zeros((2 * info3.nbricks, 8, 8, 128), jnp.float32)))
+    check("pencil fused F=4", lambda: jax.jit(pallas_pencil_sweep(
+        sd7, grid3, BD, info3.nbricks, params, fuse=4))(view))
+    check("pencil fused ghost-incl F=2", lambda: jax.jit(
+        pallas_pencil_sweep(sd7, grid3, BD, info3.nbricks, params,
+                            fuse=2, k_range=(0, 4), j_range=(0, 4)))(
+            view))
 
     grid4, info4 = init_grid((4, 4, 4, 1))
     sd9 = stencil_by_name("mpi9pt")[0]
