@@ -56,8 +56,61 @@ def load_library():
         lib.zmort_ids.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64)]
+        copy_sig = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.copy_to_bricks_f32.argtypes = copy_sig
+        lib.copy_from_bricks_f32.argtypes = copy_sig
         _lib = lib
         return _lib
+
+
+def _copy_args(arr, grid, bdims, dat, offset):
+    import ctypes as ct
+
+    gshape = np.asarray(grid.shape, dtype=np.int64)
+    bd = np.asarray(bdims, dtype=np.int64)
+    return (arr.ctypes.data_as(ct.POINTER(ct.c_float)),
+            grid.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            gshape.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            bd.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            len(bdims),
+            dat.ctypes.data_as(ct.POINTER(ct.c_float)),
+            dat.shape[1], offset, dat.shape[0]), (gshape, bd)
+
+
+def copy_to_bricks_f32(arr, grid, bdims, dat, offset=0) -> bool:
+    """Native copyToBrick (bricksetup.h:103-181); returns False when the
+    native path is unavailable or the inputs don't qualify."""
+    lib = load_library()
+    if lib is None:
+        return False
+    if not (arr.dtype == np.float32 and dat.dtype == np.float32
+            and arr.flags.c_contiguous and dat.flags.c_contiguous):
+        return False
+    grid = np.ascontiguousarray(grid, dtype=np.int32)
+    args, keep = _copy_args(arr, grid, bdims, dat, offset)
+    lib.copy_to_bricks_f32(*args)
+    return True
+
+
+def copy_from_bricks_f32(arr, grid, bdims, dat, offset=0) -> bool:
+    """Native copyFromBrick (bricksetup.h:183-221)."""
+    lib = load_library()
+    if lib is None:
+        return False
+    if not (arr.dtype == np.float32 and dat.dtype == np.float32
+            and arr.flags.c_contiguous and dat.flags.c_contiguous):
+        return False
+    grid = np.ascontiguousarray(grid, dtype=np.int32)
+    args, keep = _copy_args(arr, grid, bdims, dat, offset)
+    lib.copy_from_bricks_f32(*args)
+    return True
 
 
 def _i32p(a):

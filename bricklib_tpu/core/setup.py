@@ -64,6 +64,20 @@ def to_bricks(arr, grid, bdims: Sequence[int], dat=None, step: int | None = None
     grid = np.asarray(grid)
     bdims = tuple(int(b) for b in bdims)
     belems = int(np.prod(bdims))
+    # native fast path (the reference's OMP copyToBrick): contiguous
+    # f32 numpy in, [chunks, step] numpy storage out
+    if (isinstance(arr, np.ndarray) and arr.dtype == np.float32
+            and arr.flags.c_contiguous):
+        from .native import copy_to_bricks_f32
+
+        if dat is None:
+            assert offset == 0
+            out = np.zeros((int(grid.max()) + 1, belems), np.float32)
+            if copy_to_bricks_f32(arr, grid, bdims, out, 0):
+                return out
+        elif (isinstance(dat, np.ndarray)
+              and copy_to_bricks_f32(arr, grid, bdims, dat, offset)):
+            return dat
     blocks = _blocks_from_dense(arr, grid.shape, bdims)
     idx = grid.ravel()
     if dat is None:
@@ -88,6 +102,14 @@ def from_bricks(dat, grid, bdims: Sequence[int], offset: int = 0):
     grid = np.asarray(grid)
     bdims = tuple(int(b) for b in bdims)
     belems = int(np.prod(bdims))
+    if (isinstance(dat, np.ndarray) and dat.dtype == np.float32
+            and dat.flags.c_contiguous and dat.ndim == 2):
+        from .native import copy_from_bricks_f32
+
+        arr = np.empty(tuple(g * b for g, b in zip(grid.shape, bdims)),
+                       np.float32)
+        if copy_from_bricks_f32(arr, grid, bdims, dat, offset):
+            return arr
     blocks = dat[grid.ravel(), offset:offset + belems]
     return _dense_from_blocks(blocks, grid.shape, bdims)
 

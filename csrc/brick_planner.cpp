@@ -103,4 +103,80 @@ void zmort_ids(const int64_t* shape, int32_t dims, int64_t* out) {
   }
 }
 
+// Data import/export between dense arrays and brick storage — the
+// reference's OMP-parallel copyToBrick/copyFromBrick
+// (include/bricksetup.h:103-221).  arr is the dense row-major array of
+// shape (gshape[d] * bdims[d]); grid maps cells to storage chunks;
+// dat is float32[nchunks, step], block written at [grid[cell],
+// offset : offset + prod(bdims)].  Inner brick dim is contiguous in
+// both layouts, so rows move as memcpy.
+void copy_to_bricks_f32(const float* arr, const int32_t* grid,
+                        const int64_t* gshape, const int64_t* bdims,
+                        int32_t dims, float* dat, int64_t step,
+                        int64_t offset, int64_t nchunks) {
+  int64_t ncells = 1, belems = 1;
+  for (int d = 0; d < dims; ++d) { ncells *= gshape[d]; belems *= bdims[d]; }
+  std::vector<int64_t> dstr(dims);
+  int64_t acc = 1;
+  for (int d = dims - 1; d >= 0; --d) {
+    dstr[d] = acc;
+    acc *= gshape[d] * bdims[d];
+  }
+  const int64_t inner = bdims[dims - 1];
+  const int64_t nrows = belems / inner;
+#pragma omp parallel for schedule(static)
+  for (int64_t cell = 0; cell < ncells; ++cell) {
+    int32_t b = grid[cell];
+    if (b < 0 || b >= nchunks) continue;
+    int64_t rem = cell, gc[8];
+    for (int d = dims - 1; d >= 0; --d) { gc[d] = rem % gshape[d]; rem /= gshape[d]; }
+    float* dst = dat + (int64_t)b * step + offset;
+    const int64_t ibase = gc[dims - 1] * bdims[dims - 1];
+    for (int64_t r = 0; r < nrows; ++r) {
+      int64_t rr = r, src = ibase;
+      for (int d = dims - 2; d >= 0; --d) {
+        int64_t bc = rr % bdims[d];
+        rr /= bdims[d];
+        src += (gc[d] * bdims[d] + bc) * dstr[d];
+      }
+      std::memcpy(dst + r * inner, arr + src, inner * sizeof(float));
+    }
+  }
+}
+
+// Inverse gather: dense array from brick storage over the grid table.
+void copy_from_bricks_f32(float* arr, const int32_t* grid,
+                          const int64_t* gshape, const int64_t* bdims,
+                          int32_t dims, const float* dat, int64_t step,
+                          int64_t offset, int64_t nchunks) {
+  int64_t ncells = 1, belems = 1;
+  for (int d = 0; d < dims; ++d) { ncells *= gshape[d]; belems *= bdims[d]; }
+  std::vector<int64_t> dstr(dims);
+  int64_t acc = 1;
+  for (int d = dims - 1; d >= 0; --d) {
+    dstr[d] = acc;
+    acc *= gshape[d] * bdims[d];
+  }
+  const int64_t inner = bdims[dims - 1];
+  const int64_t nrows = belems / inner;
+#pragma omp parallel for schedule(static)
+  for (int64_t cell = 0; cell < ncells; ++cell) {
+    int32_t b = grid[cell];
+    if (b < 0 || b >= nchunks) continue;
+    int64_t rem = cell, gc[8];
+    for (int d = dims - 1; d >= 0; --d) { gc[d] = rem % gshape[d]; rem /= gshape[d]; }
+    const float* src = dat + (int64_t)b * step + offset;
+    const int64_t ibase = gc[dims - 1] * bdims[dims - 1];
+    for (int64_t r = 0; r < nrows; ++r) {
+      int64_t rr = r, doff = ibase;
+      for (int d = dims - 2; d >= 0; --d) {
+        int64_t bc = rr % bdims[d];
+        rr /= bdims[d];
+        doff += (gc[d] * bdims[d] + bc) * dstr[d];
+      }
+      std::memcpy(arr + doff, src + r * inner, inner * sizeof(float));
+    }
+  }
+}
+
 }  // extern "C"

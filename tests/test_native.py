@@ -73,3 +73,36 @@ def test_large_grid_dispatch_uses_native():
     a = adjacency_from_grid(grid)
     b = _py_adjacency(grid, int(grid.max()) + 1)
     assert np.array_equal(a, b)
+
+
+def test_native_copy_to_from_bricks_golden():
+    """Native copyToBrick/copyFromBrick == the numpy blocked transpose
+    (bricksetup.h:103-221), incl. interleaved-field offsets."""
+    import numpy as np
+    from bricklib_tpu.core import init_grid
+    from bricklib_tpu.core.native import (copy_from_bricks_f32,
+                                          copy_to_bricks_f32, load_library)
+    from bricklib_tpu.core.setup import (_blocks_from_dense,
+                                         _dense_from_blocks)
+
+    if load_library() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    for gshape, bd in (((4, 3, 2), (2, 4, 8)), ((3, 2, 2, 2), (2, 2, 2, 4))):
+        grid, info = init_grid(gshape)
+        arr = rng.random([g * b for g, b in zip(gshape, bd)],
+                         dtype=np.float32)
+        step = 2 * int(np.prod(bd))
+        want = np.zeros((info.nbricks, step), np.float32)
+        want[grid.ravel(), int(np.prod(bd)):] = _blocks_from_dense(
+            arr, gshape, bd)
+        got = np.zeros((info.nbricks, step), np.float32)
+        assert copy_to_bricks_f32(arr, grid, bd, got,
+                                  offset=int(np.prod(bd)))
+        assert np.array_equal(got, want)
+
+        back = np.empty_like(arr)
+        assert copy_from_bricks_f32(back, grid, bd, got,
+                                    offset=int(np.prod(bd)))
+        assert np.array_equal(back, arr)
