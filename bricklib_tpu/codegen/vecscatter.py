@@ -59,6 +59,14 @@ def main(argv=None):
     p.add_argument("--grid", default="6,6,6",
                    help="brick-grid dims incl ghost ring")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--export", metavar="PATH",
+                   help="serialize the jitted kernel AOT via jax.export "
+                        "(the VSTARGET build-artifact analog, "
+                        "cmake/VecScatter.cmake:8-31); reload with "
+                        "jax.export.deserialize")
+    p.add_argument("--backend", default="brick",
+                   choices=["brick", "pencil"],
+                   help="kernel flavor to build/export")
     a = p.parse_args(argv)
 
     descs = describe(a.stencil)
@@ -73,12 +81,11 @@ def main(argv=None):
                   + ("" if not d.get("coeff_groups") else
                      f", {len(d['coeff_groups'])} coeff groups"))
 
-    if a.build:
+    if a.build or a.export:
         import numpy as np
 
         from ..core import init_grid
         from ..stencils import DEFAULT_PARAMS
-        from .pallas_backend import pallas_brick_stencil
         from ..st import load_stencil_module
 
         bdim = tuple(int(x) for x in a.bdim.split(","))
@@ -91,10 +98,31 @@ def main(argv=None):
         else:
             from ..stencils import stencil_by_name
             sd = stencil_by_name(a.stencil)[0]
-        fn = pallas_brick_stencil(sd, grid, bdim, (1, 1, 1), info.nbricks,
-                                  params)
+        if a.backend == "pencil":
+            from .pencil_kernel import pallas_pencil_stencil
+
+            fn = pallas_pencil_stencil(sd, grid, bdim, (1, 1),
+                                       info.nbricks, params)
+        else:
+            from .pallas_backend import pallas_brick_stencil
+
+            fn = pallas_brick_stencil(sd, grid, bdim, (1, 1, 1),
+                                      info.nbricks, params)
         print(f"built pallas kernel for grid {gdims}, bricks {bdim}: "
               f"{fn}")
+        if a.export:
+            import jax
+            import jax.numpy as jnp
+
+            spec = jax.ShapeDtypeStruct((info.nbricks,) + bdim,
+                                        jnp.float32)
+            exported = jax.export.export(jax.jit(fn))(spec)
+            blob = exported.serialize()
+            with open(a.export, "wb") as f:
+                f.write(blob)
+            print(f"exported {len(blob)} bytes to {a.export} "
+                  f"(platforms {exported.platforms}); reload with "
+                  f"jax.export.deserialize(...).call(dat)")
     return 0
 
 

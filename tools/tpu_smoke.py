@@ -110,6 +110,21 @@ def main():
             jnp.zeros((plan.nsub_local, plan.sdec.nbricks, 8, 8, 128),
                       jnp.float32)))
 
+    def aot_roundtrip():
+        import tempfile
+
+        fn = pallas_pencil_sweep(sd7, grid3, BD, info3.nbricks, params)
+        spec = jax.ShapeDtypeStruct((info3.nbricks,) + BD, jnp.float32)
+        blob = jax.export.export(jax.jit(fn))(spec).serialize()
+        with tempfile.NamedTemporaryFile(suffix=".jaxexport") as f:
+            f.write(blob)
+            f.flush()
+            ex = jax.export.deserialize(bytearray(open(f.name,
+                                                       "rb").read()))
+        return ex.call(view)
+
+    check("AOT export roundtrip", aot_roundtrip)
+
     width = max(len(k) for k in results)
     for k, v in results.items():
         print(f"{k:{width}s}  {v}")
