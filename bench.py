@@ -87,6 +87,9 @@ def main():
         stencil_by_name("s7pt")[0], tgrid, BD, nb, params))
     k125 = rep(pallas_pencil_sweep(
         stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params))
+    k7bf = rep(pallas_pencil_sweep(
+        stencil_by_name("s7pt")[0], tgrid, BD, nb, params,
+        dtype=jnp.bfloat16, compute_dtype=jnp.float32))
 
     # honest distributed config — THE HEADLINE: real ghost bricks +
     # SHIFT exchange + deep-ghost ST_ITER=8 run as two temporally-FUSED
@@ -144,9 +147,11 @@ def main():
 
     # per nominal iteration: R for rep-items, ST_ITER for the honest step
     items = {"copy": (dma_copy, R), "7pt": (k7, R), "125pt": (k125, R),
-             "honest": (honest, ST_ITER), "noex": (noex, ST_ITER)}
+             "honest": (honest, ST_ITER), "noex": (noex, ST_ITER),
+             "7pt_bf16": (k7bf, R)}
     times = {k: [] for k in items}
     bufs = {k: fresh(s) for s, k in enumerate(items)}
+    bufs["7pt_bf16"] = bufs["7pt_bf16"].astype(jnp.bfloat16)
     for _ in range(rounds):
         for k, (fn, per) in items.items():
             dt, bufs[k] = chain(fn, bufs[k], iters)
@@ -188,6 +193,8 @@ def main():
             "125pt_gstencil_s": round(elems / best["125pt"] / 1e9, 3),
             "125pt_step_ms": round(best["125pt"] * 1e3, 3),
             "125pt_vs_sol": round(best["copy"] / best["125pt"], 4),
+            "bf16_sweep_gstencil_s": round(
+                elems / best["7pt_bf16"] / 1e9, 3),
             "backend": jax.default_backend(),
         },
     }))

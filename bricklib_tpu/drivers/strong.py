@@ -19,7 +19,7 @@ import numpy as np
 
 def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
         stencil="mpi7pt", st_iter=1, mesh_shape=(2, 1, 1), iters=25,
-        validate=False, backend="auto"):
+        validate=False, backend="auto", fuse=1):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -80,24 +80,28 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
     if backend == "pencil":
         from ..codegen.pencil_kernel import pallas_pencil_sweep
 
+        if st_iter % fuse:
+            raise ValueError("st_iter must be a multiple of fuse")
         kgrid = sdec.periodic_grid((2,))
         GKs, GJs = kgrid.shape[0], kgrid.shape[1]
+        fkw = dict(fuse=fuse) if fuse > 1 else {}
         sweep_skip = pallas_pencil_sweep(
             sd, kgrid, bdim, nloc * nb, DEFAULT_PARAMS,
-            batch=nloc, batch_stride=nb)
-        if st_iter > 1:
+            batch=nloc, batch_stride=nb, **fkw)
+        if st_iter > fuse:
             sweep_ghost = pallas_pencil_sweep(
                 sd, kgrid, bdim, nloc * nb, DEFAULT_PARAMS,
                 k_range=(0, GKs), j_range=(0, GJs),
-                batch=nloc, batch_stride=nb)
+                batch=nloc, batch_stride=nb, **fkw)
 
     def step(batch):
         x = batch[(0,) * len(mesh_shape)]
         x = exchange_strong_shift(x, plan, names)
         if sweep_skip is not None:
             flat = x.reshape((nloc * nb,) + tuple(bdim))
-            for it in range(st_iter):
-                last = it == st_iter - 1
+            nsweeps = st_iter // fuse
+            for it in range(nsweeps):
+                last = it == nsweeps - 1
                 flat = (sweep_skip if (last or sweep_ghost is None)
                         else sweep_ghost)(flat)
             x = flat.reshape(x.shape)
@@ -160,13 +164,15 @@ def main(argv=None):
     p.add_argument("-v", "--validate", action="store_true")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "jnp", "pencil"])
+    p.add_argument("--fuse", type=int, default=1,
+                   help="iterations fused per HBM pass (pencil backend)")
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dom.split(",")),
         tuple(int(x) for x in a.sdom.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,
         tuple(int(x) for x in a.mesh.split(",")),
-        a.iters, a.validate, a.backend)
+        a.iters, a.validate, a.backend, a.fuse)
 
 
 if __name__ == "__main__":
