@@ -54,8 +54,12 @@ class Problem:
             self.params.update(params)
 
         if backend == "auto":
+            # pencil needs a hardware-DMA-able fold: full-i pencils with
+            # BI % 128 == 0 (lane tiles) unless we're off-TPU
+            on_hw = jax.default_backend() in ("tpu", "axon")
+            fold_ok = (not on_hw) or (self.dims[-1] % 128 == 0)
             backend = ("pencil" if nd == 3 and self.mesh_shape[2] == 1
-                       else "jnp")
+                       and fold_ok else "jnp")
         if backend == "pencil" and self.mesh_shape[2] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
             # silently computing per-device-periodic results

@@ -133,6 +133,11 @@ def pallas_brick_stencil(stencil, grid: np.ndarray, bdims: Sequence[int],
             "pallas paths read one input grid; multi-input stencils run "
             "through brick_apply")
     BK, BJ, BI = (int(b) for b in bdims)
+    if not interpret and (BI % 128 or BJ % 8):
+        raise ValueError(
+            f"Mosaic DMA granularity: bricks need BI a multiple of 128 "
+            f"and BJ a multiple of 8 on hardware, got {(BK, BJ, BI)}; "
+            f"use brick_apply for other folds")
     grid = np.asarray(grid)
     GK, GJ, GI = grid.shape
     gz = tuple(int(g) for g in ghost_bricks)

@@ -117,6 +117,11 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             "pallas paths read one input grid; multi-input stencils run "
             "through brick_apply")
     BK, BJ, BIROW = (int(b) for b in bdims)
+    if not interpret and (BIROW % 128 or BJ % 8):
+        raise ValueError(
+            f"Mosaic DMA granularity: pencil bricks need BI a multiple "
+            f"of 128 and BJ a multiple of 8 on hardware, got "
+            f"{(BK, BJ, BIROW)}; use the jnp backend for other folds")
     grid = np.asarray(grid)
     if grid.ndim == 3:
         if grid.shape[2] != 1:

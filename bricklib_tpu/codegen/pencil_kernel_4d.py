@@ -69,6 +69,11 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
             "pallas paths read one input grid; multi-input stencils run "
             "through brick_apply")
     BW, BK, BJ, BIROW = (int(b) for b in bdims)
+    if not interpret and (BIROW % 128 or BJ % 8):
+        raise ValueError(
+            f"Mosaic DMA granularity: bricks need BI a multiple of 128 "
+            f"and BJ a multiple of 8 on hardware, got "
+            f"{(BW, BK, BJ, BIROW)}")
     grid = np.asarray(grid)
     if grid.ndim == 4:
         if grid.shape[3] != 1:

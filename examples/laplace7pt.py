@@ -27,7 +27,7 @@ def main():
     sdef = load_stencil_module({"STENCIL": STENCIL})[0]
     params = {"alpha": 0.4, "beta": 0.1}
 
-    n = 64
+    n = 128   # pencil folds need i % 128 == 0 on hardware (lane tiles)
     rng = np.random.default_rng(0)
     field = rng.random((n, n, n), dtype=np.float32)
 
