@@ -83,22 +83,34 @@ def _merge_intervals(pairs):
 
 
 def exchange_put(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
-                 mesh_shape: tuple[int, ...]):
+                 mesh_shape: tuple[int, ...],
+                 interpret: bool | None = None):
     """PUT exchange: one ppermute per (ghost run, skin run) pair —
     skin and ghost runs are contiguous by construction of the skin
     ordering, so every message is a static storage slice (pack-free).
+    Runs whose neighbors are all on this device are periodic
+    self-copies, fused into one in-place Pallas DMA kernel.
 
     ``dat``: per-device ``[nbricks, step]`` brick storage (all interleaved
     fields move together, like the reference exchanging whole chunks).
     """
+    import jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    local_ivs = []
     for gr, sr in zip(decomp.ghost, decomp.skin):
-        val = dat[sr.pos:sr.pos + sr.len]
         delta = _delta(gr.neighbor, len(mesh_shape))
         if any(d and mesh_shape[a] > 1 for a, d in enumerate(delta)):
+            val = dat[sr.pos:sr.pos + sr.len]
             perm = neighbor_perm(gr.neighbor, mesh_shape)
             val = lax.ppermute(val, axis_names, perm)
-        # else: every involved axis has one device -> periodic self-copy
-        dat = dat.at[gr.pos:gr.pos + gr.len].set(val)
+            dat = dat.at[gr.pos:gr.pos + gr.len].set(val)
+        else:
+            local_ivs.append((gr.pos, gr.pos + gr.len,
+                              sr.pos, sr.pos + sr.len))
+    if local_ivs:
+        dat = _local_copy_kernel(dat, [local_ivs], interpret)
     return dat
 
 
