@@ -276,14 +276,18 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 sem.at[slot]))
         return cps
 
-    def _compute(kslab, j0=None, jout=None):
-        """kslab: [BK+lo0+hi0, >= j0+jout+hi-radius, BIROW] -> one level
-        row [BK, jout, BIROW]; ``j0`` is the kslab j coordinate of the
-        output's first element (defaults: the classic owned row)."""
+    def _compute(kslab, j0=None, jout=None, base=None, nrows=None):
+        """Evaluate ``nrows`` output k-rows from ``kslab`` (any row
+        extent covering [base - lo0, base + nrows + hi0)); ``j0`` is the
+        kslab j coordinate of the output's first element."""
         if j0 is None:
             j0 = BJ
         if jout is None:
             jout = TJ * BJ
+        if base is None:
+            base = lo[0]
+        if nrows is None:
+            nrows = BK
         if lin is not None:
             wdefs, vmap_, (jlo_r, jhi_r) = lin
             JE = jout + jlo_r + jhi_r
@@ -294,7 +298,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 if dks not in kcache:
                     v = None
                     for dk in dks:
-                        s = kslab[lo[0] + dk:lo[0] + dk + BK,
+                        s = kslab[base + dk:base + dk + nrows,
                                   j0 - jlo_r:j0 - jlo_r + JE, :]
                         v = s if v is None else v + s
                     kcache[dks] = v
@@ -323,7 +327,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
         def read_tap(_name, offs_edsl):
             offs = _np_offsets(offs_edsl, 3)
-            v = kslab[lo[0] + offs[0]:lo[0] + offs[0] + BK,
+            v = kslab[base + offs[0]:base + offs[0] + nrows,
                       j0 + offs[1]:j0 + offs[1] + jout, :]
             if offs[2]:
                 v = pltpu.roll(v, (-offs[2]) % BIROW, 2)
@@ -374,41 +378,77 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 cp.wait()
 
             # --- fused-level machinery ---------------------------------
-            def win_row(a):
+            def win_row(a, rs=slice(None)):
                 # absolute grid row -> window slot (content edge-clamped
                 # by _row_copies, so no index clipping needed)
-                return win[(a + F - K0) % NW]
+                return win[(a + F - K0) % NW, rs]
 
-            def lvl_row(f, x):
+            def lvl_row(f, x, rs=slice(None)):
                 xx = jnp.clip(x, lvlA[f], lvlB[f] - 1)
-                return rings[f - 1][xx % lvlS[f]]
+                return rings[f - 1][xx % lvlS[f], rs]
 
-            def compute_level(f, x):
+            lo0, hi0 = lo[0], hi[0]
+            # banded compute: interior output rows read ONLY the center
+            # row (no kslab concat — the concat's full-row copy was the
+            # single largest VPU cost per fused level); thin boundary
+            # bands concat only radius-deep pieces
+            banded = BK >= lo0 + hi0 and (lo0 or hi0)
+
+            def compute_level(f, x, write):
                 """Level-f row x from level f-1 (f==1 reads the input
-                window); f==F emits the output row."""
+                window); emits output row bands via ``write(r0, r1, v)``."""
                 src = (win_row if f == 1
-                       else (lambda a, g=f - 1: lvl_row(g, a)))
-                pieces = []
-                if lo[0]:
-                    pieces.append(src(x - 1)[BK - lo[0]:, :, :])
-                pieces.append(src(x))
-                if hi[0]:
-                    pieces.append(src(x + 1)[:hi[0], :, :])
-                kslab = (jnp.concatenate(pieces, axis=0)
-                         if len(pieces) > 1 else pieces[0])
-                if f == 1 and compute_dtype != dtype:
-                    kslab = kslab.astype(compute_dtype)
+                       else (lambda a, rs=slice(None), g=f - 1:
+                             lvl_row(g, a, rs)))
+
+                def cast(v):
+                    return (v.astype(compute_dtype)
+                            if f == 1 and compute_dtype != dtype else v)
+
                 elo = ext_lo[f] if f <= F else 0
                 ehi = ext_hi[f] if f <= F else 0
                 j0 = (BJ - elo) if f == 1 else (ext_lo[f - 1] - elo)
-                return _compute(kslab, j0, TJ * BJ + elo + ehi)
+                jout = TJ * BJ + elo + ehi
+                if not banded:
+                    pieces = []
+                    if lo0:
+                        pieces.append(cast(src(x - 1,
+                                              slice(BK - lo0, BK))))
+                    pieces.append(cast(src(x)))
+                    if hi0:
+                        pieces.append(cast(src(x + 1, slice(0, hi0))))
+                    kslab = (jnp.concatenate(pieces, axis=0)
+                             if len(pieces) > 1 else pieces[0])
+                    write(0, BK, _compute(kslab, j0, jout, lo0, BK))
+                    return
+                cur = cast(src(x))
+                mid0, mid1 = lo0, BK - hi0
+                if mid1 > mid0:
+                    write(mid0, mid1,
+                          _compute(cur, j0, jout, lo0, mid1 - mid0))
+                if lo0:
+                    piece = jnp.concatenate(
+                        [cast(src(x - 1, slice(BK - lo0, BK))),
+                         cur[:lo0 + hi0]], axis=0)
+                    write(0, lo0, _compute(piece, j0, jout, lo0, lo0))
+                if hi0:
+                    piece = jnp.concatenate(
+                        [cur[BK - hi0 - lo0:],
+                         cast(src(x + 1, slice(0, hi0)))], axis=0)
+                    write(mid1, BK,
+                          _compute(piece, j0, jout, lo0, hi0))
+
+            def ring_writer(f, x):
+                def wr(r0, r1, v):
+                    rings[f - 1][x % lvlS[f], r0:r1] = v
+                return wr
 
             # warmup: prime each level's backlog (static rows)
             @pl.when(t == 0)
             def _():
                 for f in range(1, F):
                     for x in range(lvlA[f], K0 + (F - f)):
-                        rings[f - 1][x % lvlS[f]] = compute_level(f, x)
+                        compute_level(f, x, ring_writer(f, x))
 
             # cadence: one row per intermediate level per step
             for f in range(1, F):
@@ -416,11 +456,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
                 @pl.when(x < lvlB[f])
                 def _(f=f, x=x):
-                    rings[f - 1][x % lvlS[f]] = compute_level(f, x)
-
-            out_row = compute_level(F, K0 + t)
-            if compute_dtype != dtype:
-                out_row = out_row.astype(dtype)
+                    compute_level(f, x, ring_writer(f, x))
 
             def _out_copies(tt, parity):
                 cps = []
@@ -433,12 +469,18 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 return cps
 
             # wait the out-DMAs issued two steps ago from this tout slot
+            # BEFORE the final level writes its bands into the slot
             @pl.when(t >= 2)
             def _():
                 for cp in _out_copies(t - 2, t % 2):
                     cp.wait()
 
-            tout[t % 2] = out_row
+            def out_writer(r0, r1, v):
+                if compute_dtype != dtype:
+                    v = v.astype(dtype)
+                tout[t % 2, r0:r1] = v
+
+            compute_level(F, K0 + t, out_writer)
             for cp in _out_copies(t, t % 2):
                 cp.start()
 
