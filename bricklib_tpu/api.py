@@ -112,22 +112,35 @@ class Problem:
                 j = (1, GJg - 1) if 1 in table_axes else (skip, GJg - skip)
                 return dict(k_range=k, j_range=j)
 
+            # auto temporal fusion: iterate in VMEM when profitable —
+            # memory-bound stencils (few taps) with a fuse that divides
+            # st_iter and fits the one-pencil j-halo
+            fuse = 1
+            if len(self.sdef.taps) <= 7:
+                for cand in (4, 2):
+                    if (self.st_iter % cand == 0 and cand * rad <= bd[1]
+                            and cand * rad <= bd[0]):
+                        fuse = cand
+                        break
+            fkw = dict(fuse=fuse) if fuse > 1 else {}
+            self.fuse = fuse
             kern = pallas_pencil_sweep(self.sdef, kgrid, bd, dec.nbricks,
-                                       self.params, **_rng(1))
+                                       self.params, **_rng(1), **fkw)
             kern_ghost = None
-            if self.st_iter > 1 and distributed:
+            if self.st_iter > fuse and distributed:
                 # deep-ghost ST_ITER: one exchange amortizes over
                 # st_iter sweeps (ref: weak/main.cpp:203-212)
                 kern_ghost = pallas_pencil_sweep(
                     self.sdef, kgrid, bd, dec.nbricks, self.params,
-                    **_rng(0))
+                    **_rng(0), **fkw)
 
             def one(d):
                 if distributed:
                     d = exchange_shift(d, dec, names, msh,
                                        table_axes=table_axes)
-                for it in range(self.st_iter):
-                    last = it == self.st_iter - 1
+                nsweeps = self.st_iter // fuse
+                for it in range(nsweeps):
+                    last = it == nsweeps - 1
                     d = kern(d) if (last or kern_ghost is None) \
                         else kern_ghost(d)
                 return d

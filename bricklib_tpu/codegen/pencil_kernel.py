@@ -51,7 +51,6 @@ from .evaluate import resolve_const_from_params
 from .ir import StencilIR  # noqa: F401 (re-exported for callers)
 from .jnp_backend import _as_ir, _np_offsets, _run
 
-W = 4  # window slots: k-1, k, k+1 + one prefetch in flight
 
 
 def pallas_pencil_sweep(stencil, grid: np.ndarray,

@@ -94,8 +94,11 @@ def copy_to_bricks_f32(arr, grid, bdims, dat, offset=0) -> bool:
             and arr.flags.c_contiguous and dat.flags.c_contiguous):
         return False
     grid = np.ascontiguousarray(grid, dtype=np.int32)
+    # `keep` holds the shape arrays the arg pointers alias — it must
+    # stay alive across the foreign call
     args, keep = _copy_args(arr, grid, bdims, dat, offset)
     lib.copy_to_bricks_f32(*args)
+    del keep
     return True
 
 
@@ -110,6 +113,7 @@ def copy_from_bricks_f32(arr, grid, bdims, dat, offset=0) -> bool:
     grid = np.ascontiguousarray(grid, dtype=np.int32)
     args, keep = _copy_args(arr, grid, bdims, dat, offset)
     lib.copy_from_bricks_f32(*args)
+    del keep
     return True
 
 
