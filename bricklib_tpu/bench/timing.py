@@ -44,14 +44,27 @@ def _sync(x):
 
 
 def time_func(fn, *args, tot_time: float = TOT_TIME,
-              chain: bool | None = None) -> float:
+              chain: bool | None = None, inner: int = 1) -> float:
     """Average seconds per call, geometric repeat until >= tot_time of
     measurement (compile/warm-up excluded).
 
     When the function maps an array to one of the same shape/dtype, the
     repeat loop CHAINS (out = fn(out)) so every call is data-dependent —
     repeated same-input jit calls are not trustworthy timing on this
-    runtime."""
+    runtime.  ``inner`` > 1 additionally wraps ``inner`` chained calls
+    inside ONE jit (requires chainability): per-dispatch overhead on
+    the tunnel is ~1-2 ms and would otherwise be measured as kernel
+    time."""
+    if inner > 1:
+        import jax
+
+        base = fn
+
+        def fn(x):
+            for _ in range(inner):
+                x = base(x)
+            return x
+        fn = jax.jit(fn)
     out0 = fn(*args)
     _sync(out0)  # warm-up / compile
     if chain is None:
@@ -60,6 +73,8 @@ def time_func(fn, *args, tot_time: float = TOT_TIME,
                      args[0], "shape", ()) != ()
                  and getattr(out0, "dtype", None) == getattr(
                      args[0], "dtype", None))
+    if inner > 1 and not chain:
+        raise ValueError("inner>1 needs a chainable array->array fn")
     it = 1
     seed = out0
     while True:
@@ -76,7 +91,7 @@ def time_func(fn, *args, tot_time: float = TOT_TIME,
         _sync(out)
         elapsed = time.perf_counter() - st
         if elapsed >= tot_time or it > 1 << 20:
-            return elapsed / it
+            return elapsed / it / inner
         it = it * 2 if elapsed < tot_time / 2 else max(
             it + 1, int(it * tot_time / max(elapsed, 1e-9)) + 1)
 
