@@ -10,11 +10,14 @@ laid out anyway), and i-taps become in-register lane rolls with periodic
 wrap — the Pallas analog of the reference's dev_shl funnel shift across
 brick boundaries (include/dev_shl.h:11-64).
 
-The k axis streams: grid = (j-tiles, k rows) with k fastest; a 4-slot
-rolling VMEM window holds brick rows [k-1, k, k+1, prefetch(k+2)], so
-every brick row is read from HBM exactly once per sweep (no k-halo
-re-reads) and the next row's DMA overlaps the current row's compute
-(double buffering, cf. pallas_guide 'Patterns: Double Buffering').
+The k axis streams: grid = (batch, j-tiles, k rows) with k fastest; a
+rolling VMEM window holds the live brick rows so every row is read from
+HBM exactly once per sweep (no k-halo re-reads) and the next row's DMA
+overlaps the current row's compute (double buffering, cf. pallas_guide
+'Patterns: Double Buffering').  Per-level compute is BANDED: interior
+output rows read only the center slot (pure slices); radius-thin
+boundary bands assemble tiny 2-piece concats — the full-row halo concat
+was the single largest VPU cost per row.
 
 :func:`pallas_pencil_sweep` computes an arbitrary rectangular sub-range
 of the brick grid; windows clamp at the table edge.  This one emitter
@@ -30,7 +33,13 @@ provides every schedule the drivers need:
 - interior/ring partial sweeps (in-place via ``out_prev`` aliasing) so a
   driver can compute ghost-independent rows concurrently with the
   ppermute exchange — the sep_pos interior/boundary overlap
-  (ref: brick-mpi.h:196; weak/main.cu:251-291).
+  (ref: brick-mpi.h:196; weak/main.cu:251-291),
+- batched sweeps over the strong-scaling subdomain stacks
+  (``batch``/``batch_stride``, ref: strong/main.cpp:37-50),
+- temporally FUSED sweeps (``fuse=F``): F stencil iterations per HBM
+  pass, intermediates in per-level VMEM rings — per-iteration memory
+  traffic divides by F until the VPU saturates (F=4 optimal for 7pt:
+  1.54x the copy roofline per iteration at 512^3).
 
 Works on any layout whose grid table has i-extent 1 (one pencil per
 (k, j) cell): dense init_grid or BrickDecomp with ghost_depth[i] = 0.
