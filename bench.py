@@ -28,17 +28,22 @@ import sys
 import time
 
 
+def _barrier(out):
+    """Scalar-readback execution barrier (block_until_ready is not one
+    on this runtime).  Indexes element (0,...,0) — a ravel/sum here
+    would dispatch a full-array relayout copy inside the timed region."""
+    float(out[(0,) * out.ndim])
+
+
 def chain(fn, x, it):
     """(avg seconds, last output) for a dependent chain with a scalar
     readback barrier; donation-safe (never reuses a consumed buffer)."""
-    import jax.numpy as jnp
-
     out = fn(x)
-    float(jnp.sum(out.ravel()[:1]))
+    _barrier(out)
     t0 = time.perf_counter()
     for _ in range(it):
         out = fn(out)
-    float(jnp.sum(out.ravel()[:1]))
+    _barrier(out)
     return (time.perf_counter() - t0) / it, out
 
 
@@ -75,12 +80,16 @@ def main():
     # per-call dispatch on the tunnel costs ~1-2 ms and would otherwise
     # pollute both sides of the ratio.  Pallas calls cannot be composed
     # by XLA, so the loop measures R true passes.
+    # donation policy (CLAUDE.md rule 8, re-measured in-jit this round):
+    # donate ONLY the step containing the in-place exchange (helps
+    # ~0.25 ms/iter); donating pure-output sweep chains COSTS
+    # ~0.24 ms/iter on this runtime
     def rep(f, r=R):
         def g(d):
             for _ in range(r):
                 d = f(d)
             return d
-        return jax.jit(g, donate_argnums=0)
+        return jax.jit(g)
 
     tgrid = dec.periodic_grid((0, 1, 2))
     k7 = rep(pallas_pencil_sweep(
@@ -117,7 +126,7 @@ def main():
             d = g_ghost(d)
         return g_skip(d)
 
-    noex = jax.jit(noex_step, donate_argnums=0)
+    noex = jax.jit(noex_step)   # pure-output: no donation (rule 8)
 
     # composition-immune roofline: Pallas DMA copy of the same storage
     def copy_kernel(dat_ref, out_ref, sem):

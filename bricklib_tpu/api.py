@@ -147,7 +147,10 @@ class Problem:
         else:
             from .codegen import brick_apply
 
-            if (any(m > 1 for m in msh)
+            # the jnp path exchanges real finite-depth ghost bricks on
+            # EVERY device count (no table periodicity), so the
+            # deep-ghost validity bound applies even at mesh=(1,1,1)
+            if (self.st_iter > 1
                     and self.st_iter * rad > min(g for g in self.ghost
                                                  if g)):
                 raise ValueError("st_iter x radius exceeds ghost depth")

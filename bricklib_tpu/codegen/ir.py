@@ -78,6 +78,60 @@ def linear_decomposition(rhs: Expr):
     return [(key, groups[key][0], groups[key][1]) for key in order]
 
 
+def fold_linear(ir: "StencilIR", resolve):
+    """Fold a linear stencil innermost-cost-first for the Pallas
+    emitters (the VMEM-era form of the reference codegen's reduction
+    grouping + greedy shift selection, codegen/st/codegen/base.py:
+    conv_reduction/optGreedy).  Shifts distribute over sums and the
+    three shift kinds have very different TPU costs — outer-dim slices
+    are free, sublane (j) realignments cheap, lane (i) rolls move the
+    whole row through the VPU — so:
+
+      W[dj,di] = Σ_outer c·slice(outer offsets)   (free slices, MACs)
+      V[di]    = Σ_dj jshift(W[dj,di], dj)        (one realign per dj)
+      out      = Σ_di ishift(V[di], di)           (ONE op per distinct di)
+
+    Returns ``(wdefs, vmap, jneed)`` or None for non-linear stencils:
+    ``wdefs[wid] = [(coeff, (outer_offsets...,)), ...]`` with outer
+    offsets outermost-first (3-D: ``(dk,)``; 4-D: ``(dw, dk)``),
+    ``vmap[di] = ((dj, wid), ...)``, ``jneed = (jlo, jhi)``.
+    Coefficients resolve to trace-time constants; identical k-profiles
+    share a W, identical j-structures share a V (±di symmetry).
+    """
+    if ir.linear is None:
+        return None
+    C: dict = {}
+    for _key, cexpr, taps in ir.linear:
+        c = float(resolve(cexpr.name)) if hasattr(
+            cexpr, "name") else float(cexpr.val)
+        for sign, _gname, offs in taps:
+            key = (tuple(reversed(offs[2:])), offs[1], offs[0])
+            C[key] = C.get(key, 0.0) + (c if sign > 0 else -c)
+    kprof: dict = {}
+    for (free, dj, di), c in C.items():
+        kprof.setdefault((dj, di), []).append((free, c))
+    wdefs: list = []
+    wkey_to_id: dict = {}
+    wid_of: dict = {}
+    for col, terms in kprof.items():
+        by_c: dict = {}
+        for fr, c in sorted(terms):
+            by_c.setdefault(c, []).append(fr)
+        wkey = tuple(sorted((c, tuple(frs))
+                            for c, frs in by_c.items()))
+        if wkey not in wkey_to_id:
+            wkey_to_id[wkey] = len(wdefs)
+            wdefs.append(list(wkey))
+        wid_of[col] = wkey_to_id[wkey]
+    vterms: dict = {}
+    for (dj, di), wid in wid_of.items():
+        vterms.setdefault(di, []).append((dj, wid))
+    djs = [dj for (dj, _di) in wid_of]
+    jneed = (max(0, -min(djs)), max(0, max(djs)))
+    return (wdefs, {di: tuple(sorted(t)) for di, t in vterms.items()},
+            jneed)
+
+
 @dataclass
 class StencilIR:
     """Analyzed stencil ready for an emitter."""

@@ -157,41 +157,12 @@ def pallas_brick_stencil(stencil, grid: np.ndarray, bdims: Sequence[int],
     from .evaluate import resolve_const_from_params as _res
     resolve = _res(params)
 
-    # hierarchical factorization, i handled like j (slices of the
-    # assembled row instead of lane rolls) — see pencil_kernel.py
-    lin = None
-    if ir.linear is not None:
-        C: dict = {}
-        for _key, cexpr, taps in ir.linear:
-            c = float(resolve(cexpr.name)) if hasattr(
-                cexpr, "name") else float(cexpr.val)
-            for sign, _g, offs in taps:
-                dk, dj, di = offs[2], offs[1], offs[0]
-                C[(dk, dj, di)] = C.get((dk, dj, di), 0.0) + (
-                    c if sign > 0 else -c)
-        kprof: dict = {}
-        for (dk, dj, di), c in C.items():
-            kprof.setdefault((dj, di), []).append((dk, c))
-        wid_of: dict = {}
-        wdefs: list = []
-        wkey_to_id: dict = {}
-        for col, terms in kprof.items():
-            by_c: dict = {}
-            for dk, c in sorted(terms):
-                by_c.setdefault(c, []).append(dk)
-            wkey = tuple(sorted((c, tuple(dks))
-                                for c, dks in by_c.items()))
-            if wkey not in wkey_to_id:
-                wkey_to_id[wkey] = len(wdefs)
-                wdefs.append(list(wkey))
-            wid_of[col] = wkey_to_id[wkey]
-        vterms: dict = {}
-        for (dj, di), wid in wid_of.items():
-            vterms.setdefault(di, []).append((dj, wid))
-        djs = [dj for (dj, _di) in wid_of]
-        jneed = (max(0, -min(djs)), max(0, max(djs)))
-        lin = (wdefs, {di: tuple(sorted(t)) for di, t in vterms.items()},
-               jneed)
+    # hierarchical factorization shared by every Pallas emitter
+    # (codegen.ir.fold_linear); i is handled like j here (slices of the
+    # assembled row instead of lane rolls)
+    from .ir import fold_linear
+
+    lin = fold_linear(ir, resolve)
 
     isz = np.dtype(dtype).itemsize
     csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
@@ -257,7 +228,7 @@ def pallas_brick_stencil(stencil, grid: np.ndarray, bdims: Sequence[int],
             def ksum(dks):
                 if dks not in kcache:
                     v = None
-                    for dk in dks:
+                    for (dk,) in dks:
                         s = kslab[lo[0] + dk:lo[0] + dk + BK,
                                   BJ - jlo_r:BJ - jlo_r + JE,
                                   ibase - ilo_r:ibase - ilo_r + IE]

@@ -57,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .evaluate import resolve_const_from_params
-from .ir import StencilIR  # noqa: F401 (re-exported for callers)
+from .ir import StencilIR, fold_linear  # noqa: F401 (re-exported)
 from .jnp_backend import _as_ir, _np_offsets, _run
 
 
@@ -164,6 +164,14 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             raise ValueError(
                 f"fuse {F} x j-radius exceeds the one-pencil window "
                 f"halo (BJ={BJ})")
+        if F * lo[0] > BK or F * hi[0] > BK:
+            # intermediate levels substitute brick-clamped windows for
+            # the missing beyond-table rows; that contamination grows
+            # radius elements per level and must stay inside one brick
+            # row (same bound as deep-ghost ST_ITER validity)
+            raise ValueError(
+                f"fuse {F} x k-radius exceeds the brick row depth "
+                f"(BK={BK})")
     # fused-level bookkeeping: level f in [1, F) holds intermediate
     # iteration f; level F is the output. Ranges in grid rows; j
     # extensions in elements.
@@ -179,52 +187,9 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     def _roll_i(v, di):
         return pltpu.roll(v, (-di) % BIROW, 2) if di else v
 
-    # Hierarchical axis factorization (the VMEM-era form of the reference
-    # codegen's reduction grouping, codegen/st/codegen/base.py:
-    # conv_reduction + optGreedy).  Shifts distribute over sums, and the
-    # three shift kinds have very different costs on TPU — k-slices are
-    # free (outer dim), j sublane realignments cheap, i lane rolls move
-    # the whole row through the VPU — so fold coefficients innermost-
-    # cost-first:
-    #   W[dj,di] = Σ_dk c(dk,dj,di)·kslice(dk)   (free slices, MACs)
-    #   V[di]    = Σ_dj jshift(W[dj,di], dj)     (one realign per dj)
-    #   out      = Σ_di roll_i(V[di], di)        (ONE roll per distinct di)
-    # 125pt: 24 rolls → 4, plus shared k-pair sums across profiles.
-    lin = None
-    if ir.linear is not None:
-        C: dict = {}
-        for _key, cexpr, taps in ir.linear:
-            c = float(resolve(cexpr.name)) if hasattr(
-                cexpr, "name") else float(cexpr.val)
-            for sign, _gname, offs in taps:
-                dk, dj, di = offs[2], offs[1], offs[0]  # eDSL -> (k,j,i)
-                C[(dk, dj, di)] = C.get((dk, dj, di), 0.0) + (
-                    c if sign > 0 else -c)
-        # k-profile per (dj, di) column; identical profiles share W
-        kprof: dict = {}
-        for (dk, dj, di), c in C.items():
-            kprof.setdefault((dj, di), []).append((dk, c))
-        wid_of: dict = {}       # (dj, di) -> W id
-        wdefs: list = []        # W id -> [(coeff, (dk, ...) slice-sum)]
-        wkey_to_id: dict = {}
-        for col, terms in kprof.items():
-            by_c: dict = {}
-            for dk, c in sorted(terms):
-                by_c.setdefault(c, []).append(dk)
-            wkey = tuple(sorted((c, tuple(dks))
-                                for c, dks in by_c.items()))
-            if wkey not in wkey_to_id:
-                wkey_to_id[wkey] = len(wdefs)
-                wdefs.append(list(wkey))
-            wid_of[col] = wkey_to_id[wkey]
-        # j-structure per di; identical structures share V
-        vterms: dict = {}
-        for (dj, di), wid in wid_of.items():
-            vterms.setdefault(di, []).append((dj, wid))
-        djs = [dj for (dj, _di) in wid_of]
-        jneed = (max(0, -min(djs)), max(0, max(djs)))
-        lin = (wdefs, {di: tuple(sorted(t)) for di, t in vterms.items()},
-               jneed)
+    # hierarchical axis factorization shared by every Pallas emitter
+    # (see codegen.ir.fold_linear): 125pt drops to 4 lane rolls
+    lin = fold_linear(ir, resolve)
 
     # --- VMEM-budget tile selection (the surviving form of the
     # reference codegen's MSIZE/THRES machinery, base.py:445-519):
@@ -305,7 +270,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             def ksum(dks):
                 if dks not in kcache:
                     v = None
-                    for dk in dks:
+                    for (dk,) in dks:
                         s = kslab[base + dk:base + dk + nrows,
                                   j0 - jlo_r:j0 - jlo_r + JE, :]
                         v = s if v is None else v + s

@@ -100,41 +100,11 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     def _roll_i(v, di):
         return pltpu.roll(v, (-di) % BIROW, 3) if di else v
 
-    # hierarchical factorization: (dw, dk) free slices -> W[dj,di],
-    # j-shifts -> V[di], one roll per distinct di
-    lin = None
-    if ir.linear is not None:
-        C: dict = {}
-        for _key, cexpr, taps in ir.linear:
-            c = float(resolve(cexpr.name)) if hasattr(
-                cexpr, "name") else float(cexpr.val)
-            for sign, _g, offs in taps:
-                dw, dk, dj, di = offs[3], offs[2], offs[1], offs[0]
-                key = (dw, dk, dj, di)
-                C[key] = C.get(key, 0.0) + (c if sign > 0 else -c)
-        kprof: dict = {}
-        for (dw, dk, dj, di), c in C.items():
-            kprof.setdefault((dj, di), []).append(((dw, dk), c))
-        wid_of: dict = {}
-        wdefs: list = []
-        wkey_to_id: dict = {}
-        for col, terms in kprof.items():
-            by_c: dict = {}
-            for wk, c in sorted(terms):
-                by_c.setdefault(c, []).append(wk)
-            wkey = tuple(sorted((c, tuple(wks))
-                                for c, wks in by_c.items()))
-            if wkey not in wkey_to_id:
-                wkey_to_id[wkey] = len(wdefs)
-                wdefs.append(list(wkey))
-            wid_of[col] = wkey_to_id[wkey]
-        vterms: dict = {}
-        for (dj, di), wid in wid_of.items():
-            vterms.setdefault(di, []).append((dj, wid))
-        djs = [dj for (dj, _di) in wid_of]
-        jneed = (max(0, -min(djs)), max(0, max(djs)))
-        lin = (wdefs, {di: tuple(sorted(t)) for di, t in vterms.items()},
-               jneed)
+    # hierarchical factorization shared by every Pallas emitter
+    # (codegen.ir.fold_linear); here the free outer offsets are (dw, dk)
+    from .ir import fold_linear
+
+    lin = fold_linear(ir, resolve)
 
     # VMEM-budget j-tile (same model as 3-D, with the w extent folded in)
     isz = np.dtype(dtype).itemsize

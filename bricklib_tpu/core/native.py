@@ -70,6 +70,23 @@ def load_library():
         return _lib
 
 
+def _copy_ok(arr, grid, bdims, dat, offset) -> bool:
+    """Validate what the C side cannot: shape agreement and bounds
+    (the numpy fallback would raise cleanly; a foreign call would
+    corrupt memory)."""
+    if dat.ndim != 2 or arr.ndim != len(bdims) or grid.ndim != len(bdims):
+        return False
+    if arr.shape != tuple(g * b for g, b in zip(grid.shape, bdims)):
+        return False
+    belems = int(np.prod(bdims))
+    if offset < 0 or offset + belems > dat.shape[1]:
+        return False
+    if grid.size and (int(grid.max()) >= dat.shape[0]
+                      or int(grid.min()) < 0):
+        return False
+    return True
+
+
 def _copy_args(arr, grid, bdims, dat, offset):
     import ctypes as ct
 
@@ -94,6 +111,8 @@ def copy_to_bricks_f32(arr, grid, bdims, dat, offset=0) -> bool:
             and arr.flags.c_contiguous and dat.flags.c_contiguous):
         return False
     grid = np.ascontiguousarray(grid, dtype=np.int32)
+    if not _copy_ok(arr, grid, bdims, dat, offset):
+        return False
     # `keep` holds the shape arrays the arg pointers alias — it must
     # stay alive across the foreign call
     args, keep = _copy_args(arr, grid, bdims, dat, offset)
@@ -111,6 +130,8 @@ def copy_from_bricks_f32(arr, grid, bdims, dat, offset=0) -> bool:
             and arr.flags.c_contiguous and dat.flags.c_contiguous):
         return False
     grid = np.ascontiguousarray(grid, dtype=np.int32)
+    if not _copy_ok(arr, grid, bdims, dat, offset):
+        return False
     args, keep = _copy_args(arr, grid, bdims, dat, offset)
     lib.copy_from_bricks_f32(*args)
     del keep

@@ -162,3 +162,29 @@ def test_weak_driver_fused_deep_ghost():
     weak.run(dims=(32, 16, 32), bdim=(8, 8, 8), stencil="mpi7pt",
              st_iter=4, mesh_shape=(2, 1, 1), iters=1, validate=True,
              backend="pencil", fuse=2)
+
+
+def test_fuse_k_radius_guard():
+    """fuse x k-radius must fit the brick row depth: clamped-edge
+    contamination grows radius elements per fused level (review
+    finding: F=4, r=1, BK=2 silently corrupted owned rows)."""
+    from bricklib_tpu.comm import BrickDecomp, skin3d_good
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
+
+    dec = BrickDecomp(dims=(8, 32, 32), ghost_depth=(2, 8, 0),
+                      bdims=(2, 8, 32)).initialize(skin3d_good)
+    sd = stencil_by_name("s7pt")[0]
+    with pytest.raises(ValueError, match="k-radius"):
+        pallas_pencil_sweep(sd, dec.periodic_grid((0, 1, 2)),
+                            (2, 8, 32), dec.nbricks, PARAMS, fuse=4,
+                            interpret=True)
+
+
+def test_problem_single_device_deep_ghost_bound():
+    """The jnp path's ghost is finite on every device count; st_iter
+    beyond the validity bound must raise even at mesh=(1,1,1)."""
+    from bricklib_tpu.api import Problem
+
+    with pytest.raises(ValueError, match="ghost depth"):
+        Problem(dims=(8, 8, 16), stencil="mpi125pt", mesh=(1, 1, 1),
+                bdims=(4, 4, 8), backend="jnp", st_iter=8)
