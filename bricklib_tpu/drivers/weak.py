@@ -248,13 +248,20 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
                 d = one_iter(d, last=(it == st_iter - 1))
         return d
 
-    def exchange_only(d):
+    def step_noex(d):
+        """The step without its exchange — the exchange cost is
+        measured DIFFERENTIALLY (step - step_noex): timing the exchange
+        standalone pays a full per-dispatch overhead (~1-2 ms on this
+        runtime) and wildly overstates its share."""
         if pencil_fn is not None:
-            if len(table_axes) < nd:
-                d = exchange_shift(d, dec, names, mesh_shape,
-                                   table_axes=table_axes)
-        else:
-            d = do_exchange(d)
+            nsweeps = st_iter // fuse
+            for it in range(nsweeps):
+                last = it == nsweeps - 1
+                d = pencil_fn(d) if (last or pencil_ghost_fn is None) \
+                    else pencil_ghost_fn(d)
+            return d
+        for it in range(st_iter):
+            d = one_iter(d, last=(it == st_iter - 1))
         return d
 
     sharded = jax.device_put(jnp.asarray(stacked),
@@ -266,10 +273,10 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     don = dict(donate_argnums=0) if moves_data else {}
     if ndev > 1:
         step_j = jax.jit(shard_map(step, mesh, P_, P_), **don)
-        exch_j = jax.jit(shard_map(exchange_only, mesh, P_, P_), **don)
+        noex_j = jax.jit(shard_map(step_noex, mesh, P_, P_))
     else:
         step_j = jax.jit(step, **don)
-        exch_j = jax.jit(exchange_only, **don)
+        noex_j = jax.jit(step_noex)   # pure-output: no donation
 
     if validate:
         out = np.asarray(step_j(jnp.copy(sharded)))
@@ -342,12 +349,14 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
 
     avg, samples = time_mpi(step_j, jnp.copy(sharded), iters=iters)
     if not moves_data:
-        # all axes are table-periodic: there IS no exchange; timing the
-        # identity function only measures harness copies
+        # all axes are table-periodic: there IS no exchange
         avg_x, samples_x = 0.0, [0.0]
     else:
-        avg_x, samples_x = time_mpi(exch_j, jnp.copy(sharded),
-                                    iters=iters)
+        # marginal exchange cost: step minus the same step without its
+        # exchange (standalone timing pays per-dispatch overhead)
+        avg_nx, samples_x = time_mpi(noex_j, jnp.copy(sharded),
+                                     iters=iters)
+        avg_x = max(avg - avg_nx, 0.0)
 
     n_dev = int(np.prod(mesh_shape))
     elems = int(np.prod(gshape)) * st_iter
@@ -358,9 +367,10 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     print(f"perf  {elems / avg / 1e9:8.3f} GStencil/s "
           f"({avg * 1e3:.3f} ms/step)")
     if moves_data:
-        print(f"exchange {2 * ghost_bytes / max(avg_x, 1e-12) / 1e9:8.3f}"
-              f" GB/s ({avg_x * 1e3:.3f} ms), "
-              f"ghost {ghost_bytes / 1e6:.1f} MB")
+        print(f"exchange (marginal) {avg_x * 1e3:.3f} ms, "
+              f"ghost {ghost_bytes / 1e6:.1f} MB"
+              + (f", {2 * ghost_bytes / avg_x / 1e9:.1f} GB/s"
+                 if avg_x > 1e-9 else ""))
         print(f"exchange share of step: {avg_x / avg * 100:.1f}%")
     else:
         print("exchange: none (all axes periodic through the table)")
@@ -371,7 +381,7 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
               "movetime": 0.0, "calctime": max(avg - avg_x, 0.0)}
     print("  phases: " + "  ".join(f"{k} {v*1e3:.3f}ms"
                                    for k, v in phases.items()))
-    for nm, s in (("step", samples), ("exchange", samples_x)):
+    for nm, s in (("step", samples), ("step-noex", samples_x)):
         st = mpi_statistics(s)
         print(f"  {nm:9s} min {st['min']*1e3:7.3f} avg {st['avg']*1e3:7.3f} "
               f"max {st['max']*1e3:7.3f} sigma {st['sigma']*1e3:7.3f} ms")
