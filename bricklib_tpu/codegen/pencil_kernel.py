@@ -76,6 +76,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         batch: int = 1,
                         batch_stride: int | None = None,
                         fuse: int = 1,
+                        i_ghost: int = 0,
                         vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build a pencil sweep over grid rows ``k_range`` x pencils
     ``j_range`` (half-open, grid coords).
@@ -109,8 +110,15 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     neighbor — the stale-ring contamination semantics of the reference's
     garbage-brick reads (bricksetup.h:44-48).
 
-    ``grid``: brick-grid table, shape (GK, GJ) or (GK, GJ, 1);
-    ``bdims`` = (BK, BJ, BIROW) with BIROW the full per-device i extent.
+    ``grid``: brick-grid table, shape (GK, GJ) / (GK, GJ, 1) for the
+    pencil layout (full-i bricks, i-taps = periodic lane rolls) or
+    (GK, GJ, GI) with GI > 1 for i-BRICKED layouts (``i_ghost`` ghost
+    brick rings in i): each window row assembles all GI bricks
+    contiguously along the lane axis, so i-taps become static slices of
+    the assembled halo — the generic distributed-i mode (the assembled
+    halo plays the reference's dev_shl funnel-shift role,
+    dev_shl.h:11-64).  ``bdims`` = (BK, BJ, BI) with BI the per-brick i
+    width (the full per-device extent in pencil mode).
     ``dtype`` is the storage element type; with ``dtype=bfloat16`` HBM
     traffic halves and taps are accumulated in ``compute_dtype``.
     """
@@ -131,11 +139,24 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             f"of 128 and BJ a multiple of 8 on hardware, got "
             f"{(BK, BJ, BIROW)}; use the jnp backend for other folds")
     grid = np.asarray(grid)
+    GI = 1
     if grid.ndim == 3:
-        if grid.shape[2] != 1:
-            raise ValueError("pencil layout needs one brick per (k,j)")
-        grid = grid[:, :, 0]
-    GK, GJ = grid.shape
+        GI = grid.shape[2]
+        if GI == 1:
+            grid = grid[:, :, 0]
+    i_ghost = int(i_ghost)
+    islice = GI > 1
+    if islice and i_ghost < 1:
+        raise ValueError("i-bricked layouts (GI > 1) need i_ghost >= 1 "
+                         "ghost brick rings in i")
+    if not islice:
+        i_ghost = 0
+    BI = BIROW
+    RI = GI * BI                  # assembled row i extent
+    NIb = GI - 2 * i_ghost        # written i bricks
+    IW = NIb * BI                 # written i extent (elements)
+    I0 = i_ghost
+    GK, GJ = grid.shape[0], grid.shape[1]
     if k_range is None:
         k_range = (1, GK - 1)
     if j_range is None:
@@ -153,6 +174,8 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     lo, hi = ir.radius()
     if lo[0] > BK or hi[0] > BK or lo[1] > BJ or hi[1] > BJ:
         raise ValueError("stencil radius exceeds brick dims")
+    if islice and (lo[2] > BI or hi[2] > BI):
+        raise ValueError("stencil i-radius exceeds brick i width")
     F = int(fuse)
     if F < 1:
         raise ValueError("fuse must be >= 1")
@@ -172,6 +195,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             raise ValueError(
                 f"fuse {F} x k-radius exceeds the brick row depth "
                 f"(BK={BK})")
+        if islice and (F * lo[2] > I0 * BI or F * hi[2] > I0 * BI):
+            raise ValueError(
+                f"fuse {F} x i-radius exceeds the i-ghost depth "
+                f"({I0 * BI})")
     # fused-level bookkeeping: level f in [1, F) holds intermediate
     # iteration f; level F is the output. Ranges in grid rows; j
     # extensions in elements.
@@ -180,12 +207,16 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     lvlS = {f: 2 * (F - f) + 3 for f in range(1, F)}  # ring slots
     ext_lo = {f: (F - f) * lo[1] for f in range(1, F + 1)}
     ext_hi = {f: (F - f) * hi[1] for f in range(1, F + 1)}
+    iext_lo = {f: ((F - f) * lo[2] if islice else 0)
+               for f in range(1, F + 1)}
+    iext_hi = {f: ((F - f) * hi[2] if islice else 0)
+               for f in range(1, F + 1)}
     NW = 2 * F + 2              # window slots (warmup span + prefetch)
 
     resolve = resolve_const_from_params(params)
 
     def _roll_i(v, di):
-        return pltpu.roll(v, (-di) % BIROW, 2) if di else v
+        return pltpu.roll(v, (-di) % BI, 2) if di else v
 
     # hierarchical axis factorization shared by every Pallas emitter
     # (see codegen.ir.fold_linear): 125pt drops to 4 lane rolls
@@ -199,22 +230,24 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
 
     def vmem_estimate(tj: int) -> int:
-        row = BK * (tj + 2) * BJ * BIROW
+        row = BK * (tj + 2) * BJ * RI
         est = NW * row * isz                      # rolling window
-        est += 2 * BK * tj * BJ * BIROW * isz     # tout double buffer
-        est += (BK + lo[0] + hi[0]) * (tj + 2) * BJ * BIROW * csz  # kslab
+        est += 2 * BK * tj * BJ * IW * isz        # tout double buffer
+        est += (BK + lo[0] + hi[0]) * (tj + 2) * BJ * RI * csz  # kslab
         for f in range(1, F):                     # fused-level rings
             est += (lvlS[f] * BK
-                    * (tj * BJ + ext_lo[f] + ext_hi[f]) * BIROW * csz)
+                    * (tj * BJ + ext_lo[f] + ext_hi[f])
+                    * (IW + iext_lo[f] + iext_hi[f]) * csz)
+        ie = (lo[2] + hi[2]) if islice else 0
         if lin is not None:
             wdefs_, vmap_, (jl, jh) = lin
             nksum = len({dks for terms in wdefs_ for _c, dks in terms})
             nv = len(set(vmap_.values()))
             live = nksum + len(wdefs_) + nv + 2
-            ext = BK * (tj * BJ + jl + jh) * BIROW * csz
+            ext = BK * (tj * BJ + jl + jh) * (IW + ie) * csz
         else:
             live = min(len(ir.sdef.taps), 6) + 2
-            ext = BK * tj * BJ * BIROW * csz
+            ext = BK * tj * BJ * (IW + ie) * csz
         return est + live * ext
 
     if tile_j is None:
@@ -229,7 +262,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     JT = JC // TJ
     JW = TJ + 2                 # window pencils incl one each side
 
-    row_shape = (BK, JW * BJ, BIROW)
+    row_shape = (BK, JW * BJ, RI)
 
     def _clip(x, n):
         return jnp.clip(x, 0, n - 1)
@@ -237,22 +270,30 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     def _row_copies(ids_ref, dat_ref, win, sem, sb, jt, w, slot):
         """Copy descriptors loading window row w (rolling index; absolute
         grid row K0 - F + w, edge-clamped) for j-tile jt of batch sub
-        sb."""
+        sb.  In i-bricked mode all GI bricks of the row assemble
+        contiguously along the lane axis."""
         krow = _clip(K0 - F + w, GK)
         cps = []
         for cj in range(JW):
             jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
-            bid = ids_ref[sb * (GK * GJ) + krow * GJ + jcol]
-            cps.append(pltpu.make_async_copy(
-                dat_ref.at[bid],
-                win.at[slot, :, cj * BJ:(cj + 1) * BJ, :],
-                sem.at[slot]))
+            base = sb * (GK * GJ * GI) + (krow * GJ + jcol) * GI
+            for ci in range(GI):
+                cps.append(pltpu.make_async_copy(
+                    dat_ref.at[ids_ref[base + ci]],
+                    win.at[slot, :, cj * BJ:(cj + 1) * BJ,
+                           ci * BI:(ci + 1) * BI],
+                    sem.at[slot]))
         return cps
 
-    def _compute(kslab, j0=None, jout=None, base=None, nrows=None):
+    ilo_r, ihi_r = (lo[2], hi[2]) if islice else (0, 0)
+
+    def _compute(kslab, j0=None, jout=None, base=None, nrows=None,
+                 i0=None, iout=None):
         """Evaluate ``nrows`` output k-rows from ``kslab`` (any row
-        extent covering [base - lo0, base + nrows + hi0)); ``j0`` is the
-        kslab j coordinate of the output's first element."""
+        extent covering [base - lo0, base + nrows + hi0)); ``j0``/``i0``
+        are the kslab coordinates of the output's first element (i only
+        in i-bricked mode; pencil mode computes the full lane-roll
+        width)."""
         if j0 is None:
             j0 = BJ
         if jout is None:
@@ -261,6 +302,12 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             base = lo[0]
         if nrows is None:
             nrows = BK
+        if i0 is None:
+            i0 = I0 * BI
+        if iout is None:
+            iout = IW
+        isl = (slice(i0 - ilo_r, i0 + iout + ihi_r) if islice
+               else slice(None))
         if lin is not None:
             wdefs, vmap_, (jlo_r, jhi_r) = lin
             JE = jout + jlo_r + jhi_r
@@ -272,7 +319,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                     v = None
                     for (dk,) in dks:
                         s = kslab[base + dk:base + dk + nrows,
-                                  j0 - jlo_r:j0 - jlo_r + JE, :]
+                                  j0 - jlo_r:j0 - jlo_r + JE, isl]
                         v = s if v is None else v + s
                     kcache[dks] = v
                 return kcache[dks]
@@ -294,16 +341,19 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         sl = Ws[wid][:, jlo_r + dj:jlo_r + dj + jout, :]
                         V = sl if V is None else V + sl
                     vcache[terms] = V
-                t = _roll_i(V, di)
+                t = (V[:, :, ilo_r + di:ilo_r + di + iout] if islice
+                     else _roll_i(V, di))
                 out = t if out is None else out + t
             return out
 
         def read_tap(_name, offs_edsl):
             offs = _np_offsets(offs_edsl, 3)
             v = kslab[base + offs[0]:base + offs[0] + nrows,
-                      j0 + offs[1]:j0 + offs[1] + jout, :]
-            if offs[2]:
-                v = pltpu.roll(v, (-offs[2]) % BIROW, 2)
+                      j0 + offs[1]:j0 + offs[1] + jout,
+                      (slice(i0 + offs[2], i0 + offs[2] + iout)
+                       if islice else slice(None))]
+            if not islice and offs[2]:
+                v = _roll_i(v, offs[2])
             return v
 
         return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
@@ -382,6 +432,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 ehi = ext_hi[f] if f <= F else 0
                 j0 = (BJ - elo) if f == 1 else (ext_lo[f - 1] - elo)
                 jout = TJ * BJ + elo + ehi
+                eilo, eihi = iext_lo[f], iext_hi[f]
+                i0 = ((I0 * BI - eilo) if f == 1
+                      else (iext_lo[f - 1] - eilo))
+                iout = IW + eilo + eihi
                 if not banded:
                     pieces = []
                     if lo0:
@@ -392,24 +446,28 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         pieces.append(cast(src(x + 1, slice(0, hi0))))
                     kslab = (jnp.concatenate(pieces, axis=0)
                              if len(pieces) > 1 else pieces[0])
-                    write(0, BK, _compute(kslab, j0, jout, lo0, BK))
+                    write(0, BK, _compute(kslab, j0, jout, lo0, BK,
+                                          i0, iout))
                     return
                 cur = cast(src(x))
                 mid0, mid1 = lo0, BK - hi0
                 if mid1 > mid0:
                     write(mid0, mid1,
-                          _compute(cur, j0, jout, lo0, mid1 - mid0))
+                          _compute(cur, j0, jout, lo0, mid1 - mid0,
+                                   i0, iout))
                 if lo0:
                     piece = jnp.concatenate(
                         [cast(src(x - 1, slice(BK - lo0, BK))),
                          cur[:lo0 + hi0]], axis=0)
-                    write(0, lo0, _compute(piece, j0, jout, lo0, lo0))
+                    write(0, lo0, _compute(piece, j0, jout, lo0, lo0,
+                                           i0, iout))
                 if hi0:
                     piece = jnp.concatenate(
                         [cur[BK - hi0 - lo0:],
                          cast(src(x + 1, slice(0, hi0)))], axis=0)
                     write(mid1, BK,
-                          _compute(piece, j0, jout, lo0, hi0))
+                          _compute(piece, j0, jout, lo0, hi0,
+                                   i0, iout))
 
             def ring_writer(f, x):
                 def wr(r0, r1, v):
@@ -434,11 +492,14 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             def _out_copies(tt, parity):
                 cps = []
                 for cj in range(TJ):
-                    bid = ids_ref[sb * (GK * GJ) + (K0 + tt) * GJ
-                                  + J0 + jt * TJ + cj]
-                    cps.append(pltpu.make_async_copy(
-                        tout.at[parity, :, cj * BJ:(cj + 1) * BJ, :],
-                        out_ref.at[bid], osem.at[parity]))
+                    base = (sb * (GK * GJ * GI)
+                            + ((K0 + tt) * GJ + J0 + jt * TJ + cj) * GI)
+                    for ci in range(NIb):
+                        cps.append(pltpu.make_async_copy(
+                            tout.at[parity, :, cj * BJ:(cj + 1) * BJ,
+                                    ci * BI:(ci + 1) * BI],
+                            out_ref.at[ids_ref[base + I0 + ci]],
+                            osem.at[parity]))
                 return cps
 
             # wait the out-DMAs issued two steps ago from this tout slot
@@ -466,7 +527,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
         return kernel
 
-    nelems = batch * KC * BK * JC * BJ * BIROW
+    nelems = batch * KC * BK * JC * BJ * IW
     cost = pl.CostEstimate(
         flops=ir.flops_per_element() * nelems * F,
         bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
@@ -477,7 +538,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     ring_shapes = [
         pltpu.VMEM((lvlS[f], BK, TJ * BJ + ext_lo[f] + ext_hi[f],
-                    BIROW), compute_dtype)
+                    IW + iext_lo[f] + iext_hi[f]), compute_dtype)
         for f in range(1, F)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -486,7 +547,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((NW,) + row_shape, dtype),
-            pltpu.VMEM((2, BK, TJ * BJ, BIROW), dtype),
+            pltpu.VMEM((2, BK, TJ * BJ, IW), dtype),
         ] + ring_shapes + [
             pltpu.SemaphoreType.DMA((NW,)),
             pltpu.SemaphoreType.DMA((2,)),
