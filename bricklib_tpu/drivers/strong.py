@@ -37,18 +37,20 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
     lo, hi = sd.radius()
     rad = max(max(lo), max(hi))
     if backend == "auto":
-        backend = ("pencil" if sdom[2] == dom[2] and mesh_shape[2] == 1
-                   else "jnp")
-    if backend == "pencil":
-        if sdom[2] != dom[2] or mesh_shape[2] != 1:
-            raise ValueError("pencil strong path needs the i axis "
-                             "unsplit: sdom[2] == dom[2], mesh[2] == 1")
+        backend = "pencil"
+    cubic = backend == "pencil" and (sdom[2] != dom[2]
+                                     or mesh_shape[2] != 1)
+    if backend == "pencil" and not cubic:
         bdim = (bdim[0], bdim[1], sdom[2])
         gz = (bdim[0], bdim[1], 0)
         if st_iter * rad > min(bdim[0], bdim[1]):
             raise ValueError("st_iter x radius exceeds ghost depth")
     else:
         gz = tuple(bdim)
+        if cubic and st_iter > 1:
+            # the i-bricked sweep has no ghost-inclusive i mode yet:
+            # cubic subdomains exchange before every iteration
+            pass
     plan = StrongDecomp(dom=dom, sdom=sdom, mesh_shape=mesh_shape,
                         bdims=bdim, ghost_depth=gz).initialize(skin3d_good)
     sdec = plan.sdec
@@ -82,20 +84,40 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
 
         if st_iter % fuse:
             raise ValueError("st_iter must be a multiple of fuse")
-        kgrid = sdec.periodic_grid((2,))
-        GKs, GJs = kgrid.shape[0], kgrid.shape[1]
-        fkw = dict(fuse=fuse) if fuse > 1 else {}
-        sweep_skip = pallas_pencil_sweep(
-            sd, kgrid, bdim, nloc * nb, DEFAULT_PARAMS,
-            batch=nloc, batch_stride=nb, **fkw)
-        if st_iter > fuse:
-            sweep_ghost = pallas_pencil_sweep(
+        if cubic:
+            # the reference's canonical strong config: CUBIC subdomains
+            # (512^3 -> 128^3, strong/args.cpp:32) — the i-bricked
+            # unified sweep assembles each row's i-ghost halo, and the
+            # exchange runs before every iteration
+            if fuse > 1:
+                raise ValueError("fuse>1 needs the i axis unsplit")
+            sweep_skip = pallas_pencil_sweep(
+                sd, sdec.grid, bdim, nloc * nb, DEFAULT_PARAMS,
+                batch=nloc, batch_stride=nb, i_ghost=1,
+                k_range=(1, sdec.grid.shape[0] - 1),
+                j_range=(1, sdec.grid.shape[1] - 1))
+        else:
+            kgrid = sdec.periodic_grid((2,))
+            GKs, GJs = kgrid.shape[0], kgrid.shape[1]
+            fkw = dict(fuse=fuse) if fuse > 1 else {}
+            sweep_skip = pallas_pencil_sweep(
                 sd, kgrid, bdim, nloc * nb, DEFAULT_PARAMS,
-                k_range=(0, GKs), j_range=(0, GJs),
                 batch=nloc, batch_stride=nb, **fkw)
+            if st_iter > fuse:
+                sweep_ghost = pallas_pencil_sweep(
+                    sd, kgrid, bdim, nloc * nb, DEFAULT_PARAMS,
+                    k_range=(0, GKs), j_range=(0, GJs),
+                    batch=nloc, batch_stride=nb, **fkw)
 
     def step(batch):
         x = batch[(0,) * len(mesh_shape)]
+        if cubic and sweep_skip is not None:
+            # i-ghost goes stale after one sweep: exchange per iteration
+            for _ in range(st_iter):
+                x = exchange_strong_shift(x, plan, names)
+                flat = x.reshape((nloc * nb,) + tuple(bdim))
+                x = sweep_skip(flat).reshape(x.shape)
+            return x[(None,) * len(mesh_shape)]
         x = exchange_strong_shift(x, plan, names)
         if sweep_skip is not None:
             flat = x.reshape((nloc * nb,) + tuple(bdim))
