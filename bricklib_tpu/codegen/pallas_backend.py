@@ -1,24 +1,18 @@
-"""Pallas TPU kernel emitter — the single backend replacing the
-reference's nine ISA emitters (codegen/st/codegen/backend/{avx512,avx2,
-sse,asimd,cuda,...}.py).
+"""Pallas TPU kernel emitters beyond the flagship sweep.
 
-Two kernels, one shared tile-compute:
+The single streaming emitter replacing the reference's nine ISA
+backends (codegen/st/codegen/backend/{avx512,avx2,sse,asimd,cuda,...})
+lives in :mod:`.pencil_kernel`; this module provides:
 
-- :func:`pallas_brick_stencil` — the brick fast path.  Each program owns a
-  (TK × TJ × all-i) tile of *interior* bricks; the brick-grid table rides
-  in SMEM via scalar prefetch (the TPU analog of the reference's
+- :func:`pallas_brick_stencil` — the distributed-i brick surface: a
+  thin wrapper putting the unified sweep in i-bricked mode (assembled
+  lane-axis i-ghost halos; the brick-grid table rides in SMEM via
+  scalar prefetch, the TPU analog of the reference's
   ``neighbor{0..26} = binfo->adj[b][..]`` prologue,
-  codegen/st/codegen/backend/base.py:93-123).  The window of bricks
-  including a one-brick halo shell is assembled into a VMEM scratch tile
-  by async DMAs — only the sub-box each halo brick actually contributes
-  (clipped to the stencil radius), so HBM read amplification is
-  ~((T·B+2R)/(T·B))² instead of the 27-neighbor-brick 3.4×.  Then every
-  tap is a static shifted slice of the tile (the lane/sublane-roll analog
-  of the reference's ``alignr``/``dev_shl`` merges), and output bricks are
-  DMA'd back through the grid table.
+  codegen/st/codegen/backend/base.py:93-123).
 - :func:`pallas_dense_stencil` — the array twin (the reference's
-  ``tile(...)`` codegen path, include/vecscatter.h:27-55): same tile
-  compute, but the window is one strided DMA from a padded dense array.
+  ``tile(...)`` codegen path, include/vecscatter.h:27-55): one strided
+  DMA window from a padded dense array, taps as shifted slices/rolls.
 
 Coefficients are resolved at trace time and baked as constants (the
 reference compiles them in via -D defines / const arrays the same way).
