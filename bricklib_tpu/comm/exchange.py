@@ -229,6 +229,171 @@ def exchange_shift(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
     return flush_local(dat)
 
 
+def exchange_shift_remote(dat, decomp: BrickDecomp,
+                          axis_names: tuple[str, ...],
+                          mesh_shape: tuple[int, ...],
+                          axis_order: "list[int] | None" = None,
+                          interpret: bool | None = None,
+                          table_axes: tuple[int, ...] = (),
+                          collective_id: int = 1):
+    """Multi-stage SHIFT exchange as ONE Pallas kernel: every message is
+    a ``pltpu.make_async_remote_copy`` straight from skin storage into
+    the neighbor's ghost storage over ICI — the kernel-level form of the
+    reference's pack-free one-message-per-neighbor exchange
+    (brick-mpi.h:466-495, 587-681), with no XLA-level gather/concat
+    staging at all.  Same semantics as :func:`exchange_shift` (stage per
+    mesh axis, corners forwarded, ``table_axes`` skipped, 1-device axes
+    as local in-place DMAs); the storage is updated in place via
+    ``input_output_aliases``.
+
+    Stages are ordered inside the kernel: all copies of stage ``s``
+    (remote + local) complete before stage ``s+1`` issues its sends,
+    which is exactly the corner-forwarding dependence.  Within a stage
+    the ±axis messages are concurrent — their source rows (own skin or
+    earlier-stage ghosts) and destination rows (this stage's ghosts) are
+    disjoint by construction of the section table.
+
+    On hardware the kernel opens with the collective barrier
+    (``get_barrier_semaphore``): each device signals its two neighbors
+    per distributed axis and waits for the matching count, guaranteeing
+    every peer has entered the kernel before any remote write lands
+    (cf. the Pallas distributed guide).  Interpret mode cannot lower the
+    barrier primitives and does not need them.
+
+    Logical device ids are computed at trace time from
+    ``lax.axis_index`` and passed through SMEM, so the kernel itself is
+    mesh-agnostic (and self-targeting copies smoke-test on one chip).
+
+    ``axis_names`` may be the per-domain-axis names (one per
+    ``mesh_shape`` entry) or a SINGLE flattened device axis whose ravel
+    order matches ``mesh_shape`` — device placement is identical either
+    way, and interpret mode (which emulates remote DMA with an
+    ``all_gather`` over one named axis) requires the flat form.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    order, stages = decomp.stage_sections(axis_order)
+    table_axes = set(table_axes)
+
+    def owner_axes(sec):
+        return {decomp._tag_axis(t) for t in sec.owner}
+
+    # --- static per-stage plan -----------------------------------------
+    # plan[s] = (ax, {sign: ivs}) with ivs merged contiguous intervals;
+    # remote if mesh_shape[ax] > 1, else local self-copies.
+    plan = []
+    n_remote = 0
+    for s, ax in enumerate(order):
+        if ax in table_axes:
+            continue
+        by_sign = {}
+        for sign in (+1, -1):
+            pairs = [(d, sr) for d, sr in stages[s][sign]
+                     if not (owner_axes(d) & table_axes)]
+            if pairs:
+                by_sign[sign] = _merge_intervals(pairs)
+        if by_sign:
+            plan.append((ax, by_sign))
+            if mesh_shape[ax] > 1:
+                n_remote += len(by_sign)
+    if n_remote == 0:
+        # nothing crosses a device boundary: the existing in-place local
+        # DMA kernel is the whole exchange (names are never consulted —
+        # every exchanging axis is a 1-device self-copy)
+        names = (axis_names if len(axis_names) == len(mesh_shape)
+                 else (axis_names[0],) * len(mesh_shape))
+        return exchange_shift(dat, decomp, names, mesh_shape,
+                              axis_order, interpret, tuple(table_axes))
+
+    # --- logical ids of the devices each (stage, sign) SENDS to --------
+    # (receiver r takes from r+sign, so sender q targets q-sign;
+    # cf. _shift_perm).  Computed at trace time inside shard_map.
+    strides = np.ones(len(mesh_shape), dtype=np.int64)
+    for a in range(len(mesh_shape) - 2, -1, -1):
+        strides[a] = strides[a + 1] * mesh_shape[a + 1]
+    if len(axis_names) == 1 and len(mesh_shape) > 1:
+        lin = lax.axis_index(axis_names[0])
+        coords = [lax.rem(lin // int(strides[a]), mesh_shape[a])
+                  for a in range(len(mesh_shape))]
+    else:
+        coords = [lax.axis_index(axis_names[a])
+                  for a in range(len(mesh_shape))]
+        lin = sum(coords[a] * int(strides[a])
+                  for a in range(len(mesh_shape)))
+    send_ids = []
+    id_of = {}
+    for ax, by_sign in plan:
+        if mesh_shape[ax] <= 1:
+            continue
+        for sign in by_sign:
+            tgt = lax.rem(coords[ax] - sign + mesh_shape[ax],
+                          mesh_shape[ax])
+            id_of[(ax, sign)] = len(send_ids)
+            send_ids.append(lin + (tgt - coords[ax]) * int(strides[ax]))
+    ids = jnp.stack([i.astype(jnp.int32) for i in send_ids])
+
+    def kernel(ids_ref, dat_ref, out_ref, ssem, rsem, lsem):
+        if not interpret:
+            # hardware: peers must be in-kernel before remote writes
+            bsem = pltpu.get_barrier_semaphore()
+            for j in range(n_remote):
+                pltpu.semaphore_signal(
+                    bsem, 1, device_id=ids_ref[j],
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(bsem, n_remote)
+        for ax, by_sign in plan:
+            cps = []
+            for sign, ivs in by_sign.items():
+                if mesh_shape[ax] > 1:
+                    j = id_of[(ax, sign)]
+                    for d0, d1, s0, s1 in ivs:
+                        cp = pltpu.make_async_remote_copy(
+                            out_ref.at[s0:s1], out_ref.at[d0:d1],
+                            ssem.at[j], rsem.at[j],
+                            device_id=ids_ref[j],
+                            device_id_type=pltpu.DeviceIdType.LOGICAL)
+                        cp.start()
+                        cps.append(cp)
+                else:
+                    for d0, d1, s0, s1 in ivs:
+                        cp = pltpu.make_async_copy(
+                            out_ref.at[s0:s1], out_ref.at[d0:d1], lsem)
+                        cp.start()
+                        cps.append(cp)
+            for cp in cps:           # stage barrier: forwarding order
+                cp.wait()
+
+    shape = dat.shape
+    n, step = shape[0], int(np.prod(shape[1:]))
+    if len(shape) >= 3 and shape[-1] % 128 == 0 and shape[-2] % 8 == 0:
+        v = dat
+    elif step % 128 == 0:
+        v = dat.reshape(n, step // 128, 128)
+    else:
+        raise ValueError("remote exchange needs lane-tile-divisible "
+                         "brick storage (step % 128 == 0)")
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_remote,)),
+                        pltpu.SemaphoreType.DMA((n_remote,)),
+                        pltpu.SemaphoreType.DMA],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id),
+        interpret=interpret,
+    )(ids, v)
+    return out.reshape(shape)
+
+
 def exchange_array(arr, ghost: tuple[int, ...],
                    axis_names: tuple[str, ...],
                    mesh_shape: tuple[int, ...],

@@ -36,6 +36,16 @@ def make_domain_mesh(mesh_shape, names=None, devices=None):
     return jax.sharding.Mesh(devices, names)
 
 
+def make_flat_mesh(mesh_shape, name="dev", devices=None):
+    """A 1-axis Mesh over the same devices in ``mesh_shape`` ravel
+    order — placement-identical to :func:`make_domain_mesh`, for
+    consumers that address peers by linearized logical id (the
+    kernel-level remote-DMA exchange; interpret mode additionally
+    requires the single named axis)."""
+    full = make_domain_mesh(mesh_shape, devices=devices)
+    return jax.sharding.Mesh(full.devices.ravel(), (name,))
+
+
 def shard_map(f, mesh, in_specs, out_specs):
     """Version-tolerant shard_map.
 

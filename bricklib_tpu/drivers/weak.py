@@ -37,8 +37,9 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     from ..bench.timing import mpi_statistics, time_mpi
     from ..codegen import brick_apply, dense_apply
     from ..comm import BrickDecomp, skinlist_by_name
-    from ..comm.exchange import exchange_put, exchange_shift
-    from ..comm.mesh import make_domain_mesh, shard_map
+    from ..comm.exchange import (exchange_put, exchange_shift,
+                                 exchange_shift_remote)
+    from ..comm.mesh import make_domain_mesh, make_flat_mesh, shard_map
     from ..core import (compare_arrays, from_bricks, random_array,
                         to_bricks)
     from ..stencils import DEFAULT_PARAMS, stencil_by_name
@@ -74,7 +75,11 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     print(f"skin ordering '{skin}': {len(dec.ghost)} ghost runs "
           f"(PUT messages), {len(dec.sections)} sections")
     adj = jnp.asarray(dec.info.adj)
-    mesh = make_domain_mesh(mesh_shape)
+    # shift-remote addresses peers by linearized logical id from ONE
+    # flat device axis (placement-identical ravel order); the others use
+    # per-domain-axis names for their ppermutes
+    mesh = (make_flat_mesh(mesh_shape) if exchange == "shift-remote"
+            else make_domain_mesh(mesh_shape))
     names = mesh.axis_names
     P_ = P(tuple(names))  # devices stack along the brick axis
 
@@ -101,10 +106,14 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         stacked[r * dec.nbricks:(r + 1) * dec.nbricks] = dat.reshape(
             (-1,) + tuple(bdim))
 
-    def do_exchange(d):
+    def do_exchange(d, table_axes=()):
         if exchange == "put":
             return exchange_put(d, dec, names, mesh_shape)
-        return exchange_shift(d, dec, names, mesh_shape)
+        if exchange == "shift-remote":
+            return exchange_shift_remote(d, dec, names, mesh_shape,
+                                         table_axes=table_axes)
+        return exchange_shift(d, dec, names, mesh_shape,
+                              table_axes=table_axes)
 
     # Iterations between exchanges compute into the ghost region too so
     # validity shrinks from the outer ghost edge (gz deep) instead of the
@@ -213,16 +222,14 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
                 # ghost-independent interior first: its compute and the
                 # exchange's ppermutes have no data dependence
                 inner = pencil_inner_fn(d)
-                d = exchange_shift(d, dec, names, mesh_shape,
-                                   table_axes=table_axes)
+                d = do_exchange(d, table_axes=table_axes)
                 out = inner
                 for rf in pencil_ring_fns:
                     out = rf(d, out)
                 d = out
                 it0 = 1
             elif len(table_axes) < nd:
-                d = exchange_shift(d, dec, names, mesh_shape,
-                                   table_axes=table_axes)
+                d = do_exchange(d, table_axes=table_axes)
             nsweeps = st_iter // fuse
             for it in range(it0, nsweeps):
                 last = it == nsweeps - 1
@@ -421,8 +428,11 @@ def main(argv=None):
     p.add_argument("--backend", default="jnp", choices=["jnp", "pencil"])
     p.add_argument("--profile", dest="profile_dir", default=None,
                    help="write a jax.profiler trace to this directory")
-    p.add_argument("--exchange", default="shift", choices=["shift", "put"],
-                   help="SHIFT multi-stage (6 msgs) or PUT (26 msgs)")
+    p.add_argument("--exchange", default="shift",
+                   choices=["shift", "put", "shift-remote"],
+                   help="SHIFT multi-stage (6 msgs), PUT (26 msgs), or "
+                        "shift-remote (one Pallas kernel of remote DMAs "
+                        "straight from skin to neighbor ghost storage)")
     p.add_argument("--no-table-periodic", action="store_true",
                    help="exchange real ghost bricks even on 1-device "
                         "axes (honest distributed config)")

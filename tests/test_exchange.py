@@ -14,6 +14,7 @@ from bricklib_tpu.comm.exchange import (
     exchange_array,
     exchange_put,
     exchange_shift,
+    exchange_shift_remote,
 )
 from bricklib_tpu.comm.mesh import make_domain_mesh, shard_map
 from bricklib_tpu.core import (
@@ -63,30 +64,90 @@ def _stack_bricks(dec, blocks, zero_ghost=True):
     return out
 
 
-@pytest.mark.parametrize("which", ["put", "shift"])
+@pytest.mark.parametrize("which", ["put", "shift", "shift-remote"])
 def test_brick_exchange_fills_ghost(which):
     dec = _decomp()
     _, blocks = _global_and_blocks()
     stacked = _stack_bricks(dec, blocks, zero_ghost=True)
 
-    mesh = make_domain_mesh(MESH_SHAPE)
-    names = mesh.axis_names
-    fn = exchange_put if which == "put" else exchange_shift
+    if which == "shift-remote":
+        # kernel-level remote DMA: interpret mode emulates the ICI
+        # copies over ONE named axis, so shard over the flat device
+        # axis (identical placement — ravel order matches MESH_SHAPE)
+        from jax.sharding import Mesh
 
-    def step(dat):
-        d = dat[0, 0, 0]
-        d = fn(d, dec, names if which == "put" else names, MESH_SHAPE)
-        return d[None, None, None]
+        ndev = int(np.prod(MESH_SHAPE))
+        mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("dev",))
 
-    sharded = jax.device_put(
-        jnp.asarray(stacked),
-        NamedSharding(mesh, P(*names)))
-    out = jax.jit(shard_map(step, mesh, P(*names), P(*names)))(sharded)
-    out = np.asarray(out)
+        def step(dat):
+            d = exchange_shift_remote(dat[0], dec, ("dev",), MESH_SHAPE)
+            return d[None]
+
+        sharded = jax.device_put(
+            jnp.asarray(stacked.reshape((ndev,) + stacked.shape[3:])),
+            NamedSharding(mesh, P("dev")))
+        out = jax.jit(shard_map(step, mesh, P("dev"), P("dev")))(sharded)
+        out = np.asarray(out).reshape(stacked.shape)
+    else:
+        mesh = make_domain_mesh(MESH_SHAPE)
+        names = mesh.axis_names
+        fn = exchange_put if which == "put" else exchange_shift
+
+        def step(dat):
+            d = dat[0, 0, 0]
+            d = fn(d, dec, names, MESH_SHAPE)
+            return d[None, None, None]
+
+        sharded = jax.device_put(
+            jnp.asarray(stacked),
+            NamedSharding(mesh, P(*names)))
+        out = jax.jit(shard_map(step, mesh, P(*names), P(*names)))(sharded)
+        out = np.asarray(out)
 
     for c, blk in blocks.items():
         got = from_bricks(out[c], dec.grid, BD)
         assert compare_arrays(got, blk, 1e-7), (which, c)
+
+
+def test_remote_exchange_mixed_local_and_ici():
+    """One kernel carrying both remote DMAs (distributed axes) and
+    in-place local self-copies (1-device axis) must equal the XLA-level
+    SHIFT exchange bit for bit — including corner forwarding through the
+    mixed stages."""
+    from jax.sharding import Mesh
+
+    mesh_shape = (2, 2, 1)
+    ndev = int(np.prod(mesh_shape))
+    dec = _decomp()
+    rng = np.random.default_rng(7)
+    stacked = rng.standard_normal(
+        (ndev, dec.nbricks, int(np.prod(BD)))).astype(np.float32)
+
+    mesh3 = make_domain_mesh(mesh_shape)
+    names3 = mesh3.axis_names
+    want_in = jax.device_put(
+        jnp.asarray(stacked.reshape(mesh_shape + stacked.shape[1:])),
+        NamedSharding(mesh3, P(*names3)))
+
+    def step3(dat):
+        d = exchange_shift(dat[0, 0, 0], dec, names3, mesh_shape)
+        return d[None, None, None]
+
+    want = np.asarray(jax.jit(shard_map(
+        step3, mesh3, P(*names3), P(*names3)))(want_in))
+    want = want.reshape(stacked.shape)
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:ndev]), ("dev",))
+
+    def step1(dat):
+        d = exchange_shift_remote(dat[0], dec, ("dev",), mesh_shape)
+        return d[None]
+
+    got_in = jax.device_put(jnp.asarray(stacked),
+                            NamedSharding(mesh1, P("dev")))
+    got = np.asarray(jax.jit(shard_map(
+        step1, mesh1, P("dev"), P("dev")))(got_in))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_array_exchange_twin():

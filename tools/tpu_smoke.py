@@ -110,6 +110,55 @@ def main():
             jnp.zeros((plan.nsub_local, plan.sdec.nbricks, 8, 8, 128),
                       jnp.float32)))
 
+    def remote_dma_self():
+        # Mosaic lowering smoke of the primitives exchange_shift_remote
+        # relies on (interpret mode can't lower them): the collective
+        # barrier semaphore + a LOGICAL-device-id remote DMA, self-
+        # targeted on the single chip.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from bricklib_tpu.comm.mesh import shard_map as sm
+
+        def kern(ids_ref, x_ref, out_ref, ssem, rsem):
+            bsem = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                bsem, 2, device_id=ids_ref[0],
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(bsem, 2)
+            cp = pltpu.make_async_remote_copy(
+                x_ref.at[:8], out_ref.at[8:16], ssem, rsem,
+                device_id=ids_ref[0],
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            cp.start()
+            cp.wait()
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("dev",))
+
+        def step(x):
+            me = jax.lax.axis_index("dev").astype(jnp.int32)
+            return pl.pallas_call(
+                kern,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                scratch_shapes=[pltpu.SemaphoreType.DMA,
+                                pltpu.SemaphoreType.DMA],
+                input_output_aliases={1: 0},
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True, collective_id=3),
+            )(me[None], x)
+
+        x = jnp.arange(16 * 128, dtype=jnp.float32).reshape(16, 128)
+        y = jax.jit(sm(step, mesh, P(), P()))(x)
+        np.testing.assert_array_equal(np.asarray(y)[8:16],
+                                      np.asarray(x)[:8])
+        return y
+
+    check("remote DMA + barrier (self)", remote_dma_self)
+
     def aot_roundtrip():
         import tempfile
 
