@@ -128,6 +128,25 @@ def main():
 
     noex = jax.jit(noex_step)   # pure-output: no donation (rule 8)
 
+    # the same honest distributed config on bfloat16 storage: HBM
+    # traffic halves, so it is judged against a bf16 DMA-copy roofline
+    bkw = dict(dtype=jnp.bfloat16, compute_dtype=jnp.float32)
+    gb_skip = pallas_pencil_sweep(
+        stencil_by_name("s7pt")[0], dec.grid, BD, nb, params, fuse=FUSE,
+        **bkw)
+    gb_ghost = pallas_pencil_sweep(
+        stencil_by_name("s7pt")[0], dec.grid, BD, nb, params,
+        k_range=(0, GK), j_range=(0, GJ), fuse=FUSE, **bkw)
+
+    def honest_step_bf16(d):
+        d = exchange_shift(d, dec, ("x", "y", "z"), (1, 1, 1),
+                           table_axes=(2,))
+        for _ in range(ST_ITER // FUSE - 1):
+            d = gb_ghost(d)
+        return gb_skip(d)
+
+    honest_bf16 = jax.jit(honest_step_bf16, donate_argnums=0)
+
     # composition-immune roofline: Pallas DMA copy of the same storage
     def copy_kernel(dat_ref, out_ref, sem):
         cps = []
@@ -140,15 +159,19 @@ def main():
         for cp in cps:
             cp.wait()
 
-    dma_copy = rep(pl.pallas_call(
-        copy_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nb,) + BD, jnp.float32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2 ** 20),
-        interpret=not on_tpu))
+    def make_dma_copy(dt):
+        return rep(pl.pallas_call(
+            copy_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((nb,) + BD, dt),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 2 ** 20),
+            interpret=not on_tpu))
+
+    dma_copy = make_dma_copy(jnp.float32)
+    dma_copy_bf16 = make_dma_copy(jnp.bfloat16)
 
     def fresh(seed):
         return jax.random.uniform(jax.random.PRNGKey(seed), (nb,) + BD,
@@ -157,10 +180,12 @@ def main():
     # per nominal iteration: R for rep-items, ST_ITER for the honest step
     items = {"copy": (dma_copy, R), "7pt": (k7, R), "125pt": (k125, R),
              "honest": (honest, ST_ITER), "noex": (noex, ST_ITER),
-             "7pt_bf16": (k7bf, R)}
+             "7pt_bf16": (k7bf, R), "copy_bf16": (dma_copy_bf16, R),
+             "honest_bf16": (honest_bf16, ST_ITER)}
     times = {k: [] for k in items}
     bufs = {k: fresh(s) for s, k in enumerate(items)}
-    bufs["7pt_bf16"] = bufs["7pt_bf16"].astype(jnp.bfloat16)
+    for k in ("7pt_bf16", "copy_bf16", "honest_bf16"):
+        bufs[k] = bufs[k].astype(jnp.bfloat16)
     for _ in range(rounds):
         for k, (fn, per) in items.items():
             dt, bufs[k] = chain(fn, bufs[k], iters)
@@ -204,6 +229,14 @@ def main():
             "125pt_vs_sol": round(best["copy"] / best["125pt"], 4),
             "bf16_sweep_gstencil_s": round(
                 elems / best["7pt_bf16"] / 1e9, 3),
+            "bf16_honest": {
+                "gstencil_s": round(elems / best["honest_bf16"] / 1e9, 3),
+                "per_iter_ms": round(best["honest_bf16"] * 1e3, 3),
+                "vs_bf16_sol": round(
+                    best["copy_bf16"] / best["honest_bf16"], 4),
+                "sol_copy_gb_s": round(
+                    2 * elems * 2 / best["copy_bf16"] / 1e9, 1),
+            },
             "backend": jax.default_backend(),
         },
     }))

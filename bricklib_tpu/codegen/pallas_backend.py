@@ -119,6 +119,7 @@ def pallas_brick_stencil(stencil, grid: np.ndarray, bdims: Sequence[int],
         stencil, grid, bdims, nbricks, params,
         k_range=kw.pop("k_range", (gz[0], GK - gz[0])),
         j_range=kw.pop("j_range", (gz[1], GJ - gz[1])),
+        i_range=kw.pop("i_range", (gz[2], GI - gz[2])),
         i_ghost=gz[2], tile_j=tile_j, **kw)
 
 

@@ -68,6 +68,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         params: dict | None = None,
                         k_range: tuple[int, int] | None = None,
                         j_range: tuple[int, int] | None = None,
+                        i_range: tuple[int, int] | None = None,
                         tile_j: int | None = None,
                         dtype=jnp.float32,
                         compute_dtype=jnp.float32,
@@ -151,11 +152,29 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                          "ghost brick rings in i")
     if not islice:
         i_ghost = 0
+        if i_range is not None and tuple(i_range) != (0, 1):
+            raise ValueError("i_range applies to i-bricked layouts only")
     BI = BIROW
-    RI = GI * BI                  # assembled row i extent
-    NIb = GI - 2 * i_ghost        # written i bricks
+    lo_pre, hi_pre = ir.radius()
+    # written i-brick columns (half-open over GI).  The default skips the
+    # i-ghost ring; (0, GI) is the ghost-INCLUSIVE sweep — out-of-table
+    # neighbors clamp to duplicated edge bricks in the assembled window,
+    # the same stale-ring contamination semantics as k/j (deep-ghost
+    # ST_ITER for i-bricked layouts, ref: weak/main.cpp:203-212)
+    if i_range is None:
+        I0o, I1o = i_ghost, GI - i_ghost
+    else:
+        I0o, I1o = (int(i) for i in i_range)
+        if not (0 <= I0o < I1o <= GI):
+            raise ValueError(f"i_range {i_range} outside grid i extent "
+                             f"{GI}")
+    pad_lo = 1 if (islice and I0o == 0 and lo_pre[2] > 0) else 0
+    pad_hi = 1 if (islice and I1o == GI and hi_pre[2] > 0) else 0
+    CI = GI + pad_lo + pad_hi     # assembled window i-brick columns
+    RI = CI * BI                  # assembled row i extent
+    NIb = I1o - I0o               # written i bricks
     IW = NIb * BI                 # written i extent (elements)
-    I0 = i_ghost
+    I0 = I0o
     GK, GJ = grid.shape[0], grid.shape[1]
     if k_range is None:
         k_range = (1, GK - 1)
@@ -195,10 +214,11 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             raise ValueError(
                 f"fuse {F} x k-radius exceeds the brick row depth "
                 f"(BK={BK})")
-        if islice and (F * lo[2] > I0 * BI or F * hi[2] > I0 * BI):
+        if islice and (F * lo[2] > (I0o + pad_lo) * BI
+                       or F * hi[2] > (GI - I1o + pad_hi) * BI):
             raise ValueError(
-                f"fuse {F} x i-radius exceeds the i-ghost depth "
-                f"({I0 * BI})")
+                f"fuse {F} x i-radius exceeds the i window margin "
+                f"({(I0o + pad_lo) * BI}, {(GI - I1o + pad_hi) * BI})")
     # fused-level bookkeeping: level f in [1, F) holds intermediate
     # iteration f; level F is the output. Ranges in grid rows; j
     # extensions in elements.
@@ -277,9 +297,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         for cj in range(JW):
             jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
             base = sb * (GK * GJ * GI) + (krow * GJ + jcol) * GI
-            for ci in range(GI):
+            for ci in range(CI):
+                cic = min(max(ci - pad_lo, 0), GI - 1)  # clamped pad col
                 cps.append(pltpu.make_async_copy(
-                    dat_ref.at[ids_ref[base + ci]],
+                    dat_ref.at[ids_ref[base + cic]],
                     win.at[slot, :, cj * BJ:(cj + 1) * BJ,
                            ci * BI:(ci + 1) * BI],
                     sem.at[slot]))
@@ -303,7 +324,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         if nrows is None:
             nrows = BK
         if i0 is None:
-            i0 = I0 * BI
+            i0 = (I0 + pad_lo) * BI
         if iout is None:
             iout = IW
         isl = (slice(i0 - ilo_r, i0 + iout + ihi_r) if islice
@@ -433,7 +454,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 j0 = (BJ - elo) if f == 1 else (ext_lo[f - 1] - elo)
                 jout = TJ * BJ + elo + ehi
                 eilo, eihi = iext_lo[f], iext_hi[f]
-                i0 = ((I0 * BI - eilo) if f == 1
+                i0 = (((I0 + pad_lo) * BI - eilo) if f == 1
                       else (iext_lo[f - 1] - eilo))
                 iout = IW + eilo + eihi
                 if not banded:

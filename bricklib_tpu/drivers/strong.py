@@ -47,10 +47,10 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
             raise ValueError("st_iter x radius exceeds ghost depth")
     else:
         gz = tuple(bdim)
-        if cubic and st_iter > 1:
-            # the i-bricked sweep has no ghost-inclusive i mode yet:
-            # cubic subdomains exchange before every iteration
-            pass
+        if cubic and st_iter * rad > min(bdim):
+            # deep-ghost bound: every iteration contaminates the ghost
+            # shell radius elements deeper on ALL axes (incl. i)
+            raise ValueError("st_iter x radius exceeds ghost depth")
     plan = StrongDecomp(dom=dom, sdom=sdom, mesh_shape=mesh_shape,
                         bdims=bdim, ghost_depth=gz).initialize(skin3d_good)
     sdec = plan.sdec
@@ -87,15 +87,21 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
         if cubic:
             # the reference's canonical strong config: CUBIC subdomains
             # (512^3 -> 128^3, strong/args.cpp:32) — the i-bricked
-            # unified sweep assembles each row's i-ghost halo, and the
-            # exchange runs before every iteration
-            if fuse > 1:
-                raise ValueError("fuse>1 needs the i axis unsplit")
+            # unified sweep assembles each row's i-ghost halo; deep-
+            # ghost ST_ITER runs ghost-inclusive sweeps on ALL axes
+            # (i_range (0, GI)) between exchanges
+            GKs, GJs, GIs = sdec.grid.shape
+            fkw = dict(fuse=fuse) if fuse > 1 else {}
             sweep_skip = pallas_pencil_sweep(
                 sd, sdec.grid, bdim, nloc * nb, DEFAULT_PARAMS,
                 batch=nloc, batch_stride=nb, i_ghost=1,
-                k_range=(1, sdec.grid.shape[0] - 1),
-                j_range=(1, sdec.grid.shape[1] - 1))
+                k_range=(1, GKs - 1), j_range=(1, GJs - 1), **fkw)
+            if st_iter > fuse:
+                sweep_ghost = pallas_pencil_sweep(
+                    sd, sdec.grid, bdim, nloc * nb, DEFAULT_PARAMS,
+                    batch=nloc, batch_stride=nb, i_ghost=1,
+                    k_range=(0, GKs), j_range=(0, GJs),
+                    i_range=(0, GIs), **fkw)
         else:
             kgrid = sdec.periodic_grid((2,))
             GKs, GJs = kgrid.shape[0], kgrid.shape[1]
@@ -111,13 +117,6 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
 
     def step(batch):
         x = batch[(0,) * len(mesh_shape)]
-        if cubic and sweep_skip is not None:
-            # i-ghost goes stale after one sweep: exchange per iteration
-            for _ in range(st_iter):
-                x = exchange_strong_shift(x, plan, names)
-                flat = x.reshape((nloc * nb,) + tuple(bdim))
-                x = sweep_skip(flat).reshape(x.shape)
-            return x[(None,) * len(mesh_shape)]
         x = exchange_strong_shift(x, plan, names)
         if sweep_skip is not None:
             flat = x.reshape((nloc * nb,) + tuple(bdim))

@@ -100,6 +100,38 @@ def test_deep_ghost_st_iter_composition(data):
     assert compare_arrays(got, want, 1e-5)
 
 
+def test_deep_ghost_i_bricked_composition():
+    """Ghost-inclusive sweep INCLUDING the i-ghost brick ring (i_range
+    (0, GI): out-of-table i neighbors clamp to duplicated edge bricks in
+    the assembled window) then an owned sweep — deep-ghost ST_ITER for
+    distributed-i layouts (ref: weak/main.cpp:203-212)."""
+    from bricklib_tpu.codegen.pallas_backend import pallas_brick_stencil
+
+    bd = (2, 4, 16)
+    G3 = (4, 4, 4)
+    grid, info = init_grid(G3)
+    core = random_array(tuple(2 * b for b in bd), np.float32, 9)
+    ext = np.pad(core, [(b, b) for b in bd], mode="wrap")
+    view = jnp.asarray(to_bricks(ext, grid, bd).reshape((-1,) + bd))
+    sd = stencil_by_name("s7pt")[0]
+    fn0 = pallas_brick_stencil(sd, grid, bd, (1, 1, 1), info.nbricks,
+                               PARAMS, k_range=(0, 4), j_range=(0, 4),
+                               i_range=(0, 4), interpret=True)
+    fn1 = pallas_brick_stencil(sd, grid, bd, (1, 1, 1), info.nbricks,
+                               PARAMS, interpret=True)
+    out = np.asarray(fn1(fn0(view)))
+
+    gname = next(iter(sd.inputs))
+    lo, hi = sd.radius()
+    b = ext
+    for _ in range(2):
+        bp = np.pad(b, [(l, h) for l, h in zip(lo, hi)], mode="wrap")
+        b = dense_apply(sd, {gname: bp}, PARAMS, xp=np)
+    want = b[bd[0]:3 * bd[0], bd[1]:3 * bd[1], bd[2]:3 * bd[2]]
+    got = from_bricks(out, grid[1:-1, 1:-1, 1:-1], bd)
+    assert compare_arrays(got, want, 1e-5)
+
+
 def test_weak_driver_distributed_pencil_st_iter():
     """Deep-ghost pencil on a real (2,1,1) mesh with ST_ITER=2,
     validated against the array twin inside the driver."""

@@ -125,3 +125,15 @@ def test_strong_pencil_fast_path_validates():
     strong.run(dom=(32, 32, 64), sdom=(8, 8, 64), bdim=(4, 4, 8),
                stencil="mpi7pt", st_iter=2, mesh_shape=(2, 2, 1),
                iters=1, validate=True, backend="pencil")
+
+
+def test_strong_cubic_deep_ghost_validates():
+    """CUBIC subdomains (the reference's canonical 512^3 -> 128^3 shape,
+    strong/args.cpp:32) with deep-ghost ST_ITER=2: ONE exchange per
+    step, ghost-inclusive sweeps on ALL axes including the i-ghost brick
+    ring (i_range (0, GI))."""
+    from bricklib_tpu.drivers import strong
+
+    strong.run(dom=(32, 32, 64), sdom=(16, 16, 32), bdim=(4, 4, 8),
+               stencil="mpi7pt", st_iter=2, mesh_shape=(2, 1, 1),
+               iters=1, validate=True, backend="pencil")

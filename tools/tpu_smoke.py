@@ -89,6 +89,11 @@ def main():
     check("generic brick streaming", lambda: jax.jit(pallas_brick_stencil(
         sd7, gridb, BD, (1, 1, 1), infob.nbricks, params))(
             jnp.zeros((infob.nbricks, 8, 8, 128), jnp.float32)))
+    check("generic brick ghost-incl i", lambda: jax.jit(
+        pallas_brick_stencil(
+            sd7, gridb, BD, (1, 1, 1), infob.nbricks, params,
+            k_range=(0, 4), j_range=(0, 4), i_range=(0, 4)))(
+            jnp.zeros((infob.nbricks, 8, 8, 128), jnp.float32)))
 
     check("dense twin", lambda: jax.jit(pallas_dense_stencil(
         sd7, (32, 32, 256), (8, 8, 64), params))(
