@@ -394,6 +394,68 @@ def exchange_shift_remote(dat, decomp: BrickDecomp,
     return out.reshape(shape)
 
 
+def put_plan(decomp: BrickDecomp, mesh_shape: tuple[int, ...],
+             table_axes: tuple[int, ...] = ()):
+    """Static PUT-exchange plan for the kernel-fused sweep: one entry
+    per (ghost run, skin run) pair whose direction lies entirely on
+    exchanged (non-table) axes — table-axis directions are never read
+    (the grid table redirects them, ``BrickDecomp.periodic_grid``).
+
+    Returns ``[(delta, d0, d1, s0, s1, remote, group)]`` where ``delta``
+    is the mesh-coordinate offset of the device the ghost copies FROM
+    (ref: populate(), brick-mpi.h:730-753), rows are storage intervals,
+    ``remote`` marks directions crossing a device boundary, and
+    ``group`` tags the first-reader gate the fused sweep waits on:
+    ``"klo"``/``"khi"`` pure-k faces, ``"j"`` j faces and all corners.
+    """
+    nd = decomp.ndim
+    table = set(table_axes)
+    plan = []
+    for gr, sr in zip(decomp.ghost, decomp.skin):
+        axes = {decomp._tag_axis(t) for t in gr.neighbor}
+        if axes & table:
+            continue
+        delta = _delta(gr.neighbor, nd)
+        remote = any(d and mesh_shape[a] > 1 for a, d in enumerate(delta))
+        if axes == {0}:
+            # ghost at the low-k face (owner -k) holds rows of the -k
+            # neighbor; tag by which grid edge the bricks sit on
+            group = "klo" if -(nd - 0) in gr.neighbor else "khi"
+        else:
+            group = "j"
+        plan.append((delta, gr.pos, gr.pos + gr.len,
+                     sr.pos, sr.pos + sr.len, remote, group))
+    return plan
+
+
+def put_send_ids(plan, mesh_shape: tuple[int, ...], axis_name: str):
+    """Traced i32 vector of send-target logical device ids for the
+    remote entries of a :func:`put_plan`, in plan order (the ghost at
+    offset ``delta`` copies FROM me, so I SEND to ``me - delta``).
+    Call inside ``shard_map`` over the flat device axis; returns None
+    when the plan has no remote entries."""
+    import jax.numpy as jnp
+
+    remote = [e for e in plan if e[5]]
+    if not remote:
+        return None
+    nd = len(mesh_shape)
+    strides = [int(np.prod(mesh_shape[a + 1:])) for a in range(nd)]
+    lin = lax.axis_index(axis_name)
+    coords = [lax.rem(lin // strides[a], mesh_shape[a])
+              for a in range(nd)]
+    ids = []
+    for delta, *_ in remote:
+        tgt = lin
+        for a in range(nd):
+            if delta[a]:
+                ta = lax.rem(coords[a] - delta[a] + mesh_shape[a],
+                             mesh_shape[a])
+                tgt = tgt + (ta - coords[a]) * strides[a]
+        ids.append(tgt)
+    return jnp.stack([i.astype(jnp.int32) for i in ids])
+
+
 def exchange_array(arr, ghost: tuple[int, ...],
                    axis_names: tuple[str, ...],
                    mesh_shape: tuple[int, ...],

@@ -38,7 +38,8 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     from ..codegen import brick_apply, dense_apply
     from ..comm import BrickDecomp, skinlist_by_name
     from ..comm.exchange import (exchange_put, exchange_shift,
-                                 exchange_shift_remote)
+                                 exchange_shift_remote, put_plan,
+                                 put_send_ids)
     from ..comm.mesh import make_domain_mesh, make_flat_mesh, shard_map
     from ..core import (compare_arrays, from_bricks, random_array,
                         to_bricks)
@@ -47,6 +48,8 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     sd = stencil_by_name(stencil)[0]
     gname = next(iter(sd.inputs))
     nd = len(dims)
+    if exchange == "fused" and backend != "pencil":
+        raise ValueError("--exchange fused runs on the pencil backend")
     lo_r, hi_r = sd.radius()
     rad = max(max(lo_r), max(hi_r))
     if backend == "pencil":
@@ -75,10 +78,11 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     print(f"skin ordering '{skin}': {len(dec.ghost)} ghost runs "
           f"(PUT messages), {len(dec.sections)} sections")
     adj = jnp.asarray(dec.info.adj)
-    # shift-remote addresses peers by linearized logical id from ONE
+    # shift-remote/fused address peers by linearized logical id from ONE
     # flat device axis (placement-identical ravel order); the others use
     # per-domain-axis names for their ppermutes
-    mesh = (make_flat_mesh(mesh_shape) if exchange == "shift-remote"
+    mesh = (make_flat_mesh(mesh_shape)
+            if exchange in ("shift-remote", "fused")
             else make_domain_mesh(mesh_shape))
     names = mesh.axis_names
     P_ = P(tuple(names))  # devices stack along the brick axis
@@ -183,6 +187,27 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
             pencil_ghost_fn = sweep(sd, kgrid, bdim, dec.nbricks,
                                     params, **_ranges(0), **fkw)
 
+        fusedx_fn = fusedx_plan = None
+        if exchange == "fused":
+            # exchange fused INTO the first sweep: remote DMAs issued at
+            # kernel start, recv waits gated at each ghost region's
+            # first reader, interior rows streamed meanwhile
+            from ..codegen.fused_exchange import pallas_pencil_sweep_fusedx
+
+            if nd != 3 or fuse != 1 or overlap:
+                raise ValueError("--exchange fused: 3-D pencil backend, "
+                                 "fuse=1, no --overlap (the fusion IS "
+                                 "the overlap)")
+            fusedx_plan = put_plan(dec, mesh_shape, table_axes)
+            s0 = 0 if st_iter > 1 else 1
+            fusedx_fn = pallas_pencil_sweep_fusedx(
+                sd, kgrid, bdim, dec.nbricks, fusedx_plan, mesh_shape,
+                params,
+                k_range=((1, kgrid.shape[0] - 1) if 0 in table_axes
+                         else (s0, kgrid.shape[0] - s0)),
+                j_range=((1, kgrid.shape[1] - 1) if 1 in table_axes
+                         else (s0, kgrid.shape[1] - s0)))
+
         pencil_inner_fn = pencil_ring_fns = None
         if overlap and len(table_axes) < nd and nd == 3:
             # interior/ring split of the first post-exchange sweep
@@ -218,6 +243,14 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
     def step(d):
         if pencil_fn is not None:
             it0 = 0
+            if fusedx_fn is not None:
+                d, _ = fusedx_fn(d, put_send_ids(fusedx_plan, mesh_shape,
+                                                 names[0]))
+                for it in range(1, st_iter):
+                    last = it == st_iter - 1
+                    d = pencil_fn(d) if (last or pencil_ghost_fn is None) \
+                        else pencil_ghost_fn(d)
+                return d
             if pencil_inner_fn is not None:
                 # ghost-independent interior first: its compute and the
                 # exchange's ppermutes have no data dependence
@@ -429,10 +462,13 @@ def main(argv=None):
     p.add_argument("--profile", dest="profile_dir", default=None,
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--exchange", default="shift",
-                   choices=["shift", "put", "shift-remote"],
-                   help="SHIFT multi-stage (6 msgs), PUT (26 msgs), or "
+                   choices=["shift", "put", "shift-remote", "fused"],
+                   help="SHIFT multi-stage (6 msgs), PUT (26 msgs), "
                         "shift-remote (one Pallas kernel of remote DMAs "
-                        "straight from skin to neighbor ghost storage)")
+                        "straight from skin to neighbor ghost storage), "
+                        "or fused (the exchange's remote DMAs issued "
+                        "INSIDE the first sweep kernel, overlapped with "
+                        "its interior k-stream)")
     p.add_argument("--no-table-periodic", action="store_true",
                    help="exchange real ghost bricks even on 1-device "
                         "axes (honest distributed config)")

@@ -164,6 +164,26 @@ def main():
 
     check("remote DMA + barrier (self)", remote_dma_self)
 
+    def fusedx_local():
+        # fused exchange-in-sweep kernel on one chip: all-local plan
+        # (periodic self copies), reordered j-tiles/k-stream, epilogue
+        # window refill — the DMA-alignment surface interpret can't check
+        from bricklib_tpu.codegen.fused_exchange import (
+            pallas_pencil_sweep_fusedx)
+        from bricklib_tpu.comm.exchange import put_plan
+
+        decf = BrickDecomp(dims=(48, 32, 128), ghost_depth=(8, 8, 0),
+                           bdims=(8, 8, 128)).initialize(skin3d_good)
+        planf = put_plan(decf, (1, 1, 1), (2,))
+        fn = pallas_pencil_sweep_fusedx(
+            sd7, decf.periodic_grid((2,)), (8, 8, 128), decf.nbricks,
+            planf, (1, 1, 1), params)
+        out, _d2 = jax.jit(fn)(
+            jnp.zeros((decf.nbricks, 8, 8, 128), jnp.float32))
+        return out
+
+    check("fused exchange-in-sweep", fusedx_local)
+
     def aot_roundtrip():
         import tempfile
 
