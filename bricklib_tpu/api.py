@@ -27,14 +27,18 @@ import numpy as np
 class Problem:
     def __init__(self, dims, stencil="mpi7pt", params=None,
                  bdims=None, ghost=None, mesh=(1, 1, 1),
-                 backend="auto", dtype=np.float32, st_iter=1):
+                 backend="auto", dtype=np.float32, st_iter=1,
+                 exchange="shift"):
+        """``exchange``: "shift" (XLA-level multi-stage ppermutes) or
+        "fused" (pencil backend, remote DMAs issued inside the first
+        sweep kernel, overlapped with its interior k-stream)."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .comm import BrickDecomp, skinlist_by_name
         from .comm.exchange import exchange_shift
-        from .comm.mesh import make_domain_mesh, shard_map
+        from .comm.mesh import make_domain_mesh, make_flat_mesh, shard_map
         from .stencils import DEFAULT_PARAMS, stencil_by_name
         from .st.loader import StencilDef
 
@@ -79,10 +83,20 @@ class Problem:
                      else self.bdims)
         self.ghost = tuple(int(g) for g in ghost)
 
+        if exchange not in ("shift", "fused"):
+            raise ValueError("exchange is 'shift' or 'fused'")
+        if exchange == "fused" and backend != "pencil":
+            raise ValueError("exchange='fused' runs on the pencil "
+                             "backend")
+        self.exchange = exchange
         self.dec = BrickDecomp(dims=self.dims, ghost_depth=self.ghost,
                                bdims=self.bdims).initialize(
             skinlist_by_name("good", nd))
-        self.mesh = make_domain_mesh(self.mesh_shape)
+        # the fused exchange addresses peers by linearized logical id
+        # over ONE flat device axis (placement-identical ravel order)
+        self.mesh = (make_flat_mesh(self.mesh_shape)
+                     if exchange == "fused"
+                     else make_domain_mesh(self.mesh_shape))
         names = self.mesh.axis_names
         # devices stack along the brick axis: shard_map hands each
         # device its [nbricks, step] storage with no reshapes
@@ -114,12 +128,16 @@ class Problem:
 
             # auto temporal fusion: iterate in VMEM when profitable —
             # memory-bound stencils (few taps) with a fuse that divides
-            # st_iter and fits the one-pencil j-halo
+            # st_iter and fits the one-pencil j-halo.  The fused
+            # exchange runs its own first sweep at F=1, so it fuses
+            # only the remaining st_iter-1 iterations.
+            fused_x = exchange == "fused" and distributed
             fuse = 1
+            budget_iters = self.st_iter - 1 if fused_x else self.st_iter
             if len(self.sdef.taps) <= 7:
                 for cand in (4, 2):
-                    if (self.st_iter % cand == 0 and cand * rad <= bd[1]
-                            and cand * rad <= bd[0]):
+                    if (budget_iters % cand == 0 and cand * rad <= bd[1]
+                            and cand * rad <= bd[0] and budget_iters):
                         fuse = cand
                         break
             fkw = dict(fuse=fuse) if fuse > 1 else {}
@@ -127,18 +145,36 @@ class Problem:
             kern = pallas_pencil_sweep(self.sdef, kgrid, bd, dec.nbricks,
                                        self.params, **_rng(1), **fkw)
             kern_ghost = None
-            if self.st_iter > fuse and distributed:
+            if budget_iters > fuse and distributed:
                 # deep-ghost ST_ITER: one exchange amortizes over
                 # st_iter sweeps (ref: weak/main.cpp:203-212)
                 kern_ghost = pallas_pencil_sweep(
                     self.sdef, kgrid, bd, dec.nbricks, self.params,
                     **_rng(0), **fkw)
+            fusedx_kern = fusedx_plan = None
+            if fused_x:
+                from .codegen.fused_exchange import (
+                    pallas_pencil_sweep_fusedx)
+                from .comm.exchange import put_plan, put_send_ids
+
+                fusedx_plan = put_plan(dec, msh, table_axes)
+                fusedx_kern = pallas_pencil_sweep_fusedx(
+                    self.sdef, kgrid, bd, dec.nbricks, fusedx_plan,
+                    msh, self.params,
+                    **_rng(0 if self.st_iter > 1 else 1))
+                self._send_ids = lambda: put_send_ids(
+                    fusedx_plan, msh, names[0])
 
             def one(d):
-                if distributed:
+                if fusedx_kern is not None:
+                    d, _ = fusedx_kern(d, self._send_ids())
+                    nsweeps = (self.st_iter - 1) // fuse
+                elif distributed:
                     d = exchange_shift(d, dec, names, msh,
                                        table_axes=table_axes)
-                nsweeps = self.st_iter // fuse
+                    nsweeps = self.st_iter // fuse
+                else:
+                    nsweeps = self.st_iter // fuse
                 for it in range(nsweeps):
                     last = it == nsweeps - 1
                     d = kern(d) if (last or kern_ghost is None) \

@@ -84,3 +84,16 @@ def test_problem_st_iter_deep_ghost():
                  bdims=(4, 8, 32), backend="pencil", st_iter=2)
     pp.init(array=g).step(1)
     assert compare_arrays(pp.result(), want, 1e-4)
+
+
+@pytest.mark.slow
+def test_problem_fused_exchange_multidevice():
+    """Problem(exchange='fused'): the first sweep carries the ghost
+    exchange as in-kernel remote DMAs; result matches the dense twin."""
+    g = random_array((32, 32, 32), np.float32, 21)
+    p = Problem(dims=(16, 16, 32), stencil="mpi7pt", mesh=(2, 2, 1),
+                bdims=(4, 4, 32), backend="pencil", st_iter=2,
+                exchange="fused")
+    p.init(array=g).step(1)
+    want = _dense_steps(g, "mpi7pt", 2, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
