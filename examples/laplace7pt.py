@@ -5,7 +5,13 @@ Problem API, and check it against numpy.
     python examples/laplace7pt.py            # runs on whatever jax sees
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))   # repo root, for uninstalled checkouts
 
 from bricklib_tpu.api import Problem
 from bricklib_tpu.st import ConstRef, Grid, Index, load_stencil_module
