@@ -216,3 +216,45 @@ def test_weak_scaling_step_brick_vs_array():
         want_own = want[own]
         got = from_bricks(out[c], dec.interior_grid(), BD)
         assert compare_arrays(got, want_own, 1e-5), c
+
+
+def test_remote_exchange_4d():
+    """The kernel-level remote exchange is rank-generic: 4-D decomp on a
+    (2,1,2,1) mesh equals the XLA SHIFT exchange bit for bit."""
+    from jax.sharding import Mesh
+
+    from bricklib_tpu.comm import skinlist_by_name
+
+    mesh_shape = (2, 1, 2, 1)
+    ndev = int(np.prod(mesh_shape))
+    bd = (2, 2, 4, 16)
+    dec = BrickDecomp(dims=(4, 4, 8, 32), ghost_depth=bd,
+                      bdims=bd).initialize(skinlist_by_name("lex", 4))
+    rng = np.random.default_rng(13)
+    stacked = rng.standard_normal(
+        (ndev, dec.nbricks, int(np.prod(bd)))).astype(np.float32)
+
+    mesh4 = make_domain_mesh(mesh_shape)
+    n4 = mesh4.axis_names
+    want_in = jax.device_put(
+        jnp.asarray(stacked.reshape(mesh_shape + stacked.shape[1:])),
+        NamedSharding(mesh4, P(*n4)))
+
+    def step4(dat):
+        d = exchange_shift(dat[0, 0, 0, 0], dec, n4, mesh_shape)
+        return d[None, None, None, None]
+
+    want = np.asarray(jax.jit(shard_map(
+        step4, mesh4, P(*n4), P(*n4)))(want_in)).reshape(stacked.shape)
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:ndev]), ("dev",))
+
+    def step1(dat):
+        d = exchange_shift_remote(dat[0], dec, ("dev",), mesh_shape)
+        return d[None]
+
+    got_in = jax.device_put(jnp.asarray(stacked),
+                            NamedSharding(mesh1, P("dev")))
+    got = np.asarray(jax.jit(shard_map(
+        step1, mesh1, P("dev"), P("dev")))(got_in))
+    np.testing.assert_array_equal(got, want)
