@@ -187,8 +187,8 @@ class Problem:
             # EVERY device count (no table periodicity), so the
             # deep-ghost validity bound applies even at mesh=(1,1,1)
             if (self.st_iter > 1
-                    and self.st_iter * rad > min(g for g in self.ghost
-                                                 if g)):
+                    and self.st_iter * rad > min(
+                        (g for g in self.ghost if g), default=0)):
                 raise ValueError("st_iter x radius exceeds ghost depth")
             adj = jnp.asarray(dec.info.adj)
             owned = jnp.asarray(

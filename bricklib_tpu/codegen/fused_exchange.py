@@ -4,8 +4,9 @@ k-stream — the kernel-level end of the reference's interior-first
 compute/comm overlap (sep_pos split, brick-mpi.h:196; staged D2H window
 weak/main.cu:251-291).
 
-Structure (vs the flagship :mod:`.pencil_kernel` sweep, which this
-mirrors row for row):
+Structure (vs the flagship :mod:`.pencil_kernel` sweep, whose shared
+row machinery — :func:`~.pencil_kernel.build_row_compute`,
+:func:`~.pencil_kernel.banded_row`, the VMEM model — this reuses):
 
 - at the FIRST grid step the kernel starts one ``make_async_remote_copy``
   per ghost/skin run pair of the PUT plan (:func:`...comm.exchange.
@@ -47,7 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .evaluate import resolve_const_from_params
 from .ir import fold_linear
-from .jnp_backend import _as_ir, _np_offsets, _run
+from .jnp_backend import _as_ir
+from .pencil_kernel import (banded_row, build_row_compute, choose_tile_j,
+                            pencil_vmem_estimate)
 
 
 def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
@@ -138,25 +141,12 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
     csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
 
     def vmem_estimate(tj: int) -> int:
-        row = BK * (tj + 2) * BJ * BI
-        est = NW * row * isz + 2 * BK * tj * BJ * BI * isz
-        est += (BK + lo[0] + hi[0]) * (tj + 2) * BJ * BI * csz
-        if lin is not None:
-            wdefs_, vmap_, (jl, jh) = lin
-            nksum = len({dks for terms in wdefs_ for _c, dks in terms})
-            live = nksum + len(wdefs_) + len(set(vmap_.values())) + 2
-            ext = BK * (tj * BJ + jl + jh) * BI * csz
-        else:
-            live = min(len(ir.sdef.taps), 6) + 2
-            ext = BK * tj * BJ * BI * csz
-        return est + live * ext
+        return pencil_vmem_estimate(
+            tj, BK=BK, BJ=BJ, RI=BI, IW=BI, isz=isz, csz=csz, NW=NW,
+            lo_k=lo[0], hi_k=hi[0], lin=lin, ntaps=len(ir.sdef.taps))
 
     if tile_j is None:
-        budget = int(0.85 * vmem_limit_bytes)
-        tile_j = 1
-        for cand in range(1, JC + 1):
-            if JC % cand == 0 and vmem_estimate(cand) <= budget:
-                tile_j = cand
+        tile_j = choose_tile_j(JC, vmem_estimate, vmem_limit_bytes)
     TJ = int(tile_j)
     if JC % TJ:
         raise ValueError(f"tile_j {TJ} must divide j extent {JC}")
@@ -171,7 +161,12 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
     gate_rows = {"khi": [], "klo": [], "j": []}
     for r_i, e in enumerate(remote):
         gate_rows[e[6]].append(r_i)
-    jgate_pos = max(JT - 2, 0)  # first j-ghost tile in reordered order
+    # tiles whose windows read j-ghost pencils: jt 0 and JT-1 always,
+    # plus jt 1 and JT-2 when TJ == 1 (each window spans jcols
+    # jt*TJ-1 .. (jt+1)*TJ).  Rotate so they all run last and gate at
+    # the first of them in reordered order.
+    jrot = 1 if TJ >= 2 else 2
+    jgate_pos = max(JT - 2 * jrot, 0)
 
     def _clip(x, n):
         return jnp.clip(x, 0, n - 1)
@@ -205,60 +200,18 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
                 device_id_type=pltpu.DeviceIdType.LOGICAL))
         return cps
 
+    # flagship arithmetic (factorized or generic); the fused sweep
+    # always computes the full lane-roll width with a one-pencil j halo
+    _row_compute = build_row_compute(ir, resolve, lin, _roll_i)
+
     def _compute(kslab, base, nrows):
-        """Output rows from ``kslab`` rows [base-lo0, base+nrows+hi0)
-        (flagship arithmetic: factorized or generic, j window = one
-        pencil each side)."""
-        j0, jout = BJ, TJ * BJ
-        if lin is not None:
-            wdefs, vmap_, (jlo_r, jhi_r) = lin
-            JE = jout + jlo_r + jhi_r
-            kcache: dict = {}
-
-            def ksum(dks):
-                if dks not in kcache:
-                    v = None
-                    for (dk,) in dks:
-                        sl_ = kslab[base + dk:base + dk + nrows,
-                                    j0 - jlo_r:j0 - jlo_r + JE, :]
-                        v = sl_ if v is None else v + sl_
-                    kcache[dks] = v
-                return kcache[dks]
-
-            Ws = []
-            for terms in wdefs:
-                W_ = None
-                for c, dks in terms:
-                    t = ksum(dks)
-                    t = t if c == 1.0 else c * t
-                    W_ = t if W_ is None else W_ + t
-                Ws.append(W_)
-            out = None
-            vcache: dict = {}
-            for di, terms in sorted(vmap_.items()):
-                V = vcache.get(terms)
-                if V is None:
-                    for dj, wid in terms:
-                        sl_ = Ws[wid][:, jlo_r + dj:jlo_r + dj + jout, :]
-                        V = sl_ if V is None else V + sl_
-                    vcache[terms] = V
-                t = _roll_i(V, di)
-                out = t if out is None else out + t
-            return out
-
-        def read_tap(_name, offs_edsl):
-            offs = _np_offsets(offs_edsl, 3)
-            v = kslab[base + offs[0]:base + offs[0] + nrows,
-                      j0 + offs[1]:j0 + offs[1] + jout, :]
-            return _roll_i(v, offs[2]) if offs[2] else v
-
-        return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
+        return _row_compute(kslab, BJ, TJ * BJ, base, nrows)
 
     def kernel(ids_ref, dat_ref, out_ref, alias_ref, win, tout, sem,
                ssem, rsem, lsem, osem):   # noqa: F811
         jpos = pl.program_id(0)
         t = pl.program_id(1)
-        jt = jax.lax.rem(jpos + 1, JT) if (j_ex and JT > 1) else jpos
+        jt = jax.lax.rem(jpos + jrot, JT) if (j_ex and JT > 1) else jpos
 
         @pl.when(jnp.logical_and(jpos == 0, t == 0))
         def _():
@@ -351,7 +304,6 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
             return win[slot(a), rs]
 
         lo0, hi0 = lo[0], hi[0]
-        banded = BK >= lo0 + hi0 and (lo0 or hi0)
 
         def _out_copies(tt, parity):
             rr = jnp.where(tt < SL, s + tt, K0 + (tt - SL))
@@ -377,32 +329,8 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
             return (v.astype(compute_dtype)
                     if compute_dtype != dtype else v)
 
-        if not banded:
-            pieces = []
-            if lo0:
-                pieces.append(cast(win_row(row - 1,
-                                           slice(BK - lo0, BK))))
-            pieces.append(cast(win_row(row)))
-            if hi0:
-                pieces.append(cast(win_row(row + 1, slice(0, hi0))))
-            kslab = (jnp.concatenate(pieces, axis=0)
-                     if len(pieces) > 1 else pieces[0])
-            out_writer(0, BK, _compute(kslab, lo0, BK))
-        else:
-            cur = cast(win_row(row))
-            mid0, mid1 = lo0, BK - hi0
-            if mid1 > mid0:
-                out_writer(mid0, mid1, _compute(cur, lo0, mid1 - mid0))
-            if lo0:
-                piece = jnp.concatenate(
-                    [cast(win_row(row - 1, slice(BK - lo0, BK))),
-                     cur[:lo0 + hi0]], axis=0)
-                out_writer(0, lo0, _compute(piece, lo0, lo0))
-            if hi0:
-                piece = jnp.concatenate(
-                    [cur[BK - hi0 - lo0:],
-                     cast(win_row(row + 1, slice(0, hi0)))], axis=0)
-                out_writer(mid1, BK, _compute(piece, lo0, hi0))
+        banded_row(win_row, row, cast, out_writer, _compute, BK,
+                   lo0, hi0)
 
         for cp in _out_copies(t, t % 2):
             cp.start()

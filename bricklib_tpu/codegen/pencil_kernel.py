@@ -61,6 +61,151 @@ from .ir import StencilIR, fold_linear  # noqa: F401 (re-exported)
 from .jnp_backend import _as_ir, _np_offsets, _run
 
 
+# --- shared per-row machinery -----------------------------------------
+# The fused-exchange kernel (:mod:`.fused_exchange`) must be bit-exact
+# equal to [exchange -> this sweep]; both emitters therefore build their
+# per-row arithmetic from these factories rather than keeping copies.
+
+def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
+                      ilo_r=0, ihi_r=0):
+    """Return ``compute(kslab, j0, jout, base, nrows, i0=0, iout=0)``
+    evaluating ``nrows`` output k-rows from a k-slab covering
+    [base - lo_k, base + nrows + hi_k); ``j0``/``i0`` are the kslab
+    coordinates of the output's first element (i only in i-bricked
+    mode; pencil mode computes the full lane-roll width).
+
+    ``lin`` is :func:`..ir.fold_linear`'s factorization (or None for
+    the generic tap walk); ``roll_i`` the periodic lane roll."""
+
+    def compute(kslab, j0, jout, base, nrows, i0=0, iout=0):
+        isl = (slice(i0 - ilo_r, i0 + iout + ihi_r) if islice
+               else slice(None))
+        if lin is not None:
+            wdefs, vmap_, (jlo_r, jhi_r) = lin
+            JE = jout + jlo_r + jhi_r
+
+            kcache: dict = {}
+
+            def ksum(dks):
+                if dks not in kcache:
+                    v = None
+                    for (dk,) in dks:
+                        s = kslab[base + dk:base + dk + nrows,
+                                  j0 - jlo_r:j0 - jlo_r + JE, isl]
+                        v = s if v is None else v + s
+                    kcache[dks] = v
+                return kcache[dks]
+
+            Ws = []
+            for terms in wdefs:
+                W_ = None
+                for c, dks in terms:
+                    t = ksum(dks)
+                    t = t if c == 1.0 else c * t
+                    W_ = t if W_ is None else W_ + t
+                Ws.append(W_)
+            out = None
+            vcache: dict = {}    # ±di with equal structure share one V
+            for di, terms in sorted(vmap_.items()):
+                V = vcache.get(terms)
+                if V is None:
+                    for dj, wid in terms:
+                        sl = Ws[wid][:, jlo_r + dj:jlo_r + dj + jout, :]
+                        V = sl if V is None else V + sl
+                    vcache[terms] = V
+                t = (V[:, :, ilo_r + di:ilo_r + di + iout] if islice
+                     else roll_i(V, di))
+                out = t if out is None else out + t
+            return out
+
+        def read_tap(_name, offs_edsl):
+            offs = _np_offsets(offs_edsl, 3)
+            v = kslab[base + offs[0]:base + offs[0] + nrows,
+                      j0 + offs[1]:j0 + offs[1] + jout,
+                      (slice(i0 + offs[2], i0 + offs[2] + iout)
+                       if islice else slice(None))]
+            if not islice and offs[2]:
+                v = roll_i(v, offs[2])
+            return v
+
+        return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
+
+    return compute
+
+
+def banded_row(src, x, cast, write, compute, BK, lo0, hi0):
+    """Emit one output brick row ``x`` in k-bands: interior rows read
+    ONLY the center source row (pure slices — the full-row halo concat
+    was the single largest VPU cost per row); radius-thin boundary
+    bands assemble tiny 2-piece concats.  Falls back to the full
+    3-piece concat when the radius spans the brick.
+
+    ``src(a, rows)`` reads source row ``a``; ``cast`` promotes to the
+    compute dtype; ``compute(kslab, base, nrows)`` evaluates the
+    stencil; ``write(r0, r1, v)`` stores band [r0, r1)."""
+    banded = BK >= lo0 + hi0 and (lo0 or hi0)
+    if not banded:
+        pieces = []
+        if lo0:
+            pieces.append(cast(src(x - 1, slice(BK - lo0, BK))))
+        pieces.append(cast(src(x)))
+        if hi0:
+            pieces.append(cast(src(x + 1, slice(0, hi0))))
+        kslab = (jnp.concatenate(pieces, axis=0)
+                 if len(pieces) > 1 else pieces[0])
+        write(0, BK, compute(kslab, lo0, BK))
+        return
+    cur = cast(src(x))
+    mid0, mid1 = lo0, BK - hi0
+    if mid1 > mid0:
+        write(mid0, mid1, compute(cur, lo0, mid1 - mid0))
+    if lo0:
+        piece = jnp.concatenate(
+            [cast(src(x - 1, slice(BK - lo0, BK))),
+             cur[:lo0 + hi0]], axis=0)
+        write(0, lo0, compute(piece, lo0, lo0))
+    if hi0:
+        piece = jnp.concatenate(
+            [cur[BK - hi0 - lo0:],
+             cast(src(x + 1, slice(0, hi0)))], axis=0)
+        write(mid1, BK, compute(piece, lo0, hi0))
+
+
+def pencil_vmem_estimate(tj: int, *, BK, BJ, RI, IW, isz, csz, NW,
+                         lo_k, hi_k, lin, ntaps, ie=0, rings=()) -> int:
+    """VMEM bytes for a ``tj``-pencil tile of the streaming sweep (the
+    surviving form of the reference codegen's MSIZE/THRES machinery,
+    base.py:445-519): window slots + out double-buffer + kslab + live
+    row-sized temporaries of the factorized compute.  ``rings`` holds
+    (slots, j_ext, i_ext) per fused intermediate level."""
+    row = BK * (tj + 2) * BJ * RI
+    est = NW * row * isz                      # rolling window
+    est += 2 * BK * tj * BJ * IW * isz        # tout double buffer
+    est += (BK + lo_k + hi_k) * (tj + 2) * BJ * RI * csz  # kslab
+    for slots, jext, iext in rings:           # fused-level rings
+        est += slots * BK * (tj * BJ + jext) * (IW + iext) * csz
+    if lin is not None:
+        wdefs_, vmap_, (jl, jh) = lin
+        nksum = len({dks for terms in wdefs_ for _c, dks in terms})
+        nv = len(set(vmap_.values()))
+        live = nksum + len(wdefs_) + nv + 2
+        ext = BK * (tj * BJ + jl + jh) * (IW + ie) * csz
+    else:
+        live = min(ntaps, 6) + 2
+        ext = BK * tj * BJ * (IW + ie) * csz
+    return est + live * ext
+
+
+def choose_tile_j(JC: int, estimate, vmem_limit_bytes: int) -> int:
+    """Largest divisor of ``JC`` whose ``estimate(tj)`` fits 85% of the
+    scoped VMEM budget (headroom for Mosaic's own scratch)."""
+    budget = int(0.85 * vmem_limit_bytes)
+    tile = 1
+    for cand in range(1, JC + 1):
+        if JC % cand == 0 and estimate(cand) <= budget:
+            tile = cand
+    return tile
+
 
 def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         bdims: Sequence[int],
@@ -242,40 +387,21 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     # (see codegen.ir.fold_linear): 125pt drops to 4 lane rolls
     lin = fold_linear(ir, resolve)
 
-    # --- VMEM-budget tile selection (the surviving form of the
-    # reference codegen's MSIZE/THRES machinery, base.py:445-519):
-    # window slots + out double-buffer + kslab + live row-sized
-    # temporaries of the factorized compute must fit the scoped budget.
+    # --- VMEM-budget tile selection (shared model, see
+    # :func:`pencil_vmem_estimate`)
     isz = np.dtype(dtype).itemsize
     csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
 
     def vmem_estimate(tj: int) -> int:
-        row = BK * (tj + 2) * BJ * RI
-        est = NW * row * isz                      # rolling window
-        est += 2 * BK * tj * BJ * IW * isz        # tout double buffer
-        est += (BK + lo[0] + hi[0]) * (tj + 2) * BJ * RI * csz  # kslab
-        for f in range(1, F):                     # fused-level rings
-            est += (lvlS[f] * BK
-                    * (tj * BJ + ext_lo[f] + ext_hi[f])
-                    * (IW + iext_lo[f] + iext_hi[f]) * csz)
-        ie = (lo[2] + hi[2]) if islice else 0
-        if lin is not None:
-            wdefs_, vmap_, (jl, jh) = lin
-            nksum = len({dks for terms in wdefs_ for _c, dks in terms})
-            nv = len(set(vmap_.values()))
-            live = nksum + len(wdefs_) + nv + 2
-            ext = BK * (tj * BJ + jl + jh) * (IW + ie) * csz
-        else:
-            live = min(len(ir.sdef.taps), 6) + 2
-            ext = BK * tj * BJ * (IW + ie) * csz
-        return est + live * ext
+        return pencil_vmem_estimate(
+            tj, BK=BK, BJ=BJ, RI=RI, IW=IW, isz=isz, csz=csz, NW=NW,
+            lo_k=lo[0], hi_k=hi[0], lin=lin, ntaps=len(ir.sdef.taps),
+            ie=(lo[2] + hi[2]) if islice else 0,
+            rings=[(lvlS[f], ext_lo[f] + ext_hi[f],
+                    iext_lo[f] + iext_hi[f]) for f in range(1, F)])
 
     if tile_j is None:
-        budget = int(0.85 * vmem_limit_bytes)
-        tile_j = 1
-        for cand in range(1, JC + 1):
-            if JC % cand == 0 and vmem_estimate(cand) <= budget:
-                tile_j = cand
+        tile_j = choose_tile_j(JC, vmem_estimate, vmem_limit_bytes)
     TJ = int(tile_j)
     if JC % TJ:
         raise ValueError(f"tile_j {TJ} must divide computed j extent {JC}")
@@ -307,77 +433,8 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         return cps
 
     ilo_r, ihi_r = (lo[2], hi[2]) if islice else (0, 0)
-
-    def _compute(kslab, j0=None, jout=None, base=None, nrows=None,
-                 i0=None, iout=None):
-        """Evaluate ``nrows`` output k-rows from ``kslab`` (any row
-        extent covering [base - lo0, base + nrows + hi0)); ``j0``/``i0``
-        are the kslab coordinates of the output's first element (i only
-        in i-bricked mode; pencil mode computes the full lane-roll
-        width)."""
-        if j0 is None:
-            j0 = BJ
-        if jout is None:
-            jout = TJ * BJ
-        if base is None:
-            base = lo[0]
-        if nrows is None:
-            nrows = BK
-        if i0 is None:
-            i0 = (I0 + pad_lo) * BI
-        if iout is None:
-            iout = IW
-        isl = (slice(i0 - ilo_r, i0 + iout + ihi_r) if islice
-               else slice(None))
-        if lin is not None:
-            wdefs, vmap_, (jlo_r, jhi_r) = lin
-            JE = jout + jlo_r + jhi_r
-
-            kcache: dict = {}
-
-            def ksum(dks):
-                if dks not in kcache:
-                    v = None
-                    for (dk,) in dks:
-                        s = kslab[base + dk:base + dk + nrows,
-                                  j0 - jlo_r:j0 - jlo_r + JE, isl]
-                        v = s if v is None else v + s
-                    kcache[dks] = v
-                return kcache[dks]
-
-            Ws = []
-            for terms in wdefs:
-                W_ = None
-                for c, dks in terms:
-                    t = ksum(dks)
-                    t = t if c == 1.0 else c * t
-                    W_ = t if W_ is None else W_ + t
-                Ws.append(W_)
-            out = None
-            vcache: dict = {}    # ±di with equal structure share one V
-            for di, terms in sorted(vmap_.items()):
-                V = vcache.get(terms)
-                if V is None:
-                    for dj, wid in terms:
-                        sl = Ws[wid][:, jlo_r + dj:jlo_r + dj + jout, :]
-                        V = sl if V is None else V + sl
-                    vcache[terms] = V
-                t = (V[:, :, ilo_r + di:ilo_r + di + iout] if islice
-                     else _roll_i(V, di))
-                out = t if out is None else out + t
-            return out
-
-        def read_tap(_name, offs_edsl):
-            offs = _np_offsets(offs_edsl, 3)
-            v = kslab[base + offs[0]:base + offs[0] + nrows,
-                      j0 + offs[1]:j0 + offs[1] + jout,
-                      (slice(i0 + offs[2], i0 + offs[2] + iout)
-                       if islice else slice(None))]
-            if not islice and offs[2]:
-                v = _roll_i(v, offs[2])
-            return v
-
-        return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
+    _compute = build_row_compute(ir, resolve, lin, _roll_i,
+                                 islice=islice, ilo_r=ilo_r, ihi_r=ihi_r)
 
     def make_kernel(extra_ref: bool):
         def kernel(ids_ref, dat_ref, *rest):
@@ -432,15 +489,11 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 return rings[f - 1][xx % lvlS[f], rs]
 
             lo0, hi0 = lo[0], hi[0]
-            # banded compute: interior output rows read ONLY the center
-            # row (no kslab concat — the concat's full-row copy was the
-            # single largest VPU cost per fused level); thin boundary
-            # bands concat only radius-deep pieces
-            banded = BK >= lo0 + hi0 and (lo0 or hi0)
 
             def compute_level(f, x, write):
                 """Level-f row x from level f-1 (f==1 reads the input
-                window); emits output row bands via ``write(r0, r1, v)``."""
+                window); emits output row bands via ``write(r0, r1, v)``
+                (banded assembly, see :func:`banded_row`)."""
                 src = (win_row if f == 1
                        else (lambda a, rs=slice(None), g=f - 1:
                              lvl_row(g, a, rs)))
@@ -457,38 +510,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 i0 = (((I0 + pad_lo) * BI - eilo) if f == 1
                       else (iext_lo[f - 1] - eilo))
                 iout = IW + eilo + eihi
-                if not banded:
-                    pieces = []
-                    if lo0:
-                        pieces.append(cast(src(x - 1,
-                                              slice(BK - lo0, BK))))
-                    pieces.append(cast(src(x)))
-                    if hi0:
-                        pieces.append(cast(src(x + 1, slice(0, hi0))))
-                    kslab = (jnp.concatenate(pieces, axis=0)
-                             if len(pieces) > 1 else pieces[0])
-                    write(0, BK, _compute(kslab, j0, jout, lo0, BK,
-                                          i0, iout))
-                    return
-                cur = cast(src(x))
-                mid0, mid1 = lo0, BK - hi0
-                if mid1 > mid0:
-                    write(mid0, mid1,
-                          _compute(cur, j0, jout, lo0, mid1 - mid0,
-                                   i0, iout))
-                if lo0:
-                    piece = jnp.concatenate(
-                        [cast(src(x - 1, slice(BK - lo0, BK))),
-                         cur[:lo0 + hi0]], axis=0)
-                    write(0, lo0, _compute(piece, j0, jout, lo0, lo0,
-                                           i0, iout))
-                if hi0:
-                    piece = jnp.concatenate(
-                        [cur[BK - hi0 - lo0:],
-                         cast(src(x + 1, slice(0, hi0)))], axis=0)
-                    write(mid1, BK,
-                          _compute(piece, j0, jout, lo0, hi0,
-                                   i0, iout))
+                banded_row(src, x, cast, write,
+                           lambda ks, b, n: _compute(ks, j0, jout, b, n,
+                                                     i0, iout),
+                           BK, lo0, hi0)
 
             def ring_writer(f, x):
                 def wr(r0, r1, v):

@@ -127,11 +127,9 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
         return est + live * ext
 
     if tile_j is None:
-        budget = int(0.85 * vmem_limit_bytes)
-        tile_j = 1
-        for cand in range(1, JC + 1):
-            if JC % cand == 0 and vmem_estimate(cand) <= budget:
-                tile_j = cand
+        from .pencil_kernel import choose_tile_j
+
+        tile_j = choose_tile_j(JC, vmem_estimate, vmem_limit_bytes)
     TJ = int(tile_j)
     if JC % TJ:
         raise ValueError(f"tile_j {TJ} must divide computed j extent {JC}")

@@ -76,6 +76,8 @@ def _copy_ok(arr, grid, bdims, dat, offset) -> bool:
     corrupt memory)."""
     if dat.ndim != 2 or arr.ndim != len(bdims) or grid.ndim != len(bdims):
         return False
+    if len(bdims) > 8:          # C side indexes fixed int64_t [8] arrays
+        return False
     if arr.shape != tuple(g * b for g, b in zip(grid.shape, bdims)):
         return False
     belems = int(np.prod(bdims))

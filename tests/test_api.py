@@ -97,3 +97,11 @@ def test_problem_fused_exchange_multidevice():
     p.init(array=g).step(1)
     want = _dense_steps(g, "mpi7pt", 2, p.params)
     assert compare_arrays(p.result(), want, 1e-4)
+
+
+def test_problem_st_iter_zero_ghost_message():
+    """st_iter > 1 with no ghost at all must raise the deep-ghost
+    bound error, not an empty-sequence min() crash."""
+    with pytest.raises(ValueError, match="ghost depth"):
+        Problem(dims=(16, 16, 16), stencil="mpi7pt", backend="jnp",
+                ghost=(0, 0, 0), st_iter=2)

@@ -258,3 +258,14 @@ def test_remote_exchange_4d():
     got = np.asarray(jax.jit(shard_map(
         step1, mesh1, P("dev"), P("dev")))(got_in))
     np.testing.assert_array_equal(got, want)
+
+
+def test_put_plan_rejects_deep_ghost_ring():
+    """The fused sweep's recv gates assume one ghost-brick ring per
+    exchanged axis; put_plan must reject deeper rings up front."""
+    from bricklib_tpu.comm.exchange import put_plan
+
+    dec = BrickDecomp(dims=(24, 16, 32), ghost_depth=(8, 4, 0),
+                      bdims=(4, 4, 32)).initialize(skin3d_good)
+    with pytest.raises(ValueError, match="ghost-brick ring"):
+        put_plan(dec, (2, 2, 1), (2,))

@@ -24,12 +24,13 @@ GZ = (4, 4, 0)
 TABLE_AXES = (2,)
 
 
-@pytest.mark.parametrize("mesh_shape,stencil", [
-    ((1, 1, 1), "mpi7pt"),      # all-local plan (self copies) + reorder
-    ((2, 2, 1), "mpi7pt"),      # k, j and corners all remote
-    ((2, 2, 1), "mpi13pt"),     # radius-2 banded compute
+@pytest.mark.parametrize("mesh_shape,stencil,tile_j", [
+    ((1, 1, 1), "mpi7pt", None),  # all-local plan (self copies) + reorder
+    ((2, 2, 1), "mpi7pt", None),  # k, j and corners all remote
+    ((2, 2, 1), "mpi13pt", None),  # radius-2 banded compute
+    ((2, 2, 1), "mpi7pt", 1),   # TJ=1: four j-ghost tiles, double rotate
 ])
-def test_fused_exchange_sweep_bit_exact(mesh_shape, stencil):
+def test_fused_exchange_sweep_bit_exact(mesh_shape, stencil, tile_j):
     dec = BrickDecomp(dims=DIMS, ghost_depth=GZ, bdims=BD).initialize(
         skin3d_good)
     kgrid = dec.periodic_grid(TABLE_AXES)
@@ -48,7 +49,8 @@ def test_fused_exchange_sweep_bit_exact(mesh_shape, stencil):
                                     k_range=kr, j_range=jr,
                                     interpret=True)
     fus = pallas_pencil_sweep_fusedx(sd, kgrid, BD, dec.nbricks, plan,
-                                     mesh_shape, params, interpret=True)
+                                     mesh_shape, params, tile_j=tile_j,
+                                     interpret=True)
 
     rng = np.random.default_rng(11)
     stacked = rng.standard_normal(
