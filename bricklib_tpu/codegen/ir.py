@@ -78,7 +78,7 @@ def linear_decomposition(rhs: Expr):
     return [(key, groups[key][0], groups[key][1]) for key in order]
 
 
-def fold_linear(ir: "StencilIR", resolve):
+def fold_linear(ir: "StencilIR", resolve, fields: dict | None = None):
     """Fold a linear stencil innermost-cost-first for the Pallas
     emitters (the VMEM-era form of the reference codegen's reduction
     grouping + greedy shift selection, codegen/st/codegen/base.py:
@@ -97,6 +97,11 @@ def fold_linear(ir: "StencilIR", resolve):
     ``vmap[di] = ((dj, wid), ...)``, ``jneed = (jlo, jhi)``.
     Coefficients resolve to trace-time constants; identical k-profiles
     share a W, identical j-structures share a V (±di symmetry).
+
+    ``fields`` (multi-input stencils): map grid name -> field index;
+    each outer-offset tuple is then ``(fidx, dk, ...)`` so taps from
+    different input grids never collapse into one k-profile.  The
+    single-input form stays ``(dk, ...)`` (every emitter's default).
     """
     if ir.linear is None:
         return None
@@ -104,8 +109,11 @@ def fold_linear(ir: "StencilIR", resolve):
     for _key, cexpr, taps in ir.linear:
         c = float(resolve(cexpr.name)) if hasattr(
             cexpr, "name") else float(cexpr.val)
-        for sign, _gname, offs in taps:
-            key = (tuple(reversed(offs[2:])), offs[1], offs[0])
+        for sign, gname, offs in taps:
+            free = tuple(reversed(offs[2:]))
+            if fields is not None:
+                free = (fields[gname],) + free
+            key = (free, offs[1], offs[0])
             C[key] = C.get(key, 0.0) + (c if sign > 0 else -c)
     kprof: dict = {}
     for (free, dj, di), c in C.items():

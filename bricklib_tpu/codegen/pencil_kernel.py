@@ -39,7 +39,11 @@ provides every schedule the drivers need:
 - temporally FUSED sweeps (``fuse=F``): F stencil iterations per HBM
   pass, intermediates in per-level VMEM rings — per-iteration memory
   traffic divides by F until the VPU saturates (F=4 optimal for 7pt:
-  1.54x the copy roofline per iteration at 512^3).
+  1.54x the copy roofline per iteration at 512^3),
+- MULTI-INPUT stencils (variable-coefficient fields, the reference
+  codegen's per-grid support, codegen/st/codegen/backend/base.py:
+  93-123): one rolling window per field over one shared grid table,
+  ``fn(*views)`` in ``fn.fields`` order (fuse=1 only).
 
 Works on any layout whose grid table has i-extent 1 (one pencil per
 (k, j) cell): dense init_grid or BrickDecomp with ghost_depth[i] = 0.
@@ -67,7 +71,7 @@ from .jnp_backend import _as_ir, _np_offsets, _run
 # per-row arithmetic from these factories rather than keeping copies.
 
 def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
-                      ilo_r=0, ihi_r=0):
+                      ilo_r=0, ihi_r=0, fields=None):
     """Return ``compute(kslab, j0, jout, base, nrows, i0=0, iout=0)``
     evaluating ``nrows`` output k-rows from a k-slab covering
     [base - lo_k, base + nrows + hi_k); ``j0``/``i0`` are the kslab
@@ -75,7 +79,14 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
     mode; pencil mode computes the full lane-roll width).
 
     ``lin`` is :func:`..ir.fold_linear`'s factorization (or None for
-    the generic tap walk); ``roll_i`` the periodic lane roll."""
+    the generic tap walk); ``roll_i`` the periodic lane roll.
+
+    ``fields`` (multi-input stencils, ref: the codegen's per-grid
+    neighbor prologues, codegen/st/codegen/backend/base.py:93-123):
+    map grid name -> field index; ``kslab`` is then a LIST of
+    per-field slabs and ``lin`` must come from ``fold_linear(...,
+    fields=fields)`` so its outer-offset tuples carry the index."""
+    multi = fields is not None
 
     def compute(kslab, j0, jout, base, nrows, i0=0, iout=0):
         isl = (slice(i0 - ilo_r, i0 + iout + ihi_r) if islice
@@ -89,9 +100,15 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
             def ksum(dks):
                 if dks not in kcache:
                     v = None
-                    for (dk,) in dks:
-                        s = kslab[base + dk:base + dk + nrows,
-                                  j0 - jlo_r:j0 - jlo_r + JE, isl]
+                    for fr in dks:
+                        if multi:
+                            f, dk = fr
+                            src = kslab[f]
+                        else:
+                            (dk,) = fr
+                            src = kslab
+                        s = src[base + dk:base + dk + nrows,
+                                j0 - jlo_r:j0 - jlo_r + JE, isl]
                         v = s if v is None else v + s
                     kcache[dks] = v
                 return kcache[dks]
@@ -118,12 +135,13 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
                 out = t if out is None else out + t
             return out
 
-        def read_tap(_name, offs_edsl):
+        def read_tap(name, offs_edsl):
             offs = _np_offsets(offs_edsl, 3)
-            v = kslab[base + offs[0]:base + offs[0] + nrows,
-                      j0 + offs[1]:j0 + offs[1] + jout,
-                      (slice(i0 + offs[2], i0 + offs[2] + iout)
-                       if islice else slice(None))]
+            src = kslab[fields[name]] if multi else kslab
+            v = src[base + offs[0]:base + offs[0] + nrows,
+                    j0 + offs[1]:j0 + offs[1] + jout,
+                    (slice(i0 + offs[2], i0 + offs[2] + iout)
+                     if islice else slice(None))]
             if not islice and offs[2]:
                 v = roll_i(v, offs[2])
             return v
@@ -142,46 +160,58 @@ def banded_row(src, x, cast, write, compute, BK, lo0, hi0):
 
     ``src(a, rows)`` reads source row ``a``; ``cast`` promotes to the
     compute dtype; ``compute(kslab, base, nrows)`` evaluates the
-    stencil; ``write(r0, r1, v)`` stores band [r0, r1)."""
+    stencil; ``write(r0, r1, v)`` stores band [r0, r1).  ``src`` may
+    return a list of per-field rows (multi-input stencils) — slabs are
+    then assembled per field and ``compute`` receives the list."""
+
+    def amap(fn, v):
+        return [fn(e) for e in v] if isinstance(v, list) else fn(v)
+
+    def acat(pieces):
+        if len(pieces) == 1:
+            return pieces[0]
+        if isinstance(pieces[0], list):
+            return [jnp.concatenate([p[f] for p in pieces], axis=0)
+                    for f in range(len(pieces[0]))]
+        return jnp.concatenate(pieces, axis=0)
+
     banded = BK >= lo0 + hi0 and (lo0 or hi0)
     if not banded:
         pieces = []
         if lo0:
-            pieces.append(cast(src(x - 1, slice(BK - lo0, BK))))
-        pieces.append(cast(src(x)))
+            pieces.append(amap(cast, src(x - 1, slice(BK - lo0, BK))))
+        pieces.append(amap(cast, src(x)))
         if hi0:
-            pieces.append(cast(src(x + 1, slice(0, hi0))))
-        kslab = (jnp.concatenate(pieces, axis=0)
-                 if len(pieces) > 1 else pieces[0])
-        write(0, BK, compute(kslab, lo0, BK))
+            pieces.append(amap(cast, src(x + 1, slice(0, hi0))))
+        write(0, BK, compute(acat(pieces), lo0, BK))
         return
-    cur = cast(src(x))
+    cur = amap(cast, src(x))
     mid0, mid1 = lo0, BK - hi0
     if mid1 > mid0:
         write(mid0, mid1, compute(cur, lo0, mid1 - mid0))
     if lo0:
-        piece = jnp.concatenate(
-            [cast(src(x - 1, slice(BK - lo0, BK))),
-             cur[:lo0 + hi0]], axis=0)
+        piece = acat([amap(cast, src(x - 1, slice(BK - lo0, BK))),
+                      amap(lambda v: v[:lo0 + hi0], cur)])
         write(0, lo0, compute(piece, lo0, lo0))
     if hi0:
-        piece = jnp.concatenate(
-            [cur[BK - hi0 - lo0:],
-             cast(src(x + 1, slice(0, hi0)))], axis=0)
+        piece = acat([amap(lambda v: v[BK - hi0 - lo0:], cur),
+                      amap(cast, src(x + 1, slice(0, hi0)))])
         write(mid1, BK, compute(piece, lo0, hi0))
 
 
 def pencil_vmem_estimate(tj: int, *, BK, BJ, RI, IW, isz, csz, NW,
-                         lo_k, hi_k, lin, ntaps, ie=0, rings=()) -> int:
+                         lo_k, hi_k, lin, ntaps, ie=0, rings=(),
+                         nfields=1) -> int:
     """VMEM bytes for a ``tj``-pencil tile of the streaming sweep (the
     surviving form of the reference codegen's MSIZE/THRES machinery,
     base.py:445-519): window slots + out double-buffer + kslab + live
     row-sized temporaries of the factorized compute.  ``rings`` holds
     (slots, j_ext, i_ext) per fused intermediate level."""
     row = BK * (tj + 2) * BJ * RI
-    est = NW * row * isz                      # rolling window
+    est = NW * row * isz * nfields            # rolling window per field
     est += 2 * BK * tj * BJ * IW * isz        # tout double buffer
-    est += (BK + lo_k + hi_k) * (tj + 2) * BJ * RI * csz  # kslab
+    est += ((BK + lo_k + hi_k) * (tj + 2) * BJ * RI * csz
+            * nfields)                        # kslab per field
     for slots, jext, iext in rings:           # fused-level rings
         est += slots * BK * (tj * BJ + jext) * (IW + iext) * csz
     if lin is not None:
@@ -274,10 +304,14 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         interpret = jax.default_backend() != "tpu"
     if ir.dims != 3:
         raise NotImplementedError("pencil path is 3-D")
-    if len(ir.sdef.inputs) != 1:
-        raise NotImplementedError(
-            "pallas paths read one input grid; multi-input stencils run "
-            "through brick_apply")
+    fieldnames = list(ir.sdef.inputs)
+    NF = len(fieldnames)
+    if NF == 0:
+        raise ValueError("stencil reads no input grid")
+    # multi-input (the reference codegen's per-grid support,
+    # codegen/st/codegen/backend/base.py:93-123): one brick view per
+    # field sharing ONE grid table; each field streams its own window
+    fmap = {n: i for i, n in enumerate(fieldnames)} if NF > 1 else None
     BK, BJ, BIROW = (int(b) for b in bdims)
     if not interpret and (BIROW % 128 or BJ % 8):
         raise ValueError(
@@ -343,6 +377,14 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     F = int(fuse)
     if F < 1:
         raise ValueError("fuse must be >= 1")
+    if NF > 1:
+        if F > 1:
+            raise NotImplementedError(
+                "fuse>1 re-applies the stencil to its own output; "
+                "multi-input stencils have no such ping-pong")
+        if inplace:
+            raise NotImplementedError(
+                "inplace partial sweeps support one input grid")
     if F > 1:
         if inplace:
             raise NotImplementedError("fuse>1 with inplace partial "
@@ -385,7 +427,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
     # hierarchical axis factorization shared by every Pallas emitter
     # (see codegen.ir.fold_linear): 125pt drops to 4 lane rolls
-    lin = fold_linear(ir, resolve)
+    lin = fold_linear(ir, resolve, fields=fmap)
 
     # --- VMEM-budget tile selection (shared model, see
     # :func:`pencil_vmem_estimate`)
@@ -396,7 +438,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         return pencil_vmem_estimate(
             tj, BK=BK, BJ=BJ, RI=RI, IW=IW, isz=isz, csz=csz, NW=NW,
             lo_k=lo[0], hi_k=hi[0], lin=lin, ntaps=len(ir.sdef.taps),
-            ie=(lo[2] + hi[2]) if islice else 0,
+            ie=(lo[2] + hi[2]) if islice else 0, nfields=NF,
             rings=[(lvlS[f], ext_lo[f] + ext_hi[f],
                     iext_lo[f] + iext_hi[f]) for f in range(1, F)])
 
@@ -413,11 +455,11 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     def _clip(x, n):
         return jnp.clip(x, 0, n - 1)
 
-    def _row_copies(ids_ref, dat_ref, win, sem, sb, jt, w, slot):
+    def _row_copies(ids_ref, dat_refs, wins, sem, sb, jt, w, slot):
         """Copy descriptors loading window row w (rolling index; absolute
         grid row K0 - F + w, edge-clamped) for j-tile jt of batch sub
-        sb.  In i-bricked mode all GI bricks of the row assemble
-        contiguously along the lane axis."""
+        sb, for every input field.  In i-bricked mode all GI bricks of
+        the row assemble contiguously along the lane axis."""
         krow = _clip(K0 - F + w, GK)
         cps = []
         for cj in range(JW):
@@ -425,26 +467,30 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             base = sb * (GK * GJ * GI) + (krow * GJ + jcol) * GI
             for ci in range(CI):
                 cic = min(max(ci - pad_lo, 0), GI - 1)  # clamped pad col
-                cps.append(pltpu.make_async_copy(
-                    dat_ref.at[ids_ref[base + cic]],
-                    win.at[slot, :, cj * BJ:(cj + 1) * BJ,
-                           ci * BI:(ci + 1) * BI],
-                    sem.at[slot]))
+                for f in range(NF):
+                    cps.append(pltpu.make_async_copy(
+                        dat_refs[f].at[ids_ref[base + cic]],
+                        wins[f].at[slot, :, cj * BJ:(cj + 1) * BJ,
+                                   ci * BI:(ci + 1) * BI],
+                        sem.at[slot]))
         return cps
 
     ilo_r, ihi_r = (lo[2], hi[2]) if islice else (0, 0)
     _compute = build_row_compute(ir, resolve, lin, _roll_i,
-                                 islice=islice, ilo_r=ilo_r, ihi_r=ihi_r)
+                                 islice=islice, ilo_r=ilo_r, ihi_r=ihi_r,
+                                 fields=fmap)
 
     def make_kernel(extra_ref: bool):
-        def kernel(ids_ref, dat_ref, *rest):
+        def kernel(ids_ref, *args):
+            dat_refs = list(args[:NF])
+            rest = list(args[NF:])
             if extra_ref:
-                _prev_ref, out_ref, *rest = rest
-            else:
-                out_ref, *rest = rest
-            win, tout = rest[0], rest[1]
-            rings = rest[2:2 + (F - 1)]
-            sem, osem = rest[2 + (F - 1):]
+                rest.pop(0)          # out_prev (aliased onto out_ref)
+            out_ref = rest.pop(0)
+            wins = rest[:NF]
+            tout = rest[NF]
+            rings = rest[NF + 1:NF + F]
+            sem, osem = rest[NF + F:]
             sb = pl.program_id(0)   # subdomain in the batch
             jt = pl.program_id(1)
             t = pl.program_id(2)
@@ -453,7 +499,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             @pl.when(t == 0)
             def _():
                 for w in range(min(NW, KC + 2 * F)):
-                    for cp in _row_copies(ids_ref, dat_ref, win, sem, sb,
+                    for cp in _row_copies(ids_ref, dat_refs, wins, sem, sb,
                                           jt, w, w % NW):
                         cp.start()
 
@@ -461,7 +507,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             @pl.when(jnp.logical_and(t > 0,
                                      t + 2 * F + 1 <= KC + 2 * F - 1))
             def _():
-                for cp in _row_copies(ids_ref, dat_ref, win, sem, sb, jt,
+                for cp in _row_copies(ids_ref, dat_refs, wins, sem, sb, jt,
                                       t + 2 * F + 1,
                                       (t + 2 * F + 1) % NW):
                     cp.start()
@@ -470,19 +516,22 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             @pl.when(t == 0)
             def _():
                 for w in range(min(2 * F, KC + 2 * F - 1)):
-                    for cp in _row_copies(ids_ref, dat_ref, win, sem,
+                    for cp in _row_copies(ids_ref, dat_refs, wins, sem,
                                           sb, jt, w, w % NW):
                         cp.wait()
             # wait the newest row this step consumes
-            for cp in _row_copies(ids_ref, dat_ref, win, sem, sb, jt,
+            for cp in _row_copies(ids_ref, dat_refs, wins, sem, sb, jt,
                                   t + 2 * F, (t + 2 * F) % NW):
                 cp.wait()
 
             # --- fused-level machinery ---------------------------------
             def win_row(a, rs=slice(None)):
                 # absolute grid row -> window slot (content edge-clamped
-                # by _row_copies, so no index clipping needed)
-                return win[(a + F - K0) % NW, rs]
+                # by _row_copies, so no index clipping needed); a list
+                # of per-field rows when the stencil has several inputs
+                if NF == 1:
+                    return wins[0][(a + F - K0) % NW, rs]
+                return [w_[(a + F - K0) % NW, rs] for w_ in wins]
 
             def lvl_row(f, x, rs=slice(None)):
                 xx = jnp.clip(x, lvlA[f], lvlB[f] - 1)
@@ -579,9 +628,9 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
         transcendentals=0,
     )
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * NF
     if inplace:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
     ring_shapes = [
         pltpu.VMEM((lvlS[f], BK, TJ * BJ + ext_lo[f] + ext_hi[f],
                     IW + iext_lo[f] + iext_hi[f]), compute_dtype)
@@ -592,7 +641,8 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NW,) + row_shape, dtype),
+            pltpu.VMEM((NW,) + row_shape, dtype) for _ in range(NF)
+        ] + [
             pltpu.VMEM((2, BK, TJ * BJ, IW), dtype),
         ] + ring_shapes + [
             pltpu.SemaphoreType.DMA((NW,)),
@@ -600,8 +650,8 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         ],
     )
     # input indices for aliasing count the scalar-prefetch operand:
-    # operand 2 is out_prev when inplace
-    alias = dict(input_output_aliases={2: 0}) if inplace else {}
+    # operand 1 + NF is out_prev when inplace
+    alias = dict(input_output_aliases={1 + NF: 0}) if inplace else {}
     call = pl.pallas_call(
         make_kernel(inplace),
         grid_spec=grid_spec,
@@ -623,6 +673,15 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     if inplace:
         def fn(dat_view, out_prev):
             return call(ids, dat_view, out_prev)
+    elif NF > 1:
+        def fn(*dat_views):
+            # one [nbricks, BK, BJ, BI] view per input grid, in
+            # ir.sdef.inputs order (fn.fields)
+            if len(dat_views) != NF:
+                raise TypeError(f"stencil reads {NF} grids "
+                                f"({fieldnames}), got {len(dat_views)}")
+            return call(ids, *dat_views)
+        fn.fields = tuple(fieldnames)
     else:
         def fn(dat_view):
             return call(ids, dat_view)

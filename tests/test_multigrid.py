@@ -1,0 +1,109 @@
+"""Multi-input stencils on the pencil fast path.
+
+The reference codegen handles any number of input grids (per-grid
+neighbor prologues, codegen/st/codegen/backend/base.py:93-123); the
+pencil emitter streams one rolling window per field over ONE shared
+grid table.  Both the factorized-linear path (field-tagged k-profiles,
+ir.fold_linear fields=) and the generic evaluator path (grid x grid
+products = variable-coefficient stencils) are validated against the
+dense twin in interpret mode.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bricklib_tpu.codegen import dense_apply
+from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_stencil
+from bricklib_tpu.core import (
+    compare_arrays,
+    from_bricks,
+    init_grid,
+    random_array,
+    to_bricks,
+)
+from bricklib_tpu.st import ConstRef, Grid, Index
+from bricklib_tpu.st.loader import load_stencil_module
+
+pytestmark = pytest.mark.slow
+
+BD = (2, 4, 16)
+G = (6, 5, 1)
+PARAMS = {"alpha": 0.4, "beta": 0.07, "gamma": -0.2}
+
+
+def _ijk():
+    return Index(0), Index(1), Index(2)
+
+
+def _linear_two_grid():
+    """c-weighted taps from two grids: the factorized path with
+    field-tagged k-profiles (all three shift stages exercised on b)."""
+    a, b, out = Grid("a", 3), Grid("b", 3), Grid("out", 3)
+    i, j, k = _ijk()
+    rhs = (ConstRef("alpha") * a(i, j, k)
+           + ConstRef("beta") * (a(i + 1, j, k) + a(i - 1, j, k)
+                                 + a(i, j + 1, k) + a(i, j - 1, k)
+                                 + a(i, j, k + 1) + a(i, j, k - 1))
+           + ConstRef("gamma") * (b(i, j, k) + b(i + 2, j, k)
+                                  + b(i, j - 1, k) + b(i, j, k + 1)))
+    out(i, j, k).assign(rhs)
+    return load_stencil_module({"STENCIL": [out]})[0]
+
+
+def _varcoeff_two_grid():
+    """Variable-coefficient stencil: grid x grid products fall back to
+    the generic evaluator (linear_decomposition returns None)."""
+    a, b, out = Grid("a", 3), Grid("b", 3), Grid("out", 3)
+    i, j, k = _ijk()
+    rhs = (b(i, j, k) * a(i, j, k)
+           + b(i + 1, j, k) * a(i + 1, j, k)
+           + b(i, j, k) * a(i, j, k - 1)
+           + ConstRef("alpha") * a(i, j + 1, k))
+    out(i, j, k).assign(rhs)
+    return load_stencil_module({"STENCIL": [out]})[0]
+
+
+@pytest.mark.parametrize("make", [_linear_two_grid, _varcoeff_two_grid])
+def test_two_grid_pencil_matches_dense(make):
+    sd = make()
+    assert len(sd.inputs) == 2
+    grid, info = init_grid(G)
+    KI, JI = G[0] - 2, G[1] - 2
+    cores = {n: random_array((KI * BD[0], JI * BD[1], BD[2]),
+                             np.float32, 5 + fi)
+             for fi, n in enumerate(sd.inputs)}
+    views = {}
+    for n, core in cores.items():
+        ext = np.pad(core, ((BD[0], BD[0]), (BD[1], BD[1]), (0, 0)),
+                     mode="wrap")
+        views[n] = jnp.asarray(
+            to_bricks(ext, grid, BD).reshape((-1,) + BD))
+
+    fn = pallas_pencil_stencil(sd, grid, BD, (1, 1), info.nbricks,
+                               PARAMS, interpret=True)
+    out = np.asarray(fn(*(views[n] for n in fn.fields)))
+
+    lo, hi = sd.radius()
+    padded = {n: np.pad(c, [(l, h) for l, h in zip(lo, hi)],
+                        mode="wrap") for n, c in cores.items()}
+    want = dense_apply(sd, padded, PARAMS, xp=np)
+    got = from_bricks(out, grid[1:-1, 1:-1], BD)
+    assert compare_arrays(got, want, 1e-5)
+
+
+def test_two_grid_guards():
+    """fuse>1 and the single-input-only emitters must reject
+    multi-input stencils instead of silently merging fields."""
+    from bricklib_tpu.codegen.fused_exchange import pallas_pencil_sweep_fusedx
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
+
+    sd = _linear_two_grid()
+    grid, _info = init_grid(G)
+    with pytest.raises(NotImplementedError, match="multi-input"):
+        pallas_pencil_sweep(sd, grid, BD, 30, PARAMS, fuse=2,
+                            interpret=True)
+    with pytest.raises(NotImplementedError, match="one input grid"):
+        pallas_pencil_sweep_fusedx(sd, grid[:, :, 0], BD, 30, [],
+                                   (1, 1, 1), PARAMS, interpret=True)

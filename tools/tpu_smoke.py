@@ -64,6 +64,19 @@ def main():
         sd125, grid3, BD, info3.nbricks, params))(view))
     check("pencil cond (generic)", lambda: jax.jit(pallas_pencil_sweep(
         sdc, grid3, BD, info3.nbricks, params))(view))
+    from bricklib_tpu.st import ConstRef, Grid, Index
+    from bricklib_tpu.st.loader import load_stencil_module
+
+    ga, gb, gout = Grid("a", 3), Grid("b", 3), Grid("out", 3)
+    i_, j_, k_ = Index(0), Index(1), Index(2)
+    gout(i_, j_, k_).assign(
+        ConstRef("alpha") * ga(i_, j_, k_)
+        + ConstRef("beta") * (ga(i_ + 1, j_, k_) + gb(i_, j_ + 1, k_)
+                              + gb(i_, j_, k_ - 1)))
+    sd2 = load_stencil_module({"STENCIL": [gout]})[0]
+    check("pencil two-grid", lambda: jax.jit(pallas_pencil_sweep(
+        sd2, grid3, BD, info3.nbricks, {"alpha": 0.4, "beta": 0.1}))(
+            view, view))
     check("pencil bf16 storage", lambda: jax.jit(pallas_pencil_sweep(
         sd7, grid3, BD, info3.nbricks, params,
         dtype=jnp.bfloat16, compute_dtype=jnp.float32))(
