@@ -28,10 +28,17 @@ class Problem:
     def __init__(self, dims, stencil="mpi7pt", params=None,
                  bdims=None, ghost=None, mesh=(1, 1, 1),
                  backend="auto", dtype=np.float32, st_iter=1,
-                 exchange="shift"):
+                 exchange="shift", field=None):
         """``exchange``: "shift" (XLA-level multi-stage ppermutes) or
         "fused" (pencil backend, remote DMAs issued inside the first
-        sweep kernel, overlapped with its interior k-stream)."""
+        sweep kernel, overlapped with its interior k-stream).
+
+        Multi-input stencils (variable-coefficient fields): ``field``
+        names the EVOLVING input grid (default: the stencil's first
+        input); every other input is a STATIC auxiliary field whose
+        global array is passed to :meth:`init` via ``aux=``.  Aux ghost
+        regions are filled once at init (periodic wrap) and never go
+        stale, so deep-ghost ``st_iter`` composes unchanged."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -51,7 +58,13 @@ class Problem:
             self.sdef = stencil
         else:
             self.sdef = stencil_by_name("mpi7pt")[0]
-        self.gname = next(iter(self.sdef.inputs))
+        self.gname = field if field is not None else next(
+            iter(self.sdef.inputs))
+        if self.gname not in self.sdef.inputs:
+            raise ValueError(f"field {self.gname!r} is not a stencil "
+                             f"input ({list(self.sdef.inputs)})")
+        self.aux_names = [n for n in self.sdef.inputs
+                          if n != self.gname]
         self.params = dict(DEFAULT_PARAMS)
         self.params["coeff"] = [0.03 * (c + 1) for c in range(27)]
         if params:
@@ -88,6 +101,9 @@ class Problem:
         if exchange == "fused" and backend != "pencil":
             raise ValueError("exchange='fused' runs on the pencil "
                              "backend")
+        if exchange == "fused" and self.aux_names:
+            raise ValueError("exchange='fused' supports single-input "
+                             "stencils; use exchange='shift'")
         self.exchange = exchange
         self.dec = BrickDecomp(dims=self.dims, ghost_depth=self.ghost,
                                bdims=self.bdims).initialize(
@@ -134,7 +150,7 @@ class Problem:
             fused_x = exchange == "fused" and distributed
             fuse = 1
             budget_iters = self.st_iter - 1 if fused_x else self.st_iter
-            if len(self.sdef.taps) <= 7:
+            if len(self.sdef.taps) <= 7 and not self.aux_names:
                 for cand in (4, 2):
                     if (budget_iters % cand == 0 and cand * rad <= bd[1]
                             and cand * rad <= bd[0] and budget_iters):
@@ -165,7 +181,14 @@ class Problem:
                 self._send_ids = lambda: put_send_ids(
                     fusedx_plan, msh, names[0])
 
-            def one(d):
+            def _call(k, d, auxv):
+                if not self.aux_names:
+                    return k(d)
+                vs = dict(zip(self.aux_names, auxv))
+                vs[self.gname] = d
+                return k(*(vs[n] for n in k.fields))
+
+            def one(d, *auxv):
                 if fusedx_kern is not None:
                     d, _ = fusedx_kern(d, self._send_ids())
                     nsweeps = (self.st_iter - 1) // fuse
@@ -177,8 +200,9 @@ class Problem:
                     nsweeps = self.st_iter // fuse
                 for it in range(nsweeps):
                     last = it == nsweeps - 1
-                    d = kern(d) if (last or kern_ghost is None) \
-                        else kern_ghost(d)
+                    k = kern if (last or kern_ghost is None) \
+                        else kern_ghost
+                    d = _call(k, d, auxv)
                 return d
         else:
             from .codegen import brick_apply
@@ -194,17 +218,19 @@ class Problem:
             owned = jnp.asarray(
                 np.arange(1, dec.sep_pos[1], dtype=np.int32))
 
-            def one(d):
+            def one(d, *auxv):
                 d = exchange_shift(d, dec, names, msh)
                 view = d.reshape((-1,) + bd)
+                avs = {n: a.reshape((-1,) + bd)
+                       for n, a in zip(self.aux_names, auxv)}
                 for it in range(self.st_iter):
+                    vs = {self.gname: view, **avs}
                     if it == self.st_iter - 1:   # last: owned only
-                        out = brick_apply(self.sdef, {self.gname: view},
-                                          adj, self.params, rows=owned)
+                        out = brick_apply(self.sdef, vs, adj,
+                                          self.params, rows=owned)
                         view = view.at[owned].set(out)
                     else:  # ghost-inclusive (deep-ghost semantics)
-                        view = brick_apply(self.sdef,
-                                           {self.gname: view}, adj,
+                        view = brick_apply(self.sdef, vs, adj,
                                            self.params)
                 return view.reshape(d.shape)
 
@@ -213,34 +239,30 @@ class Problem:
         moves = not (backend == "pencil"
                      and int(np.prod(msh)) == 1)
         don = dict(donate_argnums=0) if moves else {}
+        nin = 1 + len(self.aux_names)
         if int(np.prod(self.mesh_shape)) > 1:
-            self._step = jax.jit(shard_map(one, self.mesh, self._P,
-                                           self._P), **don)
+            self._step = jax.jit(shard_map(one, self.mesh,
+                                           (self._P,) * nin, self._P),
+                                 **don)
         else:  # single device: no SPMD wrapper
             self._step = jax.jit(one, **don)
         self._dat = None
+        self._aux = ()
 
     # ------------------------------------------------------------------
-    def init(self, array=None, seed: int = 0):
-        """Load per-device owned data from a global array (shape =
-        mesh*dims, periodic) or random values."""
-        import jax
-        import jax.numpy as jnp
+    def _stack_global(self, array) -> np.ndarray:
+        """Global periodic array -> stacked per-device brick storage
+        (ghost filled by wrap, kernel-native shape end-to-end — no
+        reshapes around pallas custom calls, they materialize copies)."""
+        from .core import to_bricks
 
-        from .core import random_array, to_bricks
-
-        gshape = tuple(m * d for m, d in
-                       zip(self.mesh_shape, self.dims))
-        if array is None:
-            array = random_array(gshape, self.dtype, seed)
+        gshape = tuple(m * d for m, d in zip(self.mesh_shape, self.dims))
         array = np.asarray(array, dtype=self.dtype)
         if array.shape != gshape:
             raise ValueError(f"global array must be {gshape}")
         nd = len(self.dims)
         ndev = int(np.prod(self.mesh_shape))
         nb = self.dec.nbricks
-        # kernel-native storage shape end-to-end (no reshapes around
-        # pallas custom calls — they materialize copies)
         stacked = np.zeros((ndev * nb,) + self.bdims, self.dtype)
         for r, c in enumerate(np.ndindex(*self.mesh_shape)):
             idx = [(np.arange(c[a] * self.dims[a] - self.ghost[a],
@@ -251,14 +273,45 @@ class Problem:
             to_bricks(array[np.ix_(*idx)], self.dec.grid, self.bdims,
                       dat=dat)
             stacked[r * nb:(r + 1) * nb] = dat.reshape((-1,) + self.bdims)
-        self._dat = jax.device_put(jnp.asarray(stacked), self._sharding)
+        return stacked
+
+    def init(self, array=None, seed: int = 0, aux=None):
+        """Load per-device owned data from a global array (shape =
+        mesh*dims, periodic) or random values.  ``aux``: dict of
+        global arrays for the stencil's static auxiliary fields (every
+        input except ``field``); their ghost is filled here by
+        periodic wrap and never needs re-exchanging."""
+        import jax
+        import jax.numpy as jnp
+
+        from .core import random_array
+
+        gshape = tuple(m * d for m, d in
+                       zip(self.mesh_shape, self.dims))
+        if array is None:
+            array = random_array(gshape, self.dtype, seed)
+        self._dat = jax.device_put(
+            jnp.asarray(self._stack_global(array)), self._sharding)
+        aux = dict(aux or {})
+        missing = [n for n in self.aux_names if n not in aux]
+        if missing:
+            raise ValueError(f"init() needs aux arrays for stencil "
+                             f"inputs {missing}")
+        extra = [n for n in aux if n not in self.aux_names]
+        if extra:
+            raise ValueError(f"unknown aux fields {extra}; stencil aux "
+                             f"inputs are {self.aux_names}")
+        self._aux = tuple(
+            jax.device_put(jnp.asarray(self._stack_global(aux[n])),
+                           self._sharding)
+            for n in self.aux_names)
         return self
 
     def step(self, n: int = 1):
         if self._dat is None:
             raise RuntimeError("call init() first")
         for _ in range(n):
-            self._dat = self._step(self._dat)
+            self._dat = self._step(self._dat, *self._aux)
         return self
 
     def save(self, path: str):
@@ -275,7 +328,9 @@ class Problem:
             dims=np.asarray(self.dims),
             mesh=np.asarray(self.mesh_shape),
             bdims=np.asarray(self.bdims),
-            ghost=np.asarray(self.ghost))
+            ghost=np.asarray(self.ghost),
+            **{f"aux_{n}": np.asarray(a)
+               for n, a in zip(self.aux_names, self._aux)})
         return self
 
     def load(self, path: str):
@@ -291,6 +346,12 @@ class Problem:
                 raise ValueError(
                     f"checkpoint {name} {tuple(z[name])} != {tuple(mine)}")
         self._dat = jax.device_put(jnp.asarray(z["dat"]), self._sharding)
+        missing = [n for n in self.aux_names if f"aux_{n}" not in z]
+        if missing:
+            raise ValueError(f"checkpoint lacks aux fields {missing}")
+        self._aux = tuple(
+            jax.device_put(jnp.asarray(z[f"aux_{n}"]), self._sharding)
+            for n in self.aux_names)
         return self
 
     def result(self) -> np.ndarray:

@@ -107,3 +107,63 @@ def test_two_grid_guards():
     with pytest.raises(NotImplementedError, match="one input grid"):
         pallas_pencil_sweep_fusedx(sd, grid[:, :, 0], BD, 30, [],
                                    (1, 1, 1), PARAMS, interpret=True)
+
+
+def _dense_aux_steps(sd, field, state, auxs, n, params):
+    lo, hi = sd.radius()
+    pads = {k: np.pad(v, list(zip(lo, hi)), mode="wrap")
+            for k, v in auxs.items()}
+    w = state
+    for _ in range(n):
+        ins = dict(pads)
+        ins[field] = np.pad(w, list(zip(lo, hi)), mode="wrap")
+        w = dense_apply(sd, ins, params, xp=np)
+    return w
+
+
+def test_problem_aux_field_pencil():
+    """Variable-coefficient Problem on the pencil backend: the static
+    aux field rides along unexchanged; state ping-pongs."""
+    from bricklib_tpu.api import Problem
+
+    sd = _varcoeff_two_grid()
+    state = random_array((16, 16, 32), np.float32, 3)
+    cfld = random_array((16, 16, 32), np.float32, 4)
+    p = Problem(dims=(16, 16, 32), stencil=sd, field="a",
+                backend="pencil", bdims=(4, 4, 32), params=PARAMS)
+    p.init(array=state, aux={"b": cfld}).step(2)
+    want = _dense_aux_steps(sd, "a", state, {"b": cfld}, 2, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
+
+
+def test_problem_aux_field_jnp_distributed_deep_ghost():
+    """Aux fields on an 8-device mesh with st_iter=2: aux ghost filled
+    once at init by wrap never goes stale, so deep-ghost composes."""
+    from bricklib_tpu.api import Problem
+
+    sd = _linear_two_grid()
+    state = random_array((16, 16, 32), np.float32, 5)
+    cfld = random_array((16, 16, 32), np.float32, 6)
+    q = Problem(dims=(8, 8, 16), stencil=sd, field="a", mesh=(2, 2, 2),
+                backend="jnp", bdims=(4, 4, 8), st_iter=2,
+                params=PARAMS)
+    q.init(array=state, aux={"b": cfld}).step(1)
+    want = _dense_aux_steps(sd, "a", state, {"b": cfld}, 2, q.params)
+    assert compare_arrays(q.result(), want, 1e-4)
+
+
+def test_problem_aux_validation():
+    from bricklib_tpu.api import Problem
+
+    sd = _linear_two_grid()
+    with pytest.raises(ValueError, match="not a stencil input"):
+        Problem(dims=(16, 16, 32), stencil=sd, field="nope",
+                backend="jnp")
+    p = Problem(dims=(16, 16, 32), stencil=sd, field="a",
+                backend="jnp", bdims=(8, 8, 16), params=PARAMS)
+    with pytest.raises(ValueError, match="aux"):
+        p.init(seed=0)          # missing aux array for "b"
+    with pytest.raises(ValueError, match="fused"):
+        Problem(dims=(16, 16, 32), stencil=sd, field="a",
+                backend="pencil", bdims=(4, 4, 32), mesh=(2, 1, 1),
+                exchange="fused")
