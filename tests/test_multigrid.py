@@ -167,3 +167,19 @@ def test_problem_aux_validation():
         Problem(dims=(16, 16, 32), stencil=sd, field="a",
                 backend="pencil", bdims=(4, 4, 32), mesh=(2, 1, 1),
                 exchange="fused")
+
+
+def test_problem_aux_field_pencil_distributed():
+    """Aux field on a (2,1,1) mesh with the pencil backend and
+    deep-ghost st_iter: state exchanges per step, aux never does."""
+    from bricklib_tpu.api import Problem
+
+    sd = _linear_two_grid()
+    state = random_array((16, 16, 32), np.float32, 7)
+    cfld = random_array((16, 16, 32), np.float32, 8)
+    q = Problem(dims=(8, 16, 32), stencil=sd, field="a", mesh=(2, 1, 1),
+                backend="pencil", bdims=(4, 8, 32), st_iter=2,
+                params=PARAMS)
+    q.init(array=state, aux={"b": cfld}).step(1)
+    want = _dense_aux_steps(sd, "a", state, {"b": cfld}, 2, q.params)
+    assert compare_arrays(q.result(), want, 1e-4)
