@@ -75,18 +75,26 @@ class Problem:
             # BI % 128 == 0 (lane tiles) unless we're off-TPU
             on_hw = jax.default_backend() in ("tpu", "axon")
             fold_ok = (not on_hw) or (self.dims[-1] % 128 == 0)
-            backend = ("pencil" if nd == 3 and self.mesh_shape[2] == 1
+            backend = ("pencil" if nd in (3, 4)
+                       and self.mesh_shape[-1] == 1
                        and fold_ok else "jnp")
-        if backend == "pencil" and self.mesh_shape[2] != 1:
+        if backend == "pencil" and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
             # silently computing per-device-periodic results
             raise ValueError(
                 "pencil backend needs the innermost axis undistributed "
-                "(mesh[2] == 1); use backend='jnp' instead")
+                "(mesh[-1] == 1); use backend='jnp' instead")
+        if backend == "pencil" and nd not in (3, 4):
+            raise ValueError("pencil backend is 3-D/4-D; use "
+                             "backend='jnp' for other ranks")
+        if backend == "pencil" and nd == 4 and self.aux_names:
+            raise ValueError("aux fields on the pencil backend are 3-D; "
+                             "use backend='jnp' for 4-D multi-input")
         self.backend = backend
         if bdims is None:
             if backend == "pencil":
-                bdims = (8, 8, self.dims[2])
+                bdims = ((8, 8, self.dims[2]) if nd == 3
+                         else (2, 8, 8, self.dims[3]))
             else:
                 bdims = tuple(min(8, d) for d in self.dims[:-1]) + (
                     min(128, self.dims[-1]),)
@@ -104,6 +112,8 @@ class Problem:
         if exchange == "fused" and self.aux_names:
             raise ValueError("exchange='fused' supports single-input "
                              "stencils; use exchange='shift'")
+        if exchange == "fused" and nd != 3:
+            raise ValueError("exchange='fused' is 3-D pencil only")
         self.exchange = exchange
         self.dec = BrickDecomp(dims=self.dims, ghost_depth=self.ghost,
                                bdims=self.bdims).initialize(
@@ -126,21 +136,29 @@ class Problem:
         dec, msh, bd = self.dec, self.mesh_shape, self.bdims
         if backend == "pencil":
             from .codegen.pencil_kernel import pallas_pencil_sweep
+            from .codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
 
+            sweep = (pallas_pencil_sweep if nd == 3
+                     else pallas_pencil_sweep_4d)
             # zero-copy periodicity on undistributed axes via the table
             table_axes = tuple(a for a in range(nd) if msh[a] == 1)
             distributed = len(table_axes) < nd
-            if distributed and self.st_iter * rad > min(bd[0], bd[1]):
+            gmin = min(bd[:-1])
+            if distributed and self.st_iter * rad > gmin:
                 raise ValueError(
                     f"st_iter {self.st_iter} x radius {rad} exceeds "
-                    f"ghost depth {min(bd[0], bd[1])}")
+                    f"ghost depth {gmin}")
             kgrid = dec.periodic_grid(table_axes)
-            GKg, GJg = kgrid.shape[0], kgrid.shape[1]
 
             def _rng(skip):
-                k = (1, GKg - 1) if 0 in table_axes else (skip, GKg - skip)
-                j = (1, GJg - 1) if 1 in table_axes else (skip, GJg - skip)
-                return dict(k_range=k, j_range=j)
+                # outer-axis range names: 3-D (k, j); 4-D (w, k, j)
+                out = {}
+                for a in range(nd - 1):
+                    G_ = kgrid.shape[a]
+                    out[f"{'wkj'[a + 4 - nd]}_range"] = (
+                        (1, G_ - 1) if a in table_axes
+                        else (skip, G_ - skip))
+                return out
 
             # auto temporal fusion: iterate in VMEM when profitable —
             # memory-bound stencils (few taps) with a fuse that divides
@@ -150,7 +168,8 @@ class Problem:
             fused_x = exchange == "fused" and distributed
             fuse = 1
             budget_iters = self.st_iter - 1 if fused_x else self.st_iter
-            if len(self.sdef.taps) <= 7 and not self.aux_names:
+            if (len(self.sdef.taps) <= 7 and not self.aux_names
+                    and nd == 3):
                 for cand in (4, 2):
                     if (budget_iters % cand == 0 and cand * rad <= bd[1]
                             and cand * rad <= bd[0] and budget_iters):
@@ -158,13 +177,13 @@ class Problem:
                         break
             fkw = dict(fuse=fuse) if fuse > 1 else {}
             self.fuse = fuse
-            kern = pallas_pencil_sweep(self.sdef, kgrid, bd, dec.nbricks,
-                                       self.params, **_rng(1), **fkw)
+            kern = sweep(self.sdef, kgrid, bd, dec.nbricks,
+                         self.params, **_rng(1), **fkw)
             kern_ghost = None
             if budget_iters > fuse and distributed:
                 # deep-ghost ST_ITER: one exchange amortizes over
                 # st_iter sweeps (ref: weak/main.cpp:203-212)
-                kern_ghost = pallas_pencil_sweep(
+                kern_ghost = sweep(
                     self.sdef, kgrid, bd, dec.nbricks, self.params,
                     **_rng(0), **fkw)
             fusedx_kern = fusedx_plan = None

@@ -46,3 +46,41 @@ def test_weak_driver_4d_pencil_distributed():
     weak.run(dims=(4, 4, 8, 16), bdim=(2, 2, 4, 16), stencil="mpi9pt",
              st_iter=2, mesh_shape=(2, 1, 1, 1), iters=1, validate=True,
              backend="pencil")
+
+
+def _dense_steps_4d(sd, g, n, params):
+    lo, hi = sd.radius()
+    w = g
+    for _ in range(n):
+        wp = np.pad(w, [(l, h) for l, h in zip(lo, hi)], mode="wrap")
+        w = dense_apply(sd, {next(iter(sd.inputs)): wp}, params, xp=np)
+    return w
+
+
+def test_problem_4d_pencil():
+    """Problem API on a 4-D domain picks the 4-D pencil kernel
+    (single device: all-axes table periodicity)."""
+    from bricklib_tpu.api import Problem
+
+    g = random_array((4, 8, 8, 32), np.float32, 11)
+    p = Problem(dims=(4, 8, 8, 32), stencil="mpi9pt",
+                bdims=(2, 4, 4, 32), backend="pencil",
+                mesh=(1, 1, 1, 1))
+    assert p.backend == "pencil"
+    p.init(array=g).step(2)
+    want = _dense_steps_4d(stencil_by_name("mpi9pt")[0], g, 2, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
+
+
+def test_problem_4d_pencil_distributed_deep_ghost():
+    """4-D pencil Problem on a (2,1,1,1) mesh with st_iter=2 deep
+    ghost (ghost-inclusive first sweep, owned-only last)."""
+    from bricklib_tpu.api import Problem
+
+    g = random_array((8, 8, 8, 32), np.float32, 12)
+    p = Problem(dims=(4, 8, 8, 32), stencil="mpi9pt",
+                bdims=(2, 4, 4, 32), backend="pencil",
+                mesh=(2, 1, 1, 1), st_iter=2)
+    p.init(array=g).step(1)
+    want = _dense_steps_4d(stencil_by_name("mpi9pt")[0], g, 2, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
