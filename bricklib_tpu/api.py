@@ -76,8 +76,9 @@ class Problem:
             on_hw = jax.default_backend() in ("tpu", "axon")
             fold_ok = (not on_hw) or (self.dims[-1] % 128 == 0)
             backend = ("pencil" if nd in (3, 4)
-                       and self.mesh_shape[-1] == 1
-                       and fold_ok else "jnp")
+                       and self.mesh_shape[-1] == 1 and fold_ok
+                       and not (nd == 4 and self.aux_names)
+                       else "jnp")
         if backend == "pencil" and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
             # silently computing per-device-periodic results
@@ -309,8 +310,6 @@ class Problem:
                        zip(self.mesh_shape, self.dims))
         if array is None:
             array = random_array(gshape, self.dtype, seed)
-        self._dat = jax.device_put(
-            jnp.asarray(self._stack_global(array)), self._sharding)
         aux = dict(aux or {})
         missing = [n for n in self.aux_names if n not in aux]
         if missing:
@@ -320,10 +319,14 @@ class Problem:
         if extra:
             raise ValueError(f"unknown aux fields {extra}; stencil aux "
                              f"inputs are {self.aux_names}")
+        # validate and stack everything on the host before the first
+        # device_put so a raise leaves the Problem fully uninitialized
+        aux_stk = [self._stack_global(aux[n]) for n in self.aux_names]
+        dat_stk = self._stack_global(array)
         self._aux = tuple(
-            jax.device_put(jnp.asarray(self._stack_global(aux[n])),
-                           self._sharding)
-            for n in self.aux_names)
+            jax.device_put(jnp.asarray(s), self._sharding)
+            for s in aux_stk)
+        self._dat = jax.device_put(jnp.asarray(dat_stk), self._sharding)
         return self
 
     def step(self, n: int = 1):

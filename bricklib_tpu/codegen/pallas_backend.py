@@ -38,7 +38,7 @@ def _default_interpret() -> bool:
 
 
 def _tile_compute(ir: StencilIR, params: dict, tile_val, base, out_extent,
-                  roll_axes: tuple[int, ...] = ()):
+                  roll_axes: tuple[int, ...] = (), fields=None):
     """Evaluate the stencil over a halo-extended VMEM tile value.
 
     ``tile_val``: [EK, EJ, EI] array; returns [out_extent] array where tap
@@ -46,12 +46,14 @@ def _tile_compute(ir: StencilIR, params: dict, tile_val, base, out_extent,
     ``roll_axes`` are read at full width with a circular roll instead of a
     slice (used by the dense path to keep every store lane-tile aligned);
     for those axes ``out_extent[a]`` must equal the tile extent.
-    """
+
+    Multi-input stencils: ``fields`` maps grid name -> index and
+    ``tile_val`` is a list of per-field tiles."""
     dims = ir.dims
 
-    def read_tap(_name, offs_edsl):
+    def read_tap(name, offs_edsl):
         offs = _np_offsets(offs_edsl, dims)
-        v = tile_val
+        v = tile_val[fields[name]] if fields is not None else tile_val
         for a in roll_axes:
             if offs[a]:
                 v = jnp.roll(v, -offs[a], axis=a)
@@ -135,7 +137,9 @@ def pallas_dense_stencil(stencil, shape: Sequence[int],
 
     ``shape`` is the full padded array shape; ``padding`` per-axis ghost
     depth (must be ≥ stencil radius).  Interior = shape - 2·padding is
-    computed; the pad region of the output is zero.
+    computed; the pad region of the output is zero.  Multi-input
+    stencils take one padded array per field, ``fn(*arrs)`` in
+    ``fn.fields`` order.
     """
     ir = _as_ir(stencil)
     params = dict(params or {})
@@ -176,22 +180,36 @@ def pallas_dense_stencil(stencil, shape: Sequence[int],
     EK, EJ, EI = TKE + lo[0] + hi[0], TJE + jlo + jhi, shape[2]
     out_extent = (TKE, TJE, NIE)
 
-    def kernel(arr_ref, out_ref, tin, tout, sem):
+    fieldnames = list(ir.sdef.inputs)
+    NF = len(fieldnames)
+    fmap = {n: i for i, n in enumerate(fieldnames)} if NF > 1 else None
+
+    def kernel(*args):
+        arr_refs = args[:NF]
+        out_ref = args[NF]
+        tins = args[NF + 1:NF + 1 + NF]
+        tout, sem = args[NF + 1 + NF:]
         a = pl.program_id(0)
         b = pl.program_id(1)
         k0 = pad[0] + a * TKE
         j0 = pad[1] + b * TJE
-        cp = pltpu.make_async_copy(
-            arr_ref.at[pl.ds(k0 - lo[0], EK), pl.ds(j0 - jlo, EJ), :],
-            tin, sem)
-        cp.start()
-        cp.wait()
+        cps = []
+        for arr_ref, tin in zip(arr_refs, tins):
+            cp = pltpu.make_async_copy(
+                arr_ref.at[pl.ds(k0 - lo[0], EK), pl.ds(j0 - jlo, EJ),
+                           :],
+                tin, sem)
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
         # i-taps via circular roll at full row width: every load/store
         # stays lane-tile aligned; the pad region holds wrapped garbage
         # that validation ignores (like the reference's untouched PADDING)
+        tv = [t[...] for t in tins] if fmap is not None else tins[0][...]
         tout[...] = _tile_compute(
-            ir, params, tin[...], (lo[0], jlo, 0),
-            (TKE, TJE, shape[2]), roll_axes=(2,))
+            ir, params, tv, (lo[0], jlo, 0),
+            (TKE, TJE, shape[2]), roll_axes=(2,), fields=fmap)
         cp = pltpu.make_async_copy(
             tout, out_ref.at[pl.ds(k0, TKE), pl.ds(j0, TJE), :], sem)
         cp.start()
@@ -200,17 +218,18 @@ def pallas_dense_stencil(stencil, shape: Sequence[int],
     nelems = int(np.prod(interior))
     cost = pl.CostEstimate(
         flops=ir.flops_per_element() * nelems,
-        bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
+        bytes_accessed=(NF + 1) * nelems * np.dtype(dtype).itemsize,
         transcendentals=0,
     )
     call = pl.pallas_call(
         kernel,
         grid=(interior[0] // TKE, interior[1] // TJE),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * NF,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
         scratch_shapes=[
-            pltpu.VMEM((EK, EJ, EI), dtype),
+            pltpu.VMEM((EK, EJ, EI), dtype) for _ in range(NF)
+        ] + [
             pltpu.VMEM((TKE, TJE, shape[2]), dtype),
             pltpu.SemaphoreType.DMA,
         ],
@@ -222,7 +241,15 @@ def pallas_dense_stencil(stencil, shape: Sequence[int],
         interpret=interpret,
     )
 
-    def fn(arr):
-        return call(arr)
+    if NF > 1:
+        def fn(*arrs):
+            if len(arrs) != NF:
+                raise TypeError(f"stencil reads {NF} grids "
+                                f"({fieldnames}), got {len(arrs)}")
+            return call(*arrs)
+        fn.fields = tuple(fieldnames)
+    else:
+        def fn(arr):
+            return call(arr)
 
     return fn

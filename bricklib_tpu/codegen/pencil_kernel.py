@@ -625,7 +625,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     nelems = batch * KC * BK * JC * BJ * IW
     cost = pl.CostEstimate(
         flops=ir.flops_per_element() * nelems * F,
-        bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
+        bytes_accessed=(NF + 1) * nelems * np.dtype(dtype).itemsize,
         transcendentals=0,
     )
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * NF

@@ -183,3 +183,52 @@ def test_problem_aux_field_pencil_distributed():
     q.init(array=state, aux={"b": cfld}).step(1)
     want = _dense_aux_steps(sd, "a", state, {"b": cfld}, 2, q.params)
     assert compare_arrays(q.result(), want, 1e-4)
+
+
+@pytest.mark.parametrize("make", [_linear_two_grid, _varcoeff_two_grid])
+def test_two_grid_dense_pallas(make):
+    """The dense-array Pallas twin (tile(...) analog) takes one padded
+    array per field, matching dense_apply."""
+    from bricklib_tpu.codegen.pallas_backend import pallas_dense_stencil
+
+    sd = make()
+    arrs = {n: random_array((24, 32, 128), np.float32, 31 + fi)
+            for fi, n in enumerate(sd.inputs)}
+    pad = (4, 8, 48)
+    fn = pallas_dense_stencil(sd, (24, 32, 128), pad, PARAMS,
+                              tile_elems=(8, 8), interpret=True)
+    out = np.asarray(fn(*(jnp.asarray(arrs[n]) for n in fn.fields)))
+    want = dense_apply(sd, arrs, PARAMS, xp=np)
+    lo, hi = sd.radius()
+    got = out[4:-4, 8:-8, 48:-48]
+    want_c = want[tuple(slice(p - l, p - l + s) for p, l, s in
+                        zip(pad, lo, got.shape))]
+    assert compare_arrays(got, want_c, 1e-5)
+
+
+def test_problem_init_validation_leaves_uninitialized():
+    """A failed init (missing aux) must not leave half-loaded state."""
+    from bricklib_tpu.api import Problem
+
+    sd = _linear_two_grid()
+    p = Problem(dims=(16, 16, 32), stencil=sd, field="a",
+                backend="jnp", bdims=(8, 8, 16), params=PARAMS)
+    with pytest.raises(ValueError, match="aux"):
+        p.init(seed=0)
+    with pytest.raises(RuntimeError, match="init"):
+        p.step(1)
+
+
+def test_problem_auto_backend_4d_multigrid_falls_back_to_jnp():
+    """backend='auto' must not pick a pencil configuration it will
+    then reject (4-D multi-input)."""
+    from bricklib_tpu.api import Problem
+
+    a, b, out = Grid("a", 4), Grid("b", 4), Grid("out", 4)
+    i, j, k, w = Index(0), Index(1), Index(2), Index(3)
+    out(i, j, k, w).assign(ConstRef("alpha") * a(i, j, k, w)
+                           + b(i + 1, j, k, w))
+    sd = load_stencil_module({"STENCIL": [out]})[0]
+    p = Problem(dims=(4, 8, 8, 32), stencil=sd, field="a",
+                mesh=(1, 1, 1, 1), bdims=(2, 4, 4, 16), params=PARAMS)
+    assert p.backend == "jnp"

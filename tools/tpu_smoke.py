@@ -111,6 +111,10 @@ def main():
     check("dense twin", lambda: jax.jit(pallas_dense_stencil(
         sd7, (32, 32, 256), (8, 8, 64), params))(
             jnp.zeros((32, 32, 256), jnp.float32)))
+    check("dense twin two-grid", lambda: jax.jit(pallas_dense_stencil(
+        sd2, (32, 32, 256), (8, 8, 64), {"alpha": 0.4, "beta": 0.1}))(
+            jnp.zeros((32, 32, 256), jnp.float32),
+            jnp.zeros((32, 32, 256), jnp.float32)))
 
     dec = BrickDecomp(dims=(16, 16, 128), ghost_depth=(8, 8, 0),
                       bdims=(8, 8, 128)).initialize(skin3d_good)
