@@ -269,3 +269,58 @@ def test_put_plan_rejects_deep_ghost_ring():
                       bdims=(4, 4, 32)).initialize(skin3d_good)
     with pytest.raises(ValueError, match="ghost-brick ring"):
         put_plan(dec, (2, 2, 1), (2,))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_exchange_geometry_fuzz(seed):
+    """Random decomp geometry (mesh shape, brick fold, skin ordering,
+    PUT vs SHIFT) against the global-wrap ground truth — the exchange
+    must be correct for ANY layout the planner accepts, not just the
+    canonical test shapes."""
+    from bricklib_tpu.comm import skinlist_by_name
+
+    rng = np.random.default_rng(500 + seed)
+    meshes = [(2, 2, 2), (2, 2, 1), (2, 1, 2), (1, 2, 2), (4, 2, 1),
+              (1, 1, 8)]
+    mesh_shape = meshes[int(rng.integers(len(meshes)))]
+    bd = (int(rng.choice([2, 4])), int(rng.choice([2, 4])),
+          int(rng.choice([4, 8])))
+    gb = [int(rng.integers(2, 4)) for _ in range(3)]   # interior bricks
+    dims = tuple(g * b for g, b in zip(gb, bd))
+    order = str(rng.choice(["good", "normal", "bad"]))
+    which = str(rng.choice(["put", "shift"]))
+
+    dec = BrickDecomp(dims=dims, ghost_depth=bd, bdims=bd).initialize(
+        skinlist_by_name(order, 3))
+    gshape = tuple(m * d for m, d in zip(mesh_shape, dims))
+    g = random_array(gshape, np.float32, seed)
+    blocks = {}
+    for c in np.ndindex(*mesh_shape):
+        idx = [np.arange(c[a] * dims[a] - bd[a],
+                         c[a] * dims[a] + dims[a] + bd[a]) % gshape[a]
+               for a in range(3)]
+        blocks[c] = g[np.ix_(*idx)]
+    stacked = np.zeros(mesh_shape + (dec.nbricks, int(np.prod(bd))),
+                       np.float32)
+    for c, blk in blocks.items():
+        dat = np.zeros((dec.nbricks, int(np.prod(bd))), np.float32)
+        to_bricks(blk, dec.grid, bd, dat=dat)
+        dat[dec.sep_pos[1]:] = 0.0
+        dat[0] = 0.0
+        stacked[c] = dat
+
+    mesh = make_domain_mesh(mesh_shape)
+    names = mesh.axis_names
+    fn = exchange_put if which == "put" else exchange_shift
+
+    def step(dat):
+        d = dat[(0,) * 3]
+        return fn(d, dec, names, mesh_shape)[None, None, None]
+
+    sharded = jax.device_put(jnp.asarray(stacked),
+                             NamedSharding(mesh, P(*names)))
+    out = np.asarray(jax.jit(shard_map(step, mesh, P(*names),
+                                       P(*names)))(sharded))
+    for c, blk in blocks.items():
+        got = from_bricks(out[c], dec.grid, bd)
+        assert compare_arrays(got, blk, 1e-7), (seed, which, order, c)
