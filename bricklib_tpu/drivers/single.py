@@ -57,14 +57,22 @@ def run(n: int = 256, bdim=(8, 8, 128), stencils=("s7pt", "s27pt", "cond"),
                        mode="wrap")
         want = dense_apply(sd, {gname: corep}, params, xp=np)
 
+        # stream results as each backend finishes: first-compile of the
+        # big oracle graphs takes minutes on the tunnel and a silent
+        # driver looks hung
+        print(name, flush=True)
         arr_in = jnp.asarray(corep)
         arr_fn = jax.jit(lambda a, sd=sd, gn=gname:
                          dense_apply(sd, {gn: a}, params))
         t_arr = time_func(arr_fn, arr_in, tot_time=tot_time)
+        print(f"  arr: {t_arr:.6f}s  {elems / t_arr / 1e9:7.2f} "
+              f"GStencil/s", flush=True)
 
         bri_fn = jax.jit(lambda v, sd=sd, gn=gname:
                          brick_apply(sd, {gn: v}, adj, params))
         t_bri = time_func(bri_fn, view, tot_time=tot_time)
+        print(f"  bri: {t_bri:.6f}s  {elems / t_bri / 1e9:7.2f} "
+              f"GStencil/s", flush=True)
         got = from_bricks(np.asarray(bri_fn(view)), grid[1:-1, 1:-1, 1:-1]
                           if not use_pencil else grid[1:-1, 1:-1], bdim)
         if use_pencil:
@@ -82,6 +90,8 @@ def run(n: int = 256, bdim=(8, 8, 128), stencils=("s7pt", "s27pt", "cond"),
             gen_fn = jax.jit(pallas_brick_stencil(
                 sd, grid, bdim, (1, 1, 1), info.nbricks, params))
         t_gen = time_func(gen_fn, view, tot_time=tot_time)
+        print(f"  gen: {t_gen:.6f}s  {elems / t_gen / 1e9:7.2f} "
+              f"GStencil/s", flush=True)
         gotg = from_bricks(np.asarray(gen_fn(view)),
                            grid[1:-1, 1:-1] if use_pencil
                            else grid[1:-1, 1:-1, 1:-1], bdim)
@@ -90,10 +100,6 @@ def run(n: int = 256, bdim=(8, 8, 128), stencils=("s7pt", "s27pt", "cond"),
         if not (ok_bri and ok_gen):
             raise RuntimeError(f"result mismatch! {name} "
                                f"bri={ok_bri} gen={ok_gen}")
-        print(name)
-        print(f"  arr: {t_arr:.6f}s  {elems / t_arr / 1e9:7.2f} GStencil/s")
-        print(f"  bri: {t_bri:.6f}s  {elems / t_bri / 1e9:7.2f} GStencil/s")
-        print(f"  gen: {t_gen:.6f}s  {elems / t_gen / 1e9:7.2f} GStencil/s")
         results[name] = dict(arr=t_arr, bri=t_bri, gen=t_gen)
     return results
 
