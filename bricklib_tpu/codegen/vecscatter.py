@@ -46,6 +46,27 @@ def describe(name_or_path: str) -> list[dict]:
             desc["coeff_groups"] = [
                 {"coeff": key[1], "taps": len(taps)}
                 for key, _c, taps in ir.linear]
+            try:
+                from ..stencils import DEFAULT_PARAMS
+                from .evaluate import resolve_const_from_params
+                from .ir import fold_linear
+
+                params = dict(DEFAULT_PARAMS)
+                params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+                fields = ({n: i for i, n in enumerate(sd.inputs)}
+                          if len(sd.inputs) > 1 else None)
+                lin = fold_linear(ir, resolve_const_from_params(params),
+                                  fields=fields)
+            except KeyError:    # custom ConstRefs: resolve at build time
+                lin = None
+            if lin is not None:
+                wdefs, vmap, jneed = lin
+                desc["fold"] = {
+                    "k_profiles_W": len(wdefs),
+                    "j_stages_V": len(set(vmap.values())),
+                    "lane_rolls": sum(1 for di in vmap if di),
+                    "j_halo": list(jneed),
+                }
         out.append(desc)
     return out
 
@@ -59,6 +80,10 @@ def main(argv=None):
     p.add_argument("--grid", default="6,6,6",
                    help="brick-grid dims incl ghost ring")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--params", metavar="JSON",
+                   help="extra ConstRef values as a JSON object, merged "
+                        "over DEFAULT_PARAMS (external stencil modules "
+                        "use their own constant names)")
     p.add_argument("--export", metavar="PATH",
                    help="serialize the jitted kernel AOT via jax.export "
                         "(the VSTARGET build-artifact analog, "
@@ -80,6 +105,11 @@ def main(argv=None):
                   f"{d['flops_per_element']} flop/elem"
                   + ("" if not d.get("coeff_groups") else
                      f", {len(d['coeff_groups'])} coeff groups"))
+            if "fold" in d:
+                f = d["fold"]
+                print(f"  factorization: {f['k_profiles_W']} k-profiles "
+                      f"(W) -> {f['j_stages_V']} j-stages (V, halo "
+                      f"{f['j_halo']}) -> {f['lane_rolls']} lane rolls")
 
     if a.build or a.export:
         import numpy as np
@@ -93,6 +123,8 @@ def main(argv=None):
         grid, info = init_grid(gdims)
         params = dict(DEFAULT_PARAMS)
         params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+        if a.params:
+            params.update(json.loads(a.params))
         if a.stencil.endswith(".py"):
             sd = load_stencil_module(a.stencil)[0]
         else:
@@ -109,14 +141,18 @@ def main(argv=None):
             fn = pallas_brick_stencil(sd, grid, bdim, (1, 1, 1),
                                       info.nbricks, params)
         print(f"built pallas kernel for grid {gdims}, bricks {bdim}: "
-              f"{fn}")
+              f"tile_j {getattr(fn, 'tile_j', '?')}, VMEM estimate "
+              f"{getattr(fn, 'vmem_bytes', 0) / 2 ** 20:.1f} MB"
+              + (f", fields {fn.fields}" if hasattr(fn, "fields")
+                 else ""))
         if a.export:
             import jax
             import jax.numpy as jnp
 
             spec = jax.ShapeDtypeStruct((info.nbricks,) + bdim,
                                         jnp.float32)
-            exported = jax.export.export(jax.jit(fn))(spec)
+            specs = [spec] * max(1, len(sd.inputs))  # one per field
+            exported = jax.export.export(jax.jit(fn))(*specs)
             blob = exported.serialize()
             with open(a.export, "wb") as f:
                 f.write(blob)
