@@ -6,7 +6,7 @@ import pytest
 from bricklib_tpu.api import Problem
 from bricklib_tpu.codegen import dense_apply
 from bricklib_tpu.core import compare_arrays, random_array
-from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
+from bricklib_tpu.stencils import stencil_by_name
 
 
 def _dense_steps(g, name, n, params):

@@ -7,11 +7,9 @@ import pytest
 
 from bricklib_tpu.core import (
     Brick,
-    BrickInfo,
     BrickStorage,
     adj_index,
     adj_offsets,
-    adjacency_from_grid,
     compare_arrays,
     from_bricks,
     halo_extend,

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from bricklib_tpu.comm import BrickDecomp, skin3d_good, skin3d_bad, skinlist_by_name
-from bricklib_tpu.utils.bitset import BitSet, allneighbors
+from bricklib_tpu.utils.bitset import allneighbors
 
 
 @pytest.fixture(scope="module")

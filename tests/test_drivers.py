@@ -2,8 +2,6 @@
 build-and-run analog) — weak with/without overlap, 4-D 9pt weak run,
 and the graft entry points."""
 
-import numpy as np
-import pytest
 
 
 def test_weak_driver_3d_and_overlap(capsys):

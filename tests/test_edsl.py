@@ -80,7 +80,6 @@ def test_linear_decomposition_groups():
 def test_reference_style_module_loads_via_st_alias():
     """A stencil written against the reference's `from st.expr import ...`
     API loads unchanged (the loader aliases st -> bricklib_tpu.st)."""
-    import sys
     import bricklib_tpu.st  # triggers nothing; alias happens in loader
     from bricklib_tpu.st.loader import _alias_st
     _alias_st()

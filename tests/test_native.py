@@ -82,8 +82,7 @@ def test_native_copy_to_from_bricks_golden():
     from bricklib_tpu.core import init_grid
     from bricklib_tpu.core.native import (copy_from_bricks_f32,
                                           copy_to_bricks_f32, load_library)
-    from bricklib_tpu.core.setup import (_blocks_from_dense,
-                                         _dense_from_blocks)
+    from bricklib_tpu.core.setup import _blocks_from_dense
 
     if load_library() is None:
         import pytest

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from bricklib_tpu.codegen import brick_apply, dense_apply
-from bricklib_tpu.comm import BrickDecomp, skin3d_good
+from bricklib_tpu.comm import skin3d_good
 from bricklib_tpu.comm.mesh import make_domain_mesh, shard_map
 from bricklib_tpu.comm.strong import StrongDecomp, exchange_strong_shift
 from bricklib_tpu.core import compare_arrays, from_bricks, random_array, to_bricks

@@ -1,4 +1,3 @@
-import numpy as np
 
 from bricklib_tpu.utils import BitSet, ZMort
 from bricklib_tpu.utils.bitset import allneighbors

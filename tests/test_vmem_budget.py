@@ -3,7 +3,6 @@ budget for every corpus stencil at production shapes (the surviving form
 of the reference codegen's MSIZE/THRES machinery,
 ref: codegen/st/codegen/base.py:445-519)."""
 
-import numpy as np
 import pytest
 
 from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
