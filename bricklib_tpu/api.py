@@ -38,7 +38,15 @@ class Problem:
         input); every other input is a STATIC auxiliary field whose
         global array is passed to :meth:`init` via ``aux=``.  Aux ghost
         regions are filled once at init (periodic wrap) and never go
-        stale, so deep-ghost ``st_iter`` composes unchanged."""
+        stale, so deep-ghost ``st_iter`` composes unchanged.
+
+        Stencil SYSTEMS (the reference's multi-output ``STENCIL =
+        [out1, out2, ...]`` contract, codegen/vecscatter:165-168): pass
+        a list of StencilDefs and ``field=(name1, name2, ...)`` naming
+        the input grid each output replaces.  Every step exchanges all
+        evolving fields, then computes every output from the PRE-step
+        fields (Jacobi update); :meth:`init` takes ``array={name:
+        global_array}`` and :meth:`result` returns a dict."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -53,18 +61,46 @@ class Problem:
         nd = len(self.dims)
         self.mesh_shape = tuple(int(m) for m in mesh)
         if isinstance(stencil, str):
-            self.sdef = stencil_by_name(stencil)[0]
+            sdefs = [stencil_by_name(stencil)[0]]
         elif isinstance(stencil, StencilDef):
-            self.sdef = stencil
+            sdefs = [stencil]
+        elif isinstance(stencil, (list, tuple)):
+            sdefs = list(stencil)
+            if not sdefs or not all(isinstance(s, StencilDef)
+                                    for s in sdefs):
+                raise ValueError("a stencil system is a non-empty list "
+                                 "of StencilDefs")
         else:
-            self.sdef = stencil_by_name("mpi7pt")[0]
-        self.gname = field if field is not None else next(
-            iter(self.sdef.inputs))
-        if self.gname not in self.sdef.inputs:
-            raise ValueError(f"field {self.gname!r} is not a stencil "
-                             f"input ({list(self.sdef.inputs)})")
-        self.aux_names = [n for n in self.sdef.inputs
-                          if n != self.gname]
+            raise TypeError(f"stencil: name, StencilDef or list, got "
+                            f"{type(stencil)}")
+        self.sdefs = sdefs
+        self.sdef = sdefs[0]
+        nfld = len(sdefs)
+        self.nfld = nfld
+        if field is None:
+            if nfld > 1:
+                raise ValueError("stencil systems need field=(name, "
+                                 "...) naming each output's evolving "
+                                 "input grid, in STENCIL order")
+            fields = (next(iter(sdefs[0].inputs)),)
+        else:
+            fields = ((field,) if isinstance(field, str)
+                      else tuple(field))
+        if len(fields) != nfld:
+            raise ValueError(f"{nfld} stencil output(s) need "
+                             f"{nfld} field name(s), got {len(fields)}")
+        if len(set(fields)) != nfld:
+            raise ValueError("field names must be distinct")
+        allinputs: dict = {}
+        for s in sdefs:
+            allinputs.update(s.inputs)
+        for f_ in fields:
+            if f_ not in allinputs:
+                raise ValueError(f"field {f_!r} is not a stencil "
+                                 f"input ({sorted(allinputs)})")
+        self.fields = fields
+        self.gname = fields[0]
+        self.aux_names = [n for n in allinputs if n not in fields]
         self.params = dict(DEFAULT_PARAMS)
         self.params["coeff"] = [0.03 * (c + 1) for c in range(27)]
         if params:
@@ -75,9 +111,11 @@ class Problem:
             # BI % 128 == 0 (lane tiles) unless we're off-TPU
             on_hw = jax.default_backend() in ("tpu", "axon")
             fold_ok = (not on_hw) or (self.dims[-1] % 128 == 0)
+            multi_in = (bool(self.aux_names)
+                        or any(len(s.inputs) > 1 for s in sdefs))
             backend = ("pencil" if nd in (3, 4)
                        and self.mesh_shape[-1] == 1 and fold_ok
-                       and not (nd == 4 and self.aux_names)
+                       and not (nd == 4 and multi_in)
                        else "jnp")
         if backend == "pencil" and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
@@ -88,9 +126,12 @@ class Problem:
         if backend == "pencil" and nd not in (3, 4):
             raise ValueError("pencil backend is 3-D/4-D; use "
                              "backend='jnp' for other ranks")
-        if backend == "pencil" and nd == 4 and self.aux_names:
-            raise ValueError("aux fields on the pencil backend are 3-D; "
-                             "use backend='jnp' for 4-D multi-input")
+        if backend == "pencil" and nd == 4 and (
+                self.aux_names
+                or any(len(s.inputs) > 1 for s in sdefs)):
+            raise ValueError("the 4-D pencil kernel reads one grid per "
+                             "stencil; use backend='jnp' for 4-D "
+                             "multi-input")
         self.backend = backend
         if bdims is None:
             if backend == "pencil":
@@ -110,9 +151,10 @@ class Problem:
         if exchange == "fused" and backend != "pencil":
             raise ValueError("exchange='fused' runs on the pencil "
                              "backend")
-        if exchange == "fused" and self.aux_names:
-            raise ValueError("exchange='fused' supports single-input "
-                             "stencils; use exchange='shift'")
+        if exchange == "fused" and (self.aux_names or nfld > 1):
+            raise ValueError("exchange='fused' supports single-field, "
+                             "single-input stencils; use "
+                             "exchange='shift'")
         if exchange == "fused" and nd != 3:
             raise ValueError("exchange='fused' is 3-D pencil only")
         self.exchange = exchange
@@ -132,8 +174,8 @@ class Problem:
         self.dtype = dtype
 
         self.st_iter = int(st_iter)
-        lo_r, hi_r = self.sdef.radius()
-        rad = max(max(lo_r), max(hi_r))
+        rad = max(max(max(lo_r), max(hi_r))
+                  for lo_r, hi_r in (s.radius() for s in sdefs))
         dec, msh, bd = self.dec, self.mesh_shape, self.bdims
         if backend == "pencil":
             from .codegen.pencil_kernel import pallas_pencil_sweep
@@ -169,8 +211,8 @@ class Problem:
             fused_x = exchange == "fused" and distributed
             fuse = 1
             budget_iters = self.st_iter - 1 if fused_x else self.st_iter
-            if (len(self.sdef.taps) <= 7 and not self.aux_names
-                    and nd == 3):
+            if (nfld == 1 and len(self.sdef.taps) <= 7
+                    and not self.aux_names and nd == 3):
                 for cand in (4, 2):
                     if (budget_iters % cand == 0 and cand * rad <= bd[1]
                             and cand * rad <= bd[0] and budget_iters):
@@ -178,15 +220,15 @@ class Problem:
                         break
             fkw = dict(fuse=fuse) if fuse > 1 else {}
             self.fuse = fuse
-            kern = sweep(self.sdef, kgrid, bd, dec.nbricks,
-                         self.params, **_rng(1), **fkw)
-            kern_ghost = None
+            kerns = [sweep(s, kgrid, bd, dec.nbricks, self.params,
+                           **_rng(1), **fkw) for s in sdefs]
+            kerns_ghost = None
             if budget_iters > fuse and distributed:
                 # deep-ghost ST_ITER: one exchange amortizes over
                 # st_iter sweeps (ref: weak/main.cpp:203-212)
-                kern_ghost = sweep(
-                    self.sdef, kgrid, bd, dec.nbricks, self.params,
-                    **_rng(0), **fkw)
+                kerns_ghost = [sweep(s, kgrid, bd, dec.nbricks,
+                                     self.params, **_rng(0), **fkw)
+                               for s in sdefs]
             fusedx_kern = fusedx_plan = None
             if fused_x:
                 from .codegen.fused_exchange import (
@@ -201,29 +243,34 @@ class Problem:
                 self._send_ids = lambda: put_send_ids(
                     fusedx_plan, msh, names[0])
 
-            def _call(k, d, auxv):
-                if not self.aux_names:
-                    return k(d)
-                vs = dict(zip(self.aux_names, auxv))
-                vs[self.gname] = d
-                return k(*(vs[n] for n in k.fields))
+            def _call(k, sdef_, vs):
+                if hasattr(k, "fields"):    # multi-input kernel
+                    return k(*(vs[n] for n in k.fields))
+                return k(vs[next(iter(sdef_.inputs))])
 
-            def one(d, *auxv):
+            def one(*sv):
+                states = list(sv[:nfld])
+                auxv = sv[nfld:]
                 if fusedx_kern is not None:
-                    d, _ = fusedx_kern(d, self._send_ids())
+                    d, _ = fusedx_kern(states[0], self._send_ids())
+                    states = [d]
                     nsweeps = (self.st_iter - 1) // fuse
                 elif distributed:
-                    d = exchange_shift(d, dec, names, msh,
-                                       table_axes=table_axes)
+                    states = [exchange_shift(s_, dec, names, msh,
+                                             table_axes=table_axes)
+                              for s_ in states]
                     nsweeps = self.st_iter // fuse
                 else:
                     nsweeps = self.st_iter // fuse
                 for it in range(nsweeps):
                     last = it == nsweeps - 1
-                    k = kern if (last or kern_ghost is None) \
-                        else kern_ghost
-                    d = _call(k, d, auxv)
-                return d
+                    ks = kerns if (last or kerns_ghost is None) \
+                        else kerns_ghost
+                    vs = dict(zip(self.aux_names, auxv))
+                    vs.update(zip(self.fields, states))
+                    states = [_call(k, s_, vs)
+                              for k, s_ in zip(ks, sdefs)]
+                return states[0] if nfld == 1 else tuple(states)
         else:
             from .codegen import brick_apply
 
@@ -238,35 +285,42 @@ class Problem:
             owned = jnp.asarray(
                 np.arange(1, dec.sep_pos[1], dtype=np.int32))
 
-            def one(d, *auxv):
-                d = exchange_shift(d, dec, names, msh)
-                view = d.reshape((-1,) + bd)
+            def one(*sv):
+                states = [exchange_shift(s_, dec, names, msh)
+                          for s_ in sv[:nfld]]
+                shp = states[0].shape
+                views = [s_.reshape((-1,) + bd) for s_ in states]
                 avs = {n: a.reshape((-1,) + bd)
-                       for n, a in zip(self.aux_names, auxv)}
+                       for n, a in zip(self.aux_names, sv[nfld:])}
                 for it in range(self.st_iter):
-                    vs = {self.gname: view, **avs}
+                    vs = dict(avs)
+                    vs.update(zip(self.fields, views))
                     if it == self.st_iter - 1:   # last: owned only
-                        out = brick_apply(self.sdef, vs, adj,
-                                          self.params, rows=owned)
-                        view = view.at[owned].set(out)
+                        outs = [brick_apply(s_, vs, adj, self.params,
+                                            rows=owned) for s_ in sdefs]
+                        views = [v.at[owned].set(o)
+                                 for v, o in zip(views, outs)]
                     else:  # ghost-inclusive (deep-ghost semantics)
-                        view = brick_apply(self.sdef, vs, adj,
-                                           self.params)
-                return view.reshape(d.shape)
+                        views = [brick_apply(s_, vs, adj, self.params)
+                                 for s_ in sdefs]
+                if nfld == 1:
+                    return views[0].reshape(shp)
+                return tuple(v.reshape(shp) for v in views)
 
         # donate only when the step moves ghost data in place; donating
         # to a pure-output kernel costs an extra copy on this runtime
         moves = not (backend == "pencil"
                      and int(np.prod(msh)) == 1)
-        don = dict(donate_argnums=0) if moves else {}
-        nin = 1 + len(self.aux_names)
+        don = dict(donate_argnums=tuple(range(nfld))) if moves else {}
+        nin = nfld + len(self.aux_names)
+        out_specs = self._P if nfld == 1 else (self._P,) * nfld
         if int(np.prod(self.mesh_shape)) > 1:
             self._step = jax.jit(shard_map(one, self.mesh,
-                                           (self._P,) * nin, self._P),
+                                           (self._P,) * nin, out_specs),
                                  **don)
         else:  # single device: no SPMD wrapper
             self._step = jax.jit(one, **don)
-        self._dat = None
+        self._dats = None
         self._aux = ()
 
     # ------------------------------------------------------------------
@@ -295,11 +349,18 @@ class Problem:
             stacked[r * nb:(r + 1) * nb] = dat.reshape((-1,) + self.bdims)
         return stacked
 
+    @property
+    def _dat(self):
+        """Back-compat single-field state view."""
+        return None if self._dats is None else self._dats[0]
+
     def init(self, array=None, seed: int = 0, aux=None):
-        """Load per-device owned data from a global array (shape =
-        mesh*dims, periodic) or random values.  ``aux``: dict of
-        global arrays for the stencil's static auxiliary fields (every
-        input except ``field``); their ghost is filled here by
+        """Load per-device owned data from global arrays (shape =
+        mesh*dims, periodic) or random values.  Single-field problems
+        take ``array=<array>``; stencil systems take ``array={field:
+        array}`` (missing fields default to seeded random).  ``aux``:
+        dict of global arrays for the static auxiliary fields (every
+        input not named in ``field``); their ghost is filled here by
         periodic wrap and never needs re-exchanging."""
         import jax
         import jax.numpy as jnp
@@ -308,8 +369,16 @@ class Problem:
 
         gshape = tuple(m * d for m, d in
                        zip(self.mesh_shape, self.dims))
-        if array is None:
-            array = random_array(gshape, self.dtype, seed)
+        if self.nfld == 1 and not isinstance(array, dict):
+            array = {self.gname: array}
+        array = dict(array or {})
+        extra_f = [n for n in array if n not in self.fields]
+        if extra_f:
+            raise ValueError(f"unknown state fields {extra_f}; "
+                             f"evolving fields are {list(self.fields)}")
+        for i, f_ in enumerate(self.fields):
+            if array.get(f_) is None:
+                array[f_] = random_array(gshape, self.dtype, seed + i)
         aux = dict(aux or {})
         missing = [n for n in self.aux_names if n not in aux]
         if missing:
@@ -322,18 +391,21 @@ class Problem:
         # validate and stack everything on the host before the first
         # device_put so a raise leaves the Problem fully uninitialized
         aux_stk = [self._stack_global(aux[n]) for n in self.aux_names]
-        dat_stk = self._stack_global(array)
+        dat_stk = [self._stack_global(array[f_]) for f_ in self.fields]
         self._aux = tuple(
             jax.device_put(jnp.asarray(s), self._sharding)
             for s in aux_stk)
-        self._dat = jax.device_put(jnp.asarray(dat_stk), self._sharding)
+        self._dats = tuple(
+            jax.device_put(jnp.asarray(s), self._sharding)
+            for s in dat_stk)
         return self
 
     def step(self, n: int = 1):
-        if self._dat is None:
+        if self._dats is None:
             raise RuntimeError("call init() first")
         for _ in range(n):
-            self._dat = self._step(self._dat, *self._aux)
+            out = self._step(*self._dats, *self._aux)
+            self._dats = (out,) if self.nfld == 1 else tuple(out)
         return self
 
     def save(self, path: str):
@@ -342,15 +414,17 @@ class Problem:
         A capability beyond the reference (it has none — SURVEY §5):
         restart long runs without re-initializing.
         """
-        if self._dat is None:
+        if self._dats is None:
             raise RuntimeError("nothing to save; call init() first")
         np.savez_compressed(
             path,
-            dat=np.asarray(self._dat),
+            dat=np.asarray(self._dats[0]),
             dims=np.asarray(self.dims),
             mesh=np.asarray(self.mesh_shape),
             bdims=np.asarray(self.bdims),
             ghost=np.asarray(self.ghost),
+            **{f"dat_{n}": np.asarray(a)
+               for n, a in zip(self.fields[1:], self._dats[1:])},
             **{f"aux_{n}": np.asarray(a)
                for n, a in zip(self.aux_names, self._aux)})
         return self
@@ -367,20 +441,23 @@ class Problem:
             if tuple(z[name]) != tuple(mine):
                 raise ValueError(
                     f"checkpoint {name} {tuple(z[name])} != {tuple(mine)}")
-        self._dat = jax.device_put(jnp.asarray(z["dat"]), self._sharding)
-        missing = [n for n in self.aux_names if f"aux_{n}" not in z]
+        keys = ["dat"] + [f"dat_{n}" for n in self.fields[1:]]
+        missing = ([k for k in keys[1:] if k not in z]
+                   + [n for n in self.aux_names if f"aux_{n}" not in z])
         if missing:
-            raise ValueError(f"checkpoint lacks aux fields {missing}")
+            raise ValueError(f"checkpoint lacks fields {missing}")
+        self._dats = tuple(
+            jax.device_put(jnp.asarray(z[k]), self._sharding)
+            for k in keys)
         self._aux = tuple(
             jax.device_put(jnp.asarray(z[f"aux_{n}"]), self._sharding)
             for n in self.aux_names)
         return self
 
-    def result(self) -> np.ndarray:
-        """Gather the owned region back to one dense global array."""
+    def _gather(self, dat) -> np.ndarray:
         from .core import from_bricks
 
-        out = np.asarray(self._dat)
+        out = np.asarray(dat)
         nd = len(self.dims)
         nb = self.dec.nbricks
         gshape = tuple(m * d for m, d in zip(self.mesh_shape, self.dims))
@@ -393,3 +470,17 @@ class Problem:
                        for a in range(nd))
             full[sl] = own
         return full
+
+    def result(self, field: str | None = None):
+        """Gather the owned region back to dense global array(s):
+        single-field problems return the array; systems return
+        ``{field: array}`` (or one array when ``field`` names one)."""
+        if field is not None:
+            if field not in self.fields:
+                raise ValueError(f"unknown field {field!r}")
+            return self._gather(
+                self._dats[self.fields.index(field)])
+        if self.nfld == 1:
+            return self._gather(self._dats[0])
+        return {f_: self._gather(d)
+                for f_, d in zip(self.fields, self._dats)}
