@@ -54,7 +54,7 @@ class Problem:
         from .comm import BrickDecomp, skinlist_by_name
         from .comm.exchange import exchange_shift
         from .comm.mesh import make_domain_mesh, make_flat_mesh, shard_map
-        from .stencils import DEFAULT_PARAMS, stencil_by_name
+        from .stencils import bench_params, stencil_by_name
         from .st.loader import StencilDef
 
         self.dims = tuple(int(d) for d in dims)     # per-device, owned
@@ -98,13 +98,20 @@ class Problem:
             if f_ not in allinputs:
                 raise ValueError(f"field {f_!r} is not a stencil "
                                  f"input ({sorted(allinputs)})")
+        for idx, (f_, s) in enumerate(zip(fields, sdefs)):
+            # field[idx] is what output idx REPLACES; a stencil whose
+            # own inputs don't include it is almost certainly a
+            # misordered field= tuple (a silently-wrong system)
+            if f_ not in s.inputs:
+                raise ValueError(
+                    f"field[{idx}] = {f_!r} is not an input of stencil "
+                    f"output {idx} ({s.output.name} reads "
+                    f"{list(s.inputs)}); field= must follow STENCIL "
+                    f"order")
         self.fields = fields
         self.gname = fields[0]
         self.aux_names = [n for n in allinputs if n not in fields]
-        self.params = dict(DEFAULT_PARAMS)
-        self.params["coeff"] = [0.03 * (c + 1) for c in range(27)]
-        if params:
-            self.params.update(params)
+        self.params = bench_params(params)
 
         if backend == "auto":
             # pencil needs a hardware-DMA-able fold: full-i pencils with
@@ -295,13 +302,21 @@ class Problem:
                 for it in range(self.st_iter):
                     vs = dict(avs)
                     vs.update(zip(self.fields, views))
+
+                    def ins(s_):
+                        # only the grids this stencil reads: brick_apply
+                        # halo-extends every view it is handed
+                        return {n: vs[n] for n in s_.inputs}
+
                     if it == self.st_iter - 1:   # last: owned only
-                        outs = [brick_apply(s_, vs, adj, self.params,
-                                            rows=owned) for s_ in sdefs]
+                        outs = [brick_apply(s_, ins(s_), adj,
+                                            self.params, rows=owned)
+                                for s_ in sdefs]
                         views = [v.at[owned].set(o)
                                  for v, o in zip(views, outs)]
                     else:  # ghost-inclusive (deep-ghost semantics)
-                        views = [brick_apply(s_, vs, adj, self.params)
+                        views = [brick_apply(s_, ins(s_), adj,
+                                             self.params)
                                  for s_ in sdefs]
                 if nfld == 1:
                     return views[0].reshape(shp)
@@ -371,7 +386,11 @@ class Problem:
                        zip(self.mesh_shape, self.dims))
         if self.nfld == 1 and not isinstance(array, dict):
             array = {self.gname: array}
-        array = dict(array or {})
+        elif array is not None and not isinstance(array, dict):
+            raise TypeError(
+                f"a {self.nfld}-field system takes array={{field: "
+                f"global_array}} with fields {list(self.fields)}")
+        array = dict(array) if array else {}
         extra_f = [n for n in array if n not in self.fields]
         if extra_f:
             raise ValueError(f"unknown state fields {extra_f}; "
@@ -475,6 +494,8 @@ class Problem:
         """Gather the owned region back to dense global array(s):
         single-field problems return the array; systems return
         ``{field: array}`` (or one array when ``field`` names one)."""
+        if self._dats is None:
+            raise RuntimeError("no state; call init() first")
         if field is not None:
             if field not in self.fields:
                 raise ValueError(f"unknown field {field!r}")

@@ -19,7 +19,7 @@ import json
 import sys
 
 
-def describe(name_or_path: str) -> list[dict]:
+def describe(name_or_path: str, params: dict | None = None) -> list[dict]:
     from ..st import load_stencil_module
     from .ir import StencilIR
 
@@ -47,18 +47,16 @@ def describe(name_or_path: str) -> list[dict]:
                 {"coeff": key[1], "taps": len(taps)}
                 for key, _c, taps in ir.linear]
             try:
-                from ..stencils import DEFAULT_PARAMS
+                from ..stencils import bench_params
                 from .evaluate import resolve_const_from_params
                 from .ir import fold_linear
 
-                params = dict(DEFAULT_PARAMS)
-                params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+                resolve = resolve_const_from_params(bench_params(params))
                 fields = ({n: i for i, n in enumerate(sd.inputs)}
                           if len(sd.inputs) > 1 else None)
-                lin = fold_linear(ir, resolve_const_from_params(params),
-                                  fields=fields)
-            except KeyError:    # custom ConstRefs: resolve at build time
-                lin = None
+                lin = fold_linear(ir, resolve, fields=fields)
+            except KeyError:    # unresolved custom ConstRefs: pass
+                lin = None      # their values via --params to see this
             if lin is not None:
                 wdefs, vmap, jneed = lin
                 desc["fold"] = {
@@ -94,7 +92,8 @@ def main(argv=None):
                    help="kernel flavor to build/export")
     a = p.parse_args(argv)
 
-    descs = describe(a.stencil)
+    user_params = json.loads(a.params) if a.params else None
+    descs = describe(a.stencil, user_params)
     if a.json:
         print(json.dumps(descs, indent=2))
     else:
@@ -115,16 +114,13 @@ def main(argv=None):
         import numpy as np
 
         from ..core import init_grid
-        from ..stencils import DEFAULT_PARAMS
+        from ..stencils import bench_params
         from ..st import load_stencil_module
 
         bdim = tuple(int(x) for x in a.bdim.split(","))
         gdims = tuple(int(x) for x in a.grid.split(","))
         grid, info = init_grid(gdims)
-        params = dict(DEFAULT_PARAMS)
-        params["coeff"] = [0.03 * (c + 1) for c in range(27)]
-        if a.params:
-            params.update(json.loads(a.params))
+        params = bench_params(user_params)
         if a.stencil.endswith(".py"):
             sd = load_stencil_module(a.stencil)[0]
         else:

@@ -25,10 +25,9 @@ def run(n: int = 256, bdim=(8, 8, 128), stencils=("s7pt", "s27pt", "cond"),
     from ..codegen.pencil_kernel import pallas_pencil_stencil
     from ..core import (compare_arrays, from_bricks, init_grid,
                         random_array, to_bricks)
-    from ..stencils import DEFAULT_PARAMS, stencil_by_name
+    from ..stencils import bench_params, stencil_by_name
 
-    params = dict(DEFAULT_PARAMS)
-    params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+    params = bench_params()
 
     use_pencil = pencil and n % bdim[0] == 0 and n % bdim[1] == 0
     if use_pencil:

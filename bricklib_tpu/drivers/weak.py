@@ -148,8 +148,9 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         from ..codegen.pencil_kernel import pallas_pencil_sweep
         from ..codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
 
-        params = dict(DEFAULT_PARAMS)
-        params["coeff"] = [0.03 * (c + 1) for c in range(27)]
+        from ..stencils import bench_params
+
+        params = bench_params()
         # undistributed axes: periodicity via table indirection, no data
         # movement (zero-copy links); exchange only distributed axes.
         # The i axis never exchanges — pencil rolls are periodic in i.

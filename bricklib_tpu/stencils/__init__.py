@@ -16,6 +16,7 @@ Corpus:
 """
 
 from . import common
-from .common import DEFAULT_PARAMS, stencil_by_name, CORPUS
+from .common import DEFAULT_PARAMS, bench_params, stencil_by_name, CORPUS
 
-__all__ = ["common", "DEFAULT_PARAMS", "stencil_by_name", "CORPUS"]
+__all__ = ["common", "DEFAULT_PARAMS", "bench_params", "stencil_by_name",
+           "CORPUS"]

@@ -106,6 +106,19 @@ CORPUS = ["s7pt", "cond", "s27pt", "mpi7pt", "mpi9pt", "mpi13pt",
           "mpi25pt", "mpi125pt"]
 
 
+def bench_params(extra: dict | None = None) -> dict:
+    """DEFAULT_PARAMS plus the canonical 27-coefficient fill every
+    driver/bench/CLI uses (``coeff[c] = 0.03*(c+1)`` — distinct
+    nonzero values so 27pt symmetry bugs can't cancel), optionally
+    merged with user values.  The one shared definition: the CLI's
+    reported factorization must match what Problem actually builds."""
+    p = dict(DEFAULT_PARAMS)
+    p["coeff"] = [0.03 * (c + 1) for c in range(27)]
+    if extra:
+        p.update(extra)
+    return p
+
+
 def stencil_by_name(name: str):
     """Load a corpus stencil; returns the list of StencilDef."""
     import importlib

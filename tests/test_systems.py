@@ -112,3 +112,29 @@ def test_system_validation():
                 backend="jnp", bdims=(4, 4, 8), params=PARAMS)
     with pytest.raises(ValueError, match="unknown state"):
         p.init(array={"u": None, "w": None})
+
+
+def test_system_misordered_fields_rejected():
+    """field= must follow STENCIL order: output idx must read
+    field[idx] (a swapped tuple silently mislabels the system)."""
+    u, v = Grid("u", 3), Grid("v", 3)
+    ou, ov = Grid("ou", 3), Grid("ov", 3)
+    i, j, k = Index(0), Index(1), Index(2)
+    ou(i, j, k).assign(u(i, j, k) + u(i + 1, j, k))   # reads u only
+    ov(i, j, k).assign(v(i, j, k) + v(i, j - 1, k))   # reads v only
+    sdefs = load_stencil_module({"STENCIL": [ou, ov]})
+    with pytest.raises(ValueError, match="STENCIL order"):
+        Problem(dims=(16, 16, 32), stencil=sdefs, field=("v", "u"),
+                backend="jnp", bdims=(4, 4, 8))
+
+
+def test_system_init_and_result_guards():
+    sdefs = _coupled_system()
+    p = Problem(dims=(16, 16, 32), stencil=sdefs, field=("u", "v"),
+                backend="jnp", bdims=(4, 4, 8), params=PARAMS)
+    with pytest.raises(TypeError, match="array="):
+        p.init(array=np.zeros((16, 16, 32), np.float32))
+    with pytest.raises(RuntimeError, match="init"):
+        p.result()
+    with pytest.raises(RuntimeError, match="init"):
+        p.result("u")
