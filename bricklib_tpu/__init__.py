@@ -18,6 +18,11 @@ Built from scratch with the capabilities of bricklib (reference:
                 (ref: include/brick-mpi.h:23, stencils/stencils.h:40-53).
 - ``utils``   — BitSet direction encoding (ref: include/bitset.h), Z-Morton
                 ordering (ref: include/zmort.h).
+- ``api``     — the high-level ``Problem`` object (single stencils,
+                variable-coefficient aux fields, coupled multi-output
+                systems, deep-ghost st_iter, checkpointing).
+- ``ooc``     — out-of-core streaming sweeps for domains larger than
+                device HBM (beyond the reference).
 """
 
 __version__ = "0.1.0"
