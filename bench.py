@@ -198,7 +198,12 @@ def main():
     sol_gst = sol_bw / (2 * 4) / 1e9
     honest_iter = best["honest"]
     noex_iter = best["noex"]
-    exch_share = max(0.0, (honest_iter - noex_iter) / honest_iter)
+    # unclipped differential: min-of-rounds honest minus min-of-rounds
+    # noex CAN go negative on this multi-tenant chip — report the raw
+    # delta and both spreads so the noise floor is visible (a clipped
+    # share reads as "measured zero" when it is really "below noise")
+    exch_delta = honest_iter - noex_iter
+    exch_share = max(0.0, exch_delta / honest_iter)
     gst = elems / honest_iter / 1e9
 
     print(json.dumps({
@@ -212,6 +217,8 @@ def main():
                        f"(fuse={FUSE}), per-iteration"),
             "per_iter_ms": round(honest_iter * 1e3, 3),
             "exchange_share": round(exch_share, 4),
+            "exchange_delta_ms": round(exch_delta * 1e3, 3),
+            "spread_noex": round(spread["noex"], 3),
             "domain": N,
             "brick": list(BD),
             "sol_gstencil_s": round(sol_gst, 3),

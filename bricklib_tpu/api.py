@@ -226,6 +226,9 @@ class Problem:
                         fuse = cand
                         break
             fkw = dict(fuse=fuse) if fuse > 1 else {}
+            # storage dtype threads into the kernels (bf16 halves HBM
+            # traffic; taps still accumulate in f32 compute_dtype)
+            fkw["dtype"] = jnp.dtype(self.dtype)
             self.fuse = fuse
             kerns = [sweep(s, kgrid, bd, dec.nbricks, self.params,
                            **_rng(1), **fkw) for s in sdefs]
@@ -245,7 +248,7 @@ class Problem:
                 fusedx_plan = put_plan(dec, msh, table_axes)
                 fusedx_kern = pallas_pencil_sweep_fusedx(
                     self.sdef, kgrid, bd, dec.nbricks, fusedx_plan,
-                    msh, self.params,
+                    msh, self.params, dtype=jnp.dtype(self.dtype),
                     **_rng(0 if self.st_iter > 1 else 1))
                 self._send_ids = lambda: put_send_ids(
                     fusedx_plan, msh, names[0])

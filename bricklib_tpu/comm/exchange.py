@@ -84,12 +84,16 @@ def _merge_intervals(pairs):
 
 def exchange_put(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
                  mesh_shape: tuple[int, ...],
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 table_axes: tuple[int, ...] = ()):
     """PUT exchange: one ppermute per (ghost run, skin run) pair —
     skin and ghost runs are contiguous by construction of the skin
     ordering, so every message is a static storage slice (pack-free).
     Runs whose neighbors are all on this device are periodic
-    self-copies, fused into one in-place Pallas DMA kernel.
+    self-copies, fused into one in-place Pallas DMA kernel.  Runs with
+    a component on a ``table_axes`` axis are skipped entirely — the
+    kernel reads those directions through a ``periodic_grid`` table
+    redirection, so moving their ghost bricks is pure waste.
 
     ``dat``: per-device ``[nbricks, step]`` brick storage (all interleaved
     fields move together, like the reference exchanging whole chunks).
@@ -98,8 +102,11 @@ def exchange_put(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    table = set(table_axes)
     local_ivs = []
     for gr, sr in zip(decomp.ghost, decomp.skin):
+        if table and ({decomp._tag_axis(t) for t in gr.neighbor} & table):
+            continue
         delta = _delta(gr.neighbor, len(mesh_shape))
         if any(d and mesh_shape[a] > 1 for a, d in enumerate(delta)):
             val = dat[sr.pos:sr.pos + sr.len]
@@ -309,6 +316,14 @@ def exchange_shift_remote(dat, decomp: BrickDecomp,
                  else (axis_names[0],) * len(mesh_shape))
         return exchange_shift(dat, decomp, names, mesh_shape,
                               axis_order, interpret, tuple(table_axes))
+    if interpret and len(axis_names) > 1:
+        # interpret mode emulates remote DMA with an all_gather over ONE
+        # named axis; per-domain-axis names produce an obscure Pallas
+        # lowering failure instead of working
+        raise ValueError(
+            "interpret-mode remote exchange needs a single flat device "
+            "axis (LOGICAL ids over its ravel order) — build the mesh "
+            "with comm.mesh.make_flat_mesh and pass its one axis name")
 
     # --- logical ids of the devices each (stage, sign) SENDS to --------
     # (receiver r takes from r+sign, so sender q targets q-sign;

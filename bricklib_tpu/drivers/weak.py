@@ -112,7 +112,8 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
 
     def do_exchange(d, table_axes=()):
         if exchange == "put":
-            return exchange_put(d, dec, names, mesh_shape)
+            return exchange_put(d, dec, names, mesh_shape,
+                                table_axes=table_axes)
         if exchange == "shift-remote":
             return exchange_shift_remote(d, dec, names, mesh_shape,
                                          table_axes=table_axes)
