@@ -212,14 +212,16 @@ class Problem:
 
             # auto temporal fusion: iterate in VMEM when profitable —
             # memory-bound stencils (few taps) with a fuse that divides
-            # st_iter and fits the one-pencil j-halo.  The fused
-            # exchange runs its own first sweep at F=1, so it fuses
-            # only the remaining st_iter-1 iterations.
+            # st_iter and fits the one-pencil j-halo.  Extends to
+            # multi-input (static aux fields stay on their windows) and
+            # to SYSTEMS (per-field VMEM rings, Jacobi levels).  The
+            # fused exchange runs its own first sweep at F=1, so it
+            # fuses only the remaining st_iter-1 iterations.
             fused_x = exchange == "fused" and distributed
             fuse = 1
             budget_iters = self.st_iter - 1 if fused_x else self.st_iter
-            if (nfld == 1 and len(self.sdef.taps) <= 7
-                    and not self.aux_names and nd == 3):
+            if (nd == 3
+                    and max(len(s.taps) for s in sdefs) <= 7):
                 for cand in (4, 2):
                     if (budget_iters % cand == 0 and cand * rad <= bd[1]
                             and cand * rad <= bd[0] and budget_iters):
@@ -230,15 +232,29 @@ class Problem:
             # traffic; taps still accumulate in f32 compute_dtype)
             fkw["dtype"] = jnp.dtype(self.dtype)
             self.fuse = fuse
-            kerns = [sweep(s, kgrid, bd, dec.nbricks, self.params,
-                           **_rng(1), **fkw) for s in sdefs]
+            if nd == 3:
+                # ONE kernel for the whole system: shared input fields
+                # stream through HBM once; evolving fields iterate in
+                # per-level rings when fused
+                kerns = [sweep(sdefs if nfld > 1 else sdefs[0], kgrid,
+                               bd, dec.nbricks, self.params,
+                               evolve=self.fields, **_rng(1), **fkw)]
+            else:
+                kerns = [sweep(s, kgrid, bd, dec.nbricks, self.params,
+                               **_rng(1), **fkw) for s in sdefs]
             kerns_ghost = None
             if budget_iters > fuse and distributed:
                 # deep-ghost ST_ITER: one exchange amortizes over
                 # st_iter sweeps (ref: weak/main.cpp:203-212)
-                kerns_ghost = [sweep(s, kgrid, bd, dec.nbricks,
-                                     self.params, **_rng(0), **fkw)
-                               for s in sdefs]
+                if nd == 3:
+                    kerns_ghost = [sweep(
+                        sdefs if nfld > 1 else sdefs[0], kgrid, bd,
+                        dec.nbricks, self.params, evolve=self.fields,
+                        **_rng(0), **fkw)]
+                else:
+                    kerns_ghost = [sweep(s, kgrid, bd, dec.nbricks,
+                                         self.params, **_rng(0), **fkw)
+                                   for s in sdefs]
             fusedx_kern = fusedx_plan = None
             if fused_x:
                 from .codegen.fused_exchange import (
@@ -278,8 +294,11 @@ class Problem:
                         else kerns_ghost
                     vs = dict(zip(self.aux_names, auxv))
                     vs.update(zip(self.fields, states))
-                    states = [_call(k, s_, vs)
-                              for k, s_ in zip(ks, sdefs)]
+                    if len(ks) == 1 and nfld > 1:   # system kernel
+                        states = list(_call(ks[0], sdefs[0], vs))
+                    else:
+                        states = [_call(k, s_, vs)
+                                  for k, s_ in zip(ks, sdefs)]
                 return states[0] if nfld == 1 else tuple(states)
         else:
             from .codegen import brick_apply

@@ -85,10 +85,15 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
     neighbor prologues, codegen/st/codegen/backend/base.py:93-123):
     map grid name -> field index; ``kslab`` is then a LIST of
     per-field slabs and ``lin`` must come from ``fold_linear(...,
-    fields=fields)`` so its outer-offset tuples carry the index."""
+    fields=fields)`` so its outer-offset tuples carry the index.
+    ``j0`` may then also be a per-field list — fused multi-input
+    levels mix ring-sourced slabs (evolving field) with window-sourced
+    slabs (static aux fields), whose j origins differ."""
     multi = fields is not None
 
     def compute(kslab, j0, jout, base, nrows, i0=0, iout=0):
+        j0s = (j0 if isinstance(j0, (list, tuple))
+               else [j0] * (len(fields) if multi else 1))
         isl = (slice(i0 - ilo_r, i0 + iout + ihi_r) if islice
                else slice(None))
         if lin is not None:
@@ -106,9 +111,11 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
                             src = kslab[f]
                         else:
                             (dk,) = fr
+                            f = 0
                             src = kslab
+                        jf = j0s[f]
                         s = src[base + dk:base + dk + nrows,
-                                j0 - jlo_r:j0 - jlo_r + JE, isl]
+                                jf - jlo_r:jf - jlo_r + JE, isl]
                         v = s if v is None else v + s
                     kcache[dks] = v
                 return kcache[dks]
@@ -138,8 +145,9 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
         def read_tap(name, offs_edsl):
             offs = _np_offsets(offs_edsl, 3)
             src = kslab[fields[name]] if multi else kslab
+            jf = j0s[fields[name]] if multi else j0s[0]
             v = src[base + offs[0]:base + offs[0] + nrows,
-                    j0 + offs[1]:j0 + offs[1] + jout,
+                    jf + offs[1]:jf + offs[1] + jout,
                     (slice(i0 + offs[2], i0 + offs[2] + iout)
                      if islice else slice(None))]
             if not islice and offs[2]:
@@ -151,18 +159,25 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
     return compute
 
 
-def banded_row(src, x, cast, write, compute, BK, lo0, hi0):
+def banded_row(src, x, cast, write, compute, BK, lo0, hi0, pre_hi=None):
     """Emit one output brick row ``x`` in k-bands: interior rows read
     ONLY the center source row (pure slices — the full-row halo concat
     was the single largest VPU cost per row); radius-thin boundary
     bands assemble tiny 2-piece concats.  Falls back to the full
-    3-piece concat when the radius spans the brick.
+    3-piece concat when the radius spans the brick (strictly cheaper
+    there: one (BK + lo0 + hi0)-row slab instead of two overlapping
+    band slabs).
 
     ``src(a, rows)`` reads source row ``a``; ``cast`` promotes to the
     compute dtype; ``compute(kslab, base, nrows)`` evaluates the
     stencil; ``write(r0, r1, v)`` stores band [r0, r1).  ``src`` may
     return a list of per-field rows (multi-input stencils) — slabs are
-    then assembled per field and ``compute`` receives the list."""
+    then assembled per field and ``compute`` receives the list.
+
+    ``pre_hi``: wait-late hook run after the mid and low bands (which
+    read only rows ``x - 1`` and ``x``) and before the high band — the
+    caller waits row ``x + 1``'s DMA there, so most of the row's VPU
+    work overlaps the newest window row's transfer."""
 
     def amap(fn, v):
         return [fn(e) for e in v] if isinstance(v, list) else fn(v)
@@ -175,8 +190,10 @@ def banded_row(src, x, cast, write, compute, BK, lo0, hi0):
                     for f in range(len(pieces[0]))]
         return jnp.concatenate(pieces, axis=0)
 
-    banded = BK >= lo0 + hi0 and (lo0 or hi0)
+    banded = BK > lo0 + hi0 and (lo0 or hi0)
     if not banded:
+        if pre_hi is not None:
+            pre_hi()
         pieces = []
         if lo0:
             pieces.append(amap(cast, src(x - 1, slice(BK - lo0, BK))))
@@ -193,6 +210,8 @@ def banded_row(src, x, cast, write, compute, BK, lo0, hi0):
         piece = acat([amap(cast, src(x - 1, slice(BK - lo0, BK))),
                       amap(lambda v: v[:lo0 + hi0], cur)])
         write(0, lo0, compute(piece, lo0, lo0))
+    if pre_hi is not None:
+        pre_hi()
     if hi0:
         piece = acat([amap(lambda v: v[BK - hi0 - lo0:], cur),
                       amap(cast, src(x + 1, slice(0, hi0)))])
@@ -201,15 +220,16 @@ def banded_row(src, x, cast, write, compute, BK, lo0, hi0):
 
 def pencil_vmem_estimate(tj: int, *, BK, BJ, RI, IW, isz, csz, NW,
                          lo_k, hi_k, lin, ntaps, ie=0, rings=(),
-                         nfields=1) -> int:
+                         nfields=1, nout=1) -> int:
     """VMEM bytes for a ``tj``-pencil tile of the streaming sweep (the
     surviving form of the reference codegen's MSIZE/THRES machinery,
     base.py:445-519): window slots + out double-buffer + kslab + live
     row-sized temporaries of the factorized compute.  ``rings`` holds
-    (slots, j_ext, i_ext) per fused intermediate level."""
+    (slots, j_ext, i_ext) per fused intermediate level (already
+    repeated per output for systems); ``nout`` output double-buffers."""
     row = BK * (tj + 2) * BJ * RI
     est = NW * row * isz * nfields            # rolling window per field
-    est += 2 * BK * tj * BJ * IW * isz        # tout double buffer
+    est += 2 * BK * tj * BJ * IW * isz * nout  # tout double buffers
     est += ((BK + lo_k + hi_k) * (tj + 2) * BJ * RI * csz
             * nfields)                        # kslab per field
     for slots, jext, iext in rings:           # fused-level rings
@@ -253,6 +273,9 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         batch_stride: int | None = None,
                         fuse: int = 1,
                         i_ghost: int = 0,
+                        lookahead: int = 1,
+                        evolve=None,
+                        wait_late: bool = True,
                         vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build a pencil sweep over grid rows ``k_range`` x pencils
     ``j_range`` (half-open, grid coords).
@@ -297,21 +320,64 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     width (the full per-device extent in pencil mode).
     ``dtype`` is the storage element type; with ``dtype=bfloat16`` HBM
     traffic halves and taps are accumulated in ``compute_dtype``.
+
+    ``stencil`` may be a LIST of StencilDefs — a coupled stencil SYSTEM
+    (the reference's multi-output ``STENCIL = [out1, out2]`` contract,
+    codegen/vecscatter:165-168): one kernel computes every output per
+    pass (Jacobi update — all outputs read the pre-step fields), so
+    shared input fields stream through HBM once instead of once per
+    stencil.  ``evolve`` names the input grid each output REPLACES (in
+    STENCIL order; defaults to the single stencil's first input); with
+    ``fuse`` = F > 1 the evolving fields iterate in per-level VMEM
+    rings while every other input is a STATIC aux field read from its
+    window at each level — temporal fusion for variable-coefficient
+    stencils and systems.  Returns ``fn(*views) -> (out1, out2, ...)``
+    for systems (``fn.fields`` gives the view order).
     """
-    ir = _as_ir(stencil)
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    NO = len(sdefs)
+    if NO == 0:
+        raise ValueError("empty stencil system")
+    irs = [_as_ir(s) for s in sdefs]
     params = dict(params or {})
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if ir.dims != 3:
+    if any(r.dims != 3 for r in irs):
         raise NotImplementedError("pencil path is 3-D")
-    fieldnames = list(ir.sdef.inputs)
+    # union input fields across the system, first-seen order
+    fieldnames: list = []
+    for s_ in irs:
+        for n in s_.sdef.inputs:
+            if n not in fieldnames:
+                fieldnames.append(n)
     NF = len(fieldnames)
     if NF == 0:
         raise ValueError("stencil reads no input grid")
+    uidx = {n: i for i, n in enumerate(fieldnames)}
+    if evolve is None:
+        if NO > 1:
+            raise ValueError("a stencil system needs evolve=(name, ...)"
+                             " naming each output's evolving input grid")
+        evolve = (fieldnames[0],)
+    elif isinstance(evolve, str):
+        evolve = (evolve,)
+    else:
+        evolve = tuple(evolve)
+    if len(evolve) != NO or len(set(evolve)) != NO:
+        raise ValueError(f"{NO} output(s) need {NO} distinct evolve "
+                         f"name(s), got {evolve}")
+    for e_ in evolve:
+        if e_ not in uidx:
+            raise ValueError(f"evolve field {e_!r} is not a stencil "
+                             f"input ({fieldnames})")
+    evolve_out = {n: o for o, n in enumerate(evolve)}
     # multi-input (the reference codegen's per-grid support,
     # codegen/st/codegen/backend/base.py:93-123): one brick view per
-    # field sharing ONE grid table; each field streams its own window
-    fmap = {n: i for i, n in enumerate(fieldnames)} if NF > 1 else None
+    # field sharing ONE grid table; each field streams its own window.
+    # Per-OUTPUT field maps index into that stencil's own input order
+    # (its kslab list), not the union.
+    fmaps = [({n: i for i, n in enumerate(s_.sdef.inputs)}
+              if len(s_.sdef.inputs) > 1 else None) for s_ in irs]
     BK, BJ, BIROW = (int(b) for b in bdims)
     if not interpret and (BIROW % 128 or BJ % 8):
         raise ValueError(
@@ -334,7 +400,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         if i_range is not None and tuple(i_range) != (0, 1):
             raise ValueError("i_range applies to i-bricked layouts only")
     BI = BIROW
-    lo_pre, hi_pre = ir.radius()
+    # window/extension radius = elementwise max over the system
+    _rads = [s_.radius() for s_ in irs]
+    lo_pre = tuple(max(r[0][a] for r in _rads) for a in range(3))
+    hi_pre = tuple(max(r[1][a] for r in _rads) for a in range(3))
     # written i-brick columns (half-open over GI).  The default skips the
     # i-ghost ring; (0, GI) is the ghost-INCLUSIVE sweep — out-of-table
     # neighbors clamp to duplicated edge bricks in the assembled window,
@@ -369,7 +438,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     if batch > 1 and batch_stride is None:
         raise ValueError("batch > 1 needs batch_stride (bricks per "
                          "subdomain)")
-    lo, hi = ir.radius()
+    lo, hi = lo_pre, hi_pre
     if lo[0] > BK or hi[0] > BK or lo[1] > BJ or hi[1] > BJ:
         raise ValueError("stencil radius exceeds brick dims")
     if islice and (lo[2] > BI or hi[2] > BI):
@@ -377,14 +446,19 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     F = int(fuse)
     if F < 1:
         raise ValueError("fuse must be >= 1")
-    if NF > 1:
-        if F > 1:
-            raise NotImplementedError(
-                "fuse>1 re-applies the stencil to its own output; "
-                "multi-input stencils have no such ping-pong")
-        if inplace:
-            raise NotImplementedError(
-                "inplace partial sweeps support one input grid")
+    if NF > 1 and inplace:
+        raise NotImplementedError(
+            "inplace partial sweeps support one input grid")
+    if NO > 1:
+        if inplace or batch > 1:
+            raise NotImplementedError("stencil systems run the plain "
+                                      "sweep (no inplace/batch)")
+        if islice:
+            raise NotImplementedError("stencil systems need the pencil "
+                                      "layout (one brick per (k, j))")
+    if F > 1 and NF > 1 and islice:
+        raise NotImplementedError("fused multi-input sweeps need the "
+                                  "pencil layout (GI == 1)")
     if F > 1:
         if inplace:
             raise NotImplementedError("fuse>1 with inplace partial "
@@ -418,7 +492,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                for f in range(1, F + 1)}
     iext_hi = {f: ((F - f) * hi[2] if islice else 0)
                for f in range(1, F + 1)}
-    NW = 2 * F + 2              # window slots (warmup span + prefetch)
+    D = int(lookahead)          # window rows DMA'd ahead of the wait
+    if D < 1:
+        raise ValueError("lookahead must be >= 1")
+    NW = 2 * F + 1 + D          # window slots (warmup span + prefetch)
 
     resolve = resolve_const_from_params(params)
 
@@ -427,20 +504,31 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
     # hierarchical axis factorization shared by every Pallas emitter
     # (see codegen.ir.fold_linear): 125pt drops to 4 lane rolls
-    lin = fold_linear(ir, resolve, fields=fmap)
+    lins = [fold_linear(r, resolve, fields=fm)
+            for r, fm in zip(irs, fmaps)]
 
     # --- VMEM-budget tile selection (shared model, see
     # :func:`pencil_vmem_estimate`)
     isz = np.dtype(dtype).itemsize
     csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
 
+    def _live(l_, r_):
+        if l_ is None:
+            return min(len(r_.sdef.taps), 6) + 2
+        wdefs_, vmap_, _ = l_
+        nksum = len({dks for terms in wdefs_ for _c, dks in terms})
+        return nksum + len(wdefs_) + len(set(vmap_.values())) + 2
+
+    _worst = max(range(NO), key=lambda o: _live(lins[o], irs[o]))
+
     def vmem_estimate(tj: int) -> int:
         return pencil_vmem_estimate(
             tj, BK=BK, BJ=BJ, RI=RI, IW=IW, isz=isz, csz=csz, NW=NW,
-            lo_k=lo[0], hi_k=hi[0], lin=lin, ntaps=len(ir.sdef.taps),
-            ie=(lo[2] + hi[2]) if islice else 0, nfields=NF,
+            lo_k=lo[0], hi_k=hi[0], lin=lins[_worst],
+            ntaps=len(irs[_worst].sdef.taps),
+            ie=(lo[2] + hi[2]) if islice else 0, nfields=NF, nout=NO,
             rings=[(lvlS[f], ext_lo[f] + ext_hi[f],
-                    iext_lo[f] + iext_hi[f]) for f in range(1, F)])
+                    iext_lo[f] + iext_hi[f]) for f in range(1, F)] * NO)
 
     if tile_j is None:
         tile_j = choose_tile_j(JC, vmem_estimate, vmem_limit_bytes)
@@ -476,9 +564,15 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         return cps
 
     ilo_r, ihi_r = (lo[2], hi[2]) if islice else (0, 0)
-    _compute = build_row_compute(ir, resolve, lin, _roll_i,
-                                 islice=islice, ilo_r=ilo_r, ihi_r=ihi_r,
-                                 fields=fmap)
+    _computes = [build_row_compute(r, resolve, l_, _roll_i,
+                                   islice=islice, ilo_r=ilo_r,
+                                   ihi_r=ihi_r, fields=fm)
+                 for r, l_, fm in zip(irs, lins, fmaps)]
+    # per-output input metadata: union window index and (for fused
+    # levels) whether each input reads a ring (its evolving output) or
+    # stays on the window (static aux field)
+    in_meta = [[(uidx[g], evolve_out.get(g)) for g in r.sdef.inputs]
+               for r in irs]
 
     def make_kernel(extra_ref: bool):
         def kernel(ids_ref, *args):
@@ -486,11 +580,11 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             rest = list(args[NF:])
             if extra_ref:
                 rest.pop(0)          # out_prev (aliased onto out_ref)
-            out_ref = rest.pop(0)
+            out_refs = [rest.pop(0) for _ in range(NO)]
             wins = rest[:NF]
-            tout = rest[NF]
-            rings = rest[NF + 1:NF + F]
-            sem, osem = rest[NF + F:]
+            touts = rest[NF:NF + NO]
+            rings = rest[NF + NO:NF + NO + NO * (F - 1)]
+            sem, osem = rest[NF + NO + NO * (F - 1):]
             sb = pl.program_id(0)   # subdomain in the batch
             jt = pl.program_id(1)
             t = pl.program_id(2)
@@ -503,13 +597,14 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                                           jt, w, w % NW):
                         cp.start()
 
-            # prefetch one window row ahead of the steady-state wait
+            # prefetch D window rows ahead of the steady-state wait (one
+            # new row per step; warmup already filled rows 0..2F+D)
             @pl.when(jnp.logical_and(t > 0,
-                                     t + 2 * F + 1 <= KC + 2 * F - 1))
+                                     t + 2 * F + D <= KC + 2 * F - 1))
             def _():
                 for cp in _row_copies(ids_ref, dat_refs, wins, sem, sb, jt,
-                                      t + 2 * F + 1,
-                                      (t + 2 * F + 1) % NW):
+                                      t + 2 * F + D,
+                                      (t + 2 * F + D) % NW):
                     cp.start()
 
             # wait the warmup rows (t==0 only; later steps waited them)
@@ -519,54 +614,72 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                     for cp in _row_copies(ids_ref, dat_refs, wins, sem,
                                           sb, jt, w, w % NW):
                         cp.wait()
-            # wait the newest row this step consumes
-            for cp in _row_copies(ids_ref, dat_refs, wins, sem, sb, jt,
-                                  t + 2 * F, (t + 2 * F) % NW):
-                cp.wait()
+
+            # the newest row this step consumes.  F == 1: wait LATE —
+            # only the output row's high band reads it, so the wait
+            # moves inside banded_row (pre_hi) and the mid/low bands'
+            # VPU work overlaps the transfer.  F > 1: level 1 consumes
+            # it first, wait up front.
+            def wait_newest():
+                for cp in _row_copies(ids_ref, dat_refs, wins, sem, sb,
+                                      jt, t + 2 * F, (t + 2 * F) % NW):
+                    cp.wait()
+
+            if F > 1 or not wait_late:
+                wait_newest()
 
             # --- fused-level machinery ---------------------------------
-            def win_row(a, rs=slice(None)):
+            def win_row_of(fi, a, rs=slice(None)):
                 # absolute grid row -> window slot (content edge-clamped
-                # by _row_copies, so no index clipping needed); a list
-                # of per-field rows when the stencil has several inputs
-                if NF == 1:
-                    return wins[0][(a + F - K0) % NW, rs]
-                return [w_[(a + F - K0) % NW, rs] for w_ in wins]
+                # by _row_copies, so no index clipping needed)
+                return wins[fi][(a + F - K0) % NW, rs]
 
-            def lvl_row(f, x, rs=slice(None)):
+            def lvl_row(o, f, x, rs=slice(None)):
                 xx = jnp.clip(x, lvlA[f], lvlB[f] - 1)
-                return rings[f - 1][xx % lvlS[f], rs]
+                return rings[o * (F - 1) + f - 1][xx % lvlS[f], rs]
 
             lo0, hi0 = lo[0], hi[0]
 
-            def compute_level(f, x, write):
-                """Level-f row x from level f-1 (f==1 reads the input
-                window); emits output row bands via ``write(r0, r1, v)``
-                (banded assembly, see :func:`banded_row`)."""
-                src = (win_row if f == 1
-                       else (lambda a, rs=slice(None), g=f - 1:
-                             lvl_row(g, a, rs)))
-
-                def cast(v):
-                    return (v.astype(compute_dtype)
-                            if f == 1 and compute_dtype != dtype else v)
-
+            def compute_level(o, f, x, write, pre_hi=None):
+                """Level-f row x of output o from level f-1 (f==1 reads
+                the input windows; fused levels read each evolving
+                input's ring and each static aux input's window); emits
+                output row bands via ``write(r0, r1, v)`` (banded
+                assembly, see :func:`banded_row`)."""
+                meta = in_meta[o]
                 elo = ext_lo[f] if f <= F else 0
                 ehi = ext_hi[f] if f <= F else 0
-                j0 = (BJ - elo) if f == 1 else (ext_lo[f - 1] - elo)
                 jout = TJ * BJ + elo + ehi
                 eilo, eihi = iext_lo[f], iext_hi[f]
-                i0 = (((I0 + pad_lo) * BI - eilo) if f == 1
-                      else (iext_lo[f - 1] - eilo))
                 iout = IW + eilo + eihi
-                banded_row(src, x, cast, write,
-                           lambda ks, b, n: _compute(ks, j0, jout, b, n,
-                                                     i0, iout),
-                           BK, lo0, hi0)
+                j0w = BJ - elo
+                j0r = 0 if f == 1 else (ext_lo[f - 1] - elo)
+                i0w = (I0 + pad_lo) * BI - eilo
+                i0r = 0 if f == 1 else (iext_lo[f - 1] - eilo)
 
-            def ring_writer(f, x):
+                def one_src(fi, oo, a, rs):
+                    if f == 1 or oo is None:
+                        v = win_row_of(fi, a, rs)
+                        return (v.astype(compute_dtype)
+                                if compute_dtype != dtype else v)
+                    return lvl_row(oo, f - 1, a, rs)
+
+                def src(a, rs=slice(None)):
+                    rows = [one_src(fi, oo, a, rs) for fi, oo in meta]
+                    return rows if len(rows) > 1 else rows[0]
+
+                j0s = [j0w if (f == 1 or oo is None) else j0r
+                       for _fi, oo in meta]
+                j0 = j0s if len(j0s) > 1 else j0s[0]
+                i0 = i0w if f == 1 else i0r
+                banded_row(src, x, lambda v: v, write,
+                           lambda ks, b, n, o=o: _computes[o](
+                               ks, j0, jout, b, n, i0, iout),
+                           BK, lo0, hi0, pre_hi=pre_hi)
+
+            def ring_writer(o, f, x):
                 def wr(r0, r1, v):
-                    rings[f - 1][x % lvlS[f], r0:r1] = v
+                    rings[o * (F - 1) + f - 1][x % lvlS[f], r0:r1] = v
                 return wr
 
             # warmup: prime each level's backlog (static rows)
@@ -574,7 +687,8 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
             def _():
                 for f in range(1, F):
                     for x in range(lvlA[f], K0 + (F - f)):
-                        compute_level(f, x, ring_writer(f, x))
+                        for o in range(NO):
+                            compute_level(o, f, x, ring_writer(o, f, x))
 
             # cadence: one row per intermediate level per step
             for f in range(1, F):
@@ -582,50 +696,63 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
 
                 @pl.when(x < lvlB[f])
                 def _(f=f, x=x):
-                    compute_level(f, x, ring_writer(f, x))
+                    for o in range(NO):
+                        compute_level(o, f, x, ring_writer(o, f, x))
 
-            def _out_copies(tt, parity):
+            def _out_copies(o, tt, parity):
                 cps = []
                 for cj in range(TJ):
                     base = (sb * (GK * GJ * GI)
                             + ((K0 + tt) * GJ + J0 + jt * TJ + cj) * GI)
                     for ci in range(NIb):
                         cps.append(pltpu.make_async_copy(
-                            tout.at[parity, :, cj * BJ:(cj + 1) * BJ,
-                                    ci * BI:(ci + 1) * BI],
-                            out_ref.at[ids_ref[base + I0 + ci]],
-                            osem.at[parity]))
+                            touts[o].at[parity, :,
+                                        cj * BJ:(cj + 1) * BJ,
+                                        ci * BI:(ci + 1) * BI],
+                            out_refs[o].at[ids_ref[base + I0 + ci]],
+                            osem.at[o, parity]))
                 return cps
 
             # wait the out-DMAs issued two steps ago from this tout slot
             # BEFORE the final level writes its bands into the slot
             @pl.when(t >= 2)
             def _():
-                for cp in _out_copies(t - 2, t % 2):
-                    cp.wait()
+                for o in range(NO):
+                    for cp in _out_copies(o, t - 2, t % 2):
+                        cp.wait()
 
-            def out_writer(r0, r1, v):
-                if compute_dtype != dtype:
-                    v = v.astype(dtype)
-                tout[t % 2, r0:r1] = v
+            def out_writer(o):
+                def wr(r0, r1, v):
+                    if compute_dtype != dtype:
+                        v = v.astype(dtype)
+                    touts[o][t % 2, r0:r1] = v
+                return wr
 
-            compute_level(F, K0 + t, out_writer)
-            for cp in _out_copies(t, t % 2):
-                cp.start()
+            for o in range(NO):
+                # wait-late runs exactly once per step, on the first
+                # output's high band (later outputs read already-waited
+                # rows)
+                compute_level(o, F, K0 + t, out_writer(o),
+                              pre_hi=(wait_newest
+                                      if F == 1 and wait_late and o == 0
+                                      else None))
+                for cp in _out_copies(o, t, t % 2):
+                    cp.start()
 
             # drain at the end of each j-tile sweep
             @pl.when(t == KC - 1)
             def _():
                 for tt in range(max(KC - 2, 0), KC):
-                    for cp in _out_copies(tt, tt % 2):
-                        cp.wait()
+                    for o in range(NO):
+                        for cp in _out_copies(o, tt, tt % 2):
+                            cp.wait()
 
         return kernel
 
     nelems = batch * KC * BK * JC * BJ * IW
     cost = pl.CostEstimate(
-        flops=ir.flops_per_element() * nelems * F,
-        bytes_accessed=(NF + 1) * nelems * np.dtype(dtype).itemsize,
+        flops=sum(r.flops_per_element() for r in irs) * nelems * F,
+        bytes_accessed=(NF + NO) * nelems * np.dtype(dtype).itemsize,
         transcendentals=0,
     )
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * NF
@@ -634,28 +761,30 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     ring_shapes = [
         pltpu.VMEM((lvlS[f], BK, TJ * BJ + ext_lo[f] + ext_hi[f],
                     IW + iext_lo[f] + iext_hi[f]), compute_dtype)
-        for f in range(1, F)]
+        for _o in range(NO) for f in range(1, F)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch, JT, KC),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY) if NO == 1 else
+                   [pl.BlockSpec(memory_space=pl.ANY)] * NO),
         scratch_shapes=[
             pltpu.VMEM((NW,) + row_shape, dtype) for _ in range(NF)
         ] + [
-            pltpu.VMEM((2, BK, TJ * BJ, IW), dtype),
+            pltpu.VMEM((2, BK, TJ * BJ, IW), dtype) for _ in range(NO)
         ] + ring_shapes + [
             pltpu.SemaphoreType.DMA((NW,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NO, 2)),
         ],
     )
+    out_shape = jax.ShapeDtypeStruct((nbricks, BK, BJ, BIROW), dtype)
     # input indices for aliasing count the scalar-prefetch operand:
     # operand 1 + NF is out_prev when inplace
     alias = dict(input_output_aliases={1 + NF: 0}) if inplace else {}
     call = pl.pallas_call(
         make_kernel(inplace),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbricks, BK, BJ, BIROW), dtype),
+        out_shape=(out_shape if NO == 1 else [out_shape] * NO),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 3,
             vmem_limit_bytes=vmem_limit_bytes,
@@ -673,15 +802,18 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     if inplace:
         def fn(dat_view, out_prev):
             return call(ids, dat_view, out_prev)
-    elif NF > 1:
+    elif NF > 1 or NO > 1:
         def fn(*dat_views):
             # one [nbricks, BK, BJ, BI] view per input grid, in
-            # ir.sdef.inputs order (fn.fields)
+            # fn.fields order; systems return one view per output in
+            # STENCIL order
             if len(dat_views) != NF:
                 raise TypeError(f"stencil reads {NF} grids "
                                 f"({fieldnames}), got {len(dat_views)}")
-            return call(ids, *dat_views)
+            out = call(ids, *dat_views)
+            return tuple(out) if NO > 1 else out
         fn.fields = tuple(fieldnames)
+        fn.evolve = tuple(evolve)
     else:
         def fn(dat_view):
             return call(ids, dat_view)

@@ -94,15 +94,20 @@ def test_two_grid_pencil_matches_dense(make):
 
 
 def test_two_grid_guards():
-    """fuse>1 and the single-input-only emitters must reject
-    multi-input stencils instead of silently merging fields."""
+    """The single-input-only emitters must reject multi-input stencils
+    instead of silently merging fields; fused multi-input sweeps build
+    (per-field rings for the evolving grid, windows for aux) but reject
+    inplace composition."""
     from bricklib_tpu.codegen.fused_exchange import pallas_pencil_sweep_fusedx
     from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
 
     sd = _linear_two_grid()
     grid, _info = init_grid(G)
-    with pytest.raises(NotImplementedError, match="multi-input"):
-        pallas_pencil_sweep(sd, grid, BD, 30, PARAMS, fuse=2,
+    fn = pallas_pencil_sweep(sd, grid, BD, 30, PARAMS, fuse=2,
+                             interpret=True)
+    assert fn.fields == tuple(sd.inputs)
+    with pytest.raises(NotImplementedError, match="one input grid"):
+        pallas_pencil_sweep(sd, grid, BD, 30, PARAMS, inplace=True,
                             interpret=True)
     with pytest.raises(NotImplementedError, match="one input grid"):
         pallas_pencil_sweep_fusedx(sd, grid[:, :, 0], BD, 30, [],

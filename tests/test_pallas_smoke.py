@@ -100,6 +100,73 @@ def test_pencil_multi_input_smoke():
     assert compare_arrays(got, want, 1e-5)
 
 
+@pytest.mark.parametrize("fuse", [1, 2])
+def test_pencil_system_smoke(fuse):
+    """Coupled 2-output system in ONE kernel (Jacobi levels; fuse=2
+    iterates both fields in per-output VMEM rings)."""
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
+
+    u, v = Grid("u", 3), Grid("v", 3)
+    ou, ov = Grid("ou", 3), Grid("ov", 3)
+    i, j, k = Index(0), Index(1), Index(2)
+    al, be, ga = ConstRef("al"), ConstRef("be"), ConstRef("ga")
+    ou(i, j, k).assign(al * u(i, j, k)
+                       + be * (u(i, j + 1, k) + u(i, j - 1, k))
+                       + ga * v(i + 1, j, k))
+    ov(i, j, k).assign(al * v(i, j, k)
+                       + be * (v(i, j, k + 1) + v(i, j, k - 1))
+                       + ga * u(i - 1, j, k))
+    sds = load_stencil_module({"STENCIL": [ou, ov]})
+    prm = {"al": 0.3, "be": 0.06, "ga": 0.02}
+    grid, info, cores, views = _periodic_data(BD, G, 17, nfields=2)
+    fn = pallas_pencil_sweep(sds, grid, BD, info.nbricks, prm,
+                             interpret=True, fuse=fuse,
+                             evolve=("u", "v"))
+    named = dict(zip(fn.fields, views))
+    outs = fn(*(named[n] for n in fn.fields))
+    state = dict(zip(["u", "v"], cores))
+    for _ in range(fuse):
+        new = {}
+        for sd, f in zip(sds, ["u", "v"]):
+            lo, hi = sd.radius()
+            ins = {n: np.pad(c, [(l, h) for l, h in zip(lo, hi)],
+                             mode="wrap") for n, c in state.items()}
+            new[f] = dense_apply(sd, ins, prm, xp=np)
+        state.update(new)
+    for o_i, nm in enumerate(["u", "v"]):
+        got = from_bricks(np.asarray(outs[o_i]), grid[1:-1, 1:-1], BD)
+        assert compare_arrays(got, state[nm], 1e-5), (fuse, nm)
+
+
+def test_pencil_multi_input_fused_smoke():
+    """fuse=2 with a static aux field: the evolving grid iterates in
+    VMEM rings while the aux grid stays on its window at every level."""
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
+
+    a, b, out_g = Grid("a", 3), Grid("b", 3), Grid("out", 3)
+    i, j, k = Index(0), Index(1), Index(2)
+    out_g(i, j, k).assign(
+        ConstRef("alpha") * a(i, j, k)
+        + ConstRef("beta") * (a(i + 1, j, k) + a(i, j - 1, k)
+                              + a(i, j, k + 1))
+        + ConstRef("gamma") * b(i, j, k))
+    sd = load_stencil_module({"STENCIL": [out_g]})[0]
+    prm = {"alpha": 0.4, "beta": 0.07, "gamma": 0.11}
+    grid, info, cores, views = _periodic_data(BD, G, 19, nfields=2)
+    fn = pallas_pencil_sweep(sd, grid, BD, info.nbricks, prm,
+                             interpret=True, fuse=2, evolve="a")
+    named = dict(zip(fn.fields, views))
+    out = np.asarray(fn(*(named[n] for n in fn.fields)))
+    lo, hi = sd.radius()
+    state = dict(zip(sd.inputs, cores))
+    for _ in range(2):
+        ins = {n: np.pad(c, [(l, h) for l, h in zip(lo, hi)],
+                         mode="wrap") for n, c in state.items()}
+        state["a"] = dense_apply(sd, ins, prm, xp=np)
+    got = from_bricks(out, grid[1:-1, 1:-1], BD)
+    assert compare_arrays(got, state["a"], 1e-5)
+
+
 def test_pallas_dense_smoke():
     from bricklib_tpu.codegen.pallas_backend import pallas_dense_stencil
 

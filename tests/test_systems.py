@@ -74,6 +74,45 @@ def test_coupled_system_matches_dense(backend, mesh, st_iter):
     assert compare_arrays(got["v"], want["v"], 1e-4)
 
 
+def _small_system():
+    """A <=7-tap coupled pair, so Problem's auto temporal fusion
+    applies (per-output VMEM rings inside ONE kernel)."""
+    u, v = Grid("u", 3), Grid("v", 3)
+    ou, ov = Grid("ou", 3), Grid("ov", 3)
+    i, j, k = Index(0), Index(1), Index(2)
+    dt, c1, c2 = ConstRef("dt"), ConstRef("c1"), ConstRef("c2")
+    ou(i, j, k).assign(u(i, j, k)
+                       + dt * (u(i, j + 1, k) + u(i, j - 1, k))
+                       + c1 * v(i + 1, j, k))
+    ov(i, j, k).assign(v(i, j, k)
+                       + dt * (v(i, j, k + 1) + v(i, j, k - 1))
+                       + c2 * u(i - 1, j, k))
+    return load_stencil_module({"STENCIL": [ou, ov]})
+
+
+@pytest.mark.parametrize("mesh", [(1, 1, 1), (2, 1, 1)])
+def test_fused_system_matches_dense(mesh):
+    """st_iter=4 on a small-tap system auto-fuses (one HBM pass per 4
+    Jacobi rounds) and still matches the composed dense iteration —
+    the reference's ST_ITER amortization extended to systems
+    (ref: weak/main.cpp:203-212)."""
+    sdefs = _small_system()
+    gdim = (16, 16, 32)
+    dims = tuple(g // m for g, m in zip(gdim, mesh))
+    u0 = random_array(gdim, np.float32, 5)
+    v0 = random_array(gdim, np.float32, 6)
+    p = Problem(dims=dims, stencil=sdefs, field=("u", "v"),
+                backend="pencil", mesh=mesh, st_iter=4,
+                bdims=(4, 4, dims[2]), params=PARAMS)
+    assert p.fuse == 4
+    p.init(array={"u": u0, "v": v0}).step(2)
+    want = _dense_system_steps(sdefs, ("u", "v"), {"u": u0, "v": v0},
+                               8, p.params)
+    got = p.result()
+    assert compare_arrays(got["u"], want["u"], 1e-4)
+    assert compare_arrays(got["v"], want["v"], 1e-4)
+
+
 def test_system_save_load_roundtrip(tmp_path):
     sdefs = _coupled_system()
     p = Problem(dims=(16, 16, 32), stencil=sdefs, field=("u", "v"),
