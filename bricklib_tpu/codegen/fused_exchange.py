@@ -66,6 +66,7 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
                                compute_dtype=jnp.float32,
                                interpret: bool | None = None,
                                collective_id: int = 2,
+                               ghost_rings: tuple[int, int] = (1, 1),
                                vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build ``fn(dat_view, nbr_ids) -> (out_view, dat_view')``.
 
@@ -76,6 +77,13 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
     default to ghost-INCLUSIVE on exchanged axes (axes some plan entry
     moves along) and owned-only on table axes.  ``dat_view'`` is
     ``dat_view`` with its ghost bricks updated in place (aliased).
+
+    ``ghost_rings`` = (gzk, gzj): ghost-BRICK rings per exchanged axis
+    (``decomp.ghost_depth[a] // bdims[a]`` — the reference's free GZ,
+    brick-mpi.h:304-316).  Deeper rings shift the gate rows: the main
+    k-stream starts above the low ghost block (gzk + F), the khi gate
+    fires at the first prefetch of the LOWEST high-ghost row, and the
+    j gate covers every tile whose window reads a ghost pencil.
     """
     ir = _as_ir(stencil)
     params = dict(params or {})
@@ -108,27 +116,36 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
     if lo[0] > BK or hi[0] > BK or lo[1] > BJ or hi[1] > BJ:
         raise ValueError("stencil radius exceeds brick dims")
     F = 1
-    NW = 2 * F + 2
 
+    gzk, gzj = (int(g) for g in ghost_rings)
+    if gzk < 1 or gzj < 1:
+        raise ValueError("ghost_rings counts ghost-brick rings (>= 1)")
     # interior-first reorder: stream rows [s, K1) then epilogue [K0, s).
     # s is the lowest stream start whose NW-row warmup (rows s-F..s+F+1)
-    # avoids the low ghost row; the warmup must also not reach the top
-    # ghost row early (that's the khi gate's job, mid-stream).
+    # avoids the low ghost BLOCK (gzk rings); the warmup must also not
+    # reach the top ghost block early (that's the khi gate's job,
+    # mid-stream).
     if k_ex:
-        s = F + 1
+        s = gzk + F
         nepi = s - K0
-        if KC - nepi < NW or GK - 1 <= s + F + 1:
+        if KC - nepi < 2 * F + 2 or GK - gzk <= s + F + 1:
             raise ValueError(f"fused-exchange sweep needs a deeper k "
-                             f"grid (GK={GK})")
-        # first step whose PREFETCH requests the (unclamped) top ghost
-        # row: warmup starts rows [s-F, s+F+1], prefetch at step t
-        # starts row s + t + F + 1
-        t_top = (GK - 1) - s - F - 1
+                             f"grid (GK={GK}, ghost rings={gzk})")
+        # first step whose PREFETCH requests the (unclamped) LOWEST
+        # high-ghost row GK - gzk: warmup starts rows [s-F, s+F+1],
+        # prefetch at step t starts row s + t + F + 1
+        t_top = (GK - gzk) - s - F - 1
         if t_top < 1:
             raise ValueError("k grid too shallow for the khi gate")
     else:
         s, nepi, t_top = K0, 0, None
     SL = KC - nepi              # main-stream steps per tile
+    # window slots: the streamed main pass needs 2F+2 (warmup span +
+    # one-ahead prefetch); the epilogue refills rows [K0-F, s+F) in one
+    # burst and needs nepi+2F DISTINCT slots (deep ghost makes this the
+    # larger term).  Warmup still fills only the first 2F+2 rows — the
+    # extra slots exist for the epilogue's virtual below-edge rows.
+    NW = max(2 * F + 2, nepi + 2 * F)
 
     resolve = resolve_const_from_params(params)
     lin = fold_linear(ir, resolve)
@@ -161,11 +178,11 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
     gate_rows = {"khi": [], "klo": [], "j": []}
     for r_i, e in enumerate(remote):
         gate_rows[e[6]].append(r_i)
-    # tiles whose windows read j-ghost pencils: jt 0 and JT-1 always,
-    # plus jt 1 and JT-2 when TJ == 1 (each window spans jcols
-    # jt*TJ-1 .. (jt+1)*TJ).  Rotate so they all run last and gate at
-    # the first of them in reordered order.
-    jrot = 1 if TJ >= 2 else 2
+    # tiles whose windows read j-ghost pencils: each window spans jcols
+    # jt*TJ-1 .. (jt+1)*TJ, so the low-end tiles with jt*TJ - 1 < gzj
+    # and the mirrored high-end tiles touch ghost.  Rotate so they all
+    # run last and gate at the first of them in reordered order.
+    jrot = -((-(gzj + 1)) // TJ)     # ceil((gzj + 1) / TJ)
     jgate_pos = max(JT - 2 * jrot, 0)
 
     def _clip(x, n):
@@ -245,7 +262,10 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
 
         @pl.when(t == 0)
         def _():
-            for w in range(min(NW, SL + 2 * F)):
+            # fill only the streamed-warmup span (2F+2 rows) — with
+            # deep ghost NW is larger, and prefetch continues at
+            # w = t + 2F + 1 from exactly this fill edge
+            for w in range(min(2 * F + 2, SL + 2 * F)):
                 for cp in _row_copies(ids_ref, alias_ref, win, sem, jt,
                                       s - F + w):
                     cp.start()

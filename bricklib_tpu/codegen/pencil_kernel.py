@@ -275,7 +275,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         i_ghost: int = 0,
                         lookahead: int = 1,
                         evolve=None,
-                        wait_late: bool = True,
+                        wait_late: bool = False,
                         vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build a pencil sweep over grid rows ``k_range`` x pencils
     ``j_range`` (half-open, grid coords).
@@ -418,8 +418,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                              f"{GI}")
     pad_lo = 1 if (islice and I0o == 0 and lo_pre[2] > 0) else 0
     pad_hi = 1 if (islice and I1o == GI and hi_pre[2] > 0) else 0
-    CI = GI + pad_lo + pad_hi     # assembled window i-brick columns
-    RI = CI * BI                  # assembled row i extent
+    CI = GI + pad_lo + pad_hi     # padded i-brick columns (pre-trim)
     NIb = I1o - I0o               # written i bricks
     IW = NIb * BI                 # written i extent (elements)
     I0 = I0o
@@ -492,6 +491,20 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                for f in range(1, F + 1)}
     iext_hi = {f: ((F - f) * hi[2] if islice else 0)
                for f in range(1, F + 1)}
+    # i-bricked window TRIM: assemble only the brick columns the
+    # computed i_range actually reads (level 1 is the widest consumer),
+    # instead of all CI columns — kills the ~2x i-ghost read
+    # amplification of sub-range sweeps (strong-scaling cubic
+    # subdomains, ref: strong/main.cpp:66-71)
+    if islice:
+        _ilo1 = (iext_lo[1] if F > 1 else 0) + lo[2]
+        _ihi1 = (iext_hi[1] if F > 1 else 0) + hi[2]
+        ci0 = max(((I0 + pad_lo) * BI - _ilo1) // BI, 0)
+        ci1 = min(-((-((I0 + pad_lo) * BI + IW + _ihi1)) // BI), CI)
+    else:
+        ci0, ci1 = 0, CI
+    CIw = ci1 - ci0               # assembled window i-brick columns
+    RI = CIw * BI                 # assembled row i extent (trimmed)
     D = int(lookahead)          # window rows DMA'd ahead of the wait
     if D < 1:
         raise ValueError("lookahead must be >= 1")
@@ -553,13 +566,13 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         for cj in range(JW):
             jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
             base = sb * (GK * GJ * GI) + (krow * GJ + jcol) * GI
-            for ci in range(CI):
+            for ci in range(ci0, ci1):
                 cic = min(max(ci - pad_lo, 0), GI - 1)  # clamped pad col
                 for f in range(NF):
                     cps.append(pltpu.make_async_copy(
                         dat_refs[f].at[ids_ref[base + cic]],
                         wins[f].at[slot, :, cj * BJ:(cj + 1) * BJ,
-                                   ci * BI:(ci + 1) * BI],
+                                   (ci - ci0) * BI:(ci - ci0 + 1) * BI],
                         sem.at[slot]))
         return cps
 
@@ -654,7 +667,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                 iout = IW + eilo + eihi
                 j0w = BJ - elo
                 j0r = 0 if f == 1 else (ext_lo[f - 1] - elo)
-                i0w = (I0 + pad_lo) * BI - eilo
+                i0w = (I0 + pad_lo - ci0) * BI - eilo
                 i0r = 0 if f == 1 else (iext_lo[f - 1] - eilo)
 
                 def one_src(fi, oo, a, rs):

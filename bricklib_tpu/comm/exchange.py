@@ -422,20 +422,13 @@ def put_plan(decomp: BrickDecomp, mesh_shape: tuple[int, ...],
     ``remote`` marks directions crossing a device boundary, and
     ``group`` tags the first-reader gate the fused sweep waits on:
     ``"klo"``/``"khi"`` pure-k faces, ``"j"`` j faces and all corners.
+    Ghost depth per exchanged axis is free (the reference's GZ,
+    brick-mpi.h:304-316): each direction's runs span every ghost-brick
+    ring, and the fused sweep derives its gate rows from the ring count
+    (``ghost_rings``).
     """
     nd = decomp.ndim
     table = set(table_axes)
-    # the fused sweep's gating schedule (warmup start s=F+1, khi at the
-    # top row's first prefetch, j gate at the last tiles) statically
-    # assumes ONE ghost-brick ring per exchanged axis; a deeper ring
-    # would be read before its recv gate on hardware
-    for a in range(nd):
-        gz = decomp.ghost_depth[a] // decomp.bdims[a]
-        if a not in table and gz > 1:
-            raise ValueError(
-                f"fused-exchange plan assumes a single ghost-brick ring "
-                f"per exchanged axis; axis {a} has {gz} ghost brick rows "
-                f"— use the composed exchange for deep-ghost decomps")
     plan = []
     for gr, sr in zip(decomp.ghost, decomp.skin):
         axes = {decomp._tag_axis(t) for t in gr.neighbor}

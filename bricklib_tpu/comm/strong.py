@@ -192,6 +192,172 @@ def _stage_copy(flat, local_ivs, recv, recv_ivs, interpret):
     )(*ins)
 
 
+def exchange_strong_remote(batch, plan: StrongDecomp,
+                           axis_names: tuple[str, ...],
+                           axis_order: "list[int] | None" = None,
+                           interpret: bool | None = None,
+                           collective_id: int = 4):
+    """Strong-scaling SHIFT exchange as ONE Pallas kernel: cross-device
+    links are ``pltpu.make_async_remote_copy``s straight from the face
+    subdomains' skin rows into the neighbor device's ghost rows over
+    ICI — no XLA gather/ppermute/scatter staging at all (the kernel-
+    level form of the reference's per-peer coalesced zero-copy views,
+    strong/main.cpp:288-320).  Intra-device links and periodic 1-device
+    directions stay in-kernel local DMAs; stages are ordered (all
+    copies of stage s complete before stage s+1 issues) for corner
+    forwarding, and the buffer updates in place via
+    ``input_output_aliases``.
+
+    Must run inside ``shard_map`` over ONE flat device axis whose ravel
+    order matches ``plan.mesh_shape`` (``axis_names`` may also be the
+    per-domain-axis names on hardware); every device holds the same
+    ``local_block``, so the row tables are device-symmetric and the
+    whole plan is static.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .exchange import _merge_intervals
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sdec = plan.sdec
+    order, stages = sdec.stage_sections(axis_order)
+    mesh_shape = plan.mesh_shape
+    nsub = plan.nsub_local
+    nb = sdec.nbricks
+
+    # --- static per-stage plan -----------------------------------------
+    # kstages[i] = (ax, [(sign, local_ivs, remote_prs)]) with intervals
+    # over the flattened [nsub*nb] row axis; remote_prs = (s0,s1,d0,d1)
+    # source rows HERE, destination rows on the (ax, -sign... the
+    # receiver one mesh step along +sign) peer.
+    kstages = []
+    n_remote = 0
+    for s, ax in enumerate(order):
+        per_sign = []
+        for sign in (+1, -1):
+            pairs = stages[s][sign]
+            if not pairs:
+                continue
+            ivs = _merge_intervals(pairs)
+            rows, remote, send_rows, recv_rows = plan.neighbor_rows(
+                ax, sign)
+            local_ivs = []
+            for r in range(nsub):
+                if remote[r]:
+                    continue
+                nr = int(rows[r])
+                for d0, d1, s0, s1 in ivs:
+                    local_ivs.append((r * nb + d0, r * nb + d1,
+                                      nr * nb + s0, nr * nb + s1))
+            remote_prs = []
+            for sr, rr in zip(send_rows, recv_rows):
+                for d0, d1, s0, s1 in ivs:
+                    pr = (int(sr) * nb + s0, int(sr) * nb + s1,
+                          int(rr) * nb + d0, int(rr) * nb + d1)
+                    if mesh_shape[ax] > 1:
+                        remote_prs.append(pr)
+                    else:
+                        # periodic self-link: my own opposite face
+                        local_ivs.append((pr[2], pr[3], pr[0], pr[1]))
+            if local_ivs or remote_prs:
+                per_sign.append((sign, local_ivs, remote_prs))
+                if remote_prs:
+                    n_remote += 1
+        if per_sign:
+            kstages.append((ax, per_sign))
+    if n_remote == 0:
+        return exchange_strong_shift(batch, plan, axis_names, axis_order,
+                                     interpret)
+    if interpret and len(axis_names) > 1:
+        raise ValueError(
+            "interpret-mode remote strong exchange needs a single flat "
+            "device axis (make_flat_mesh) — see exchange_shift_remote")
+
+    # --- send-target logical ids per remote (ax, sign) -----------------
+    strides = np.ones(len(mesh_shape), dtype=np.int64)
+    for a in range(len(mesh_shape) - 2, -1, -1):
+        strides[a] = strides[a + 1] * mesh_shape[a + 1]
+    if len(axis_names) == 1 and len(mesh_shape) > 1:
+        lin = lax.axis_index(axis_names[0])
+        coords = [lax.rem(lin // int(strides[a]), mesh_shape[a])
+                  for a in range(len(mesh_shape))]
+    else:
+        coords = [lax.axis_index(axis_names[a])
+                  for a in range(len(mesh_shape))]
+        lin = sum(coords[a] * int(strides[a])
+                  for a in range(len(mesh_shape)))
+    import jax.numpy as _jnp
+    send_ids = []
+    id_of = {}
+    for ax, per_sign in kstages:
+        for sign, _l, rp in per_sign:
+            if not rp:
+                continue
+            tgt = lax.rem(coords[ax] - sign + mesh_shape[ax],
+                          mesh_shape[ax])
+            id_of[(ax, sign)] = len(send_ids)
+            send_ids.append(lin + (tgt - coords[ax]) * int(strides[ax]))
+    ids = _jnp.stack([i.astype(_jnp.int32) for i in send_ids])
+
+    def kernel(ids_ref, dat_ref, out_ref, ssem, rsem, lsem):
+        if not interpret:
+            bsem = pltpu.get_barrier_semaphore()
+            for j in range(n_remote):
+                pltpu.semaphore_signal(
+                    bsem, 1, device_id=ids_ref[j],
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(bsem, n_remote)
+        for ax, per_sign in kstages:
+            cps = []
+            for sign, local_ivs, remote_prs in per_sign:
+                for d0, d1, s0, s1 in local_ivs:
+                    cp = pltpu.make_async_copy(
+                        out_ref.at[s0:s1], out_ref.at[d0:d1], lsem)
+                    cp.start()
+                    cps.append(cp)
+                if remote_prs:
+                    j = id_of[(ax, sign)]
+                    for s0, s1, d0, d1 in remote_prs:
+                        cp = pltpu.make_async_remote_copy(
+                            out_ref.at[s0:s1], out_ref.at[d0:d1],
+                            ssem.at[j], rsem.at[j],
+                            device_id=ids_ref[j],
+                            device_id_type=pltpu.DeviceIdType.LOGICAL)
+                        cp.start()
+                        cps.append(cp)
+            for cp in cps:           # stage barrier: forwarding order
+                cp.wait()
+
+    shape0 = batch.shape
+    flat = batch.reshape((nsub * nb,) + shape0[2:])
+    shp = flat.shape
+    if not (len(shp) >= 3 and shp[-1] % 128 == 0 and shp[-2] % 8 == 0):
+        step = int(np.prod(shp[1:]))
+        if step % 128:
+            raise ValueError("remote strong exchange needs lane-tile-"
+                             "divisible brick storage")
+        flat = flat.reshape(shp[0], step // 128, 128)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_remote,)),
+                        pltpu.SemaphoreType.DMA((n_remote,)),
+                        pltpu.SemaphoreType.DMA],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id),
+        interpret=interpret,
+    )(ids, flat)
+    return out.reshape(shape0)
+
+
 def exchange_strong_shift(batch, plan: StrongDecomp,
                           axis_names: tuple[str, ...],
                           axis_order: "list[int] | None" = None,

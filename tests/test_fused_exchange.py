@@ -24,14 +24,17 @@ GZ = (4, 4, 0)
 TABLE_AXES = (2,)
 
 
-@pytest.mark.parametrize("mesh_shape,stencil,tile_j", [
-    ((1, 1, 1), "mpi7pt", None),  # all-local plan (self copies) + reorder
-    ((2, 2, 1), "mpi7pt", None),  # k, j and corners all remote
-    ((2, 2, 1), "mpi13pt", None),  # radius-2 banded compute
-    ((2, 2, 1), "mpi7pt", 1),   # TJ=1: four j-ghost tiles, double rotate
+@pytest.mark.parametrize("mesh_shape,stencil,tile_j,rings", [
+    ((1, 1, 1), "mpi7pt", None, 1),  # all-local plan (self copies)
+    ((2, 2, 1), "mpi7pt", None, 1),  # k, j and corners all remote
+    ((2, 2, 1), "mpi13pt", None, 1),  # radius-2 banded compute
+    ((2, 2, 1), "mpi7pt", 1, 1),   # TJ=1: 4 j-ghost tiles, double rotate
+    ((2, 2, 1), "mpi7pt", None, 2),  # DEEP ghost: 2 brick rings/axis
 ])
-def test_fused_exchange_sweep_bit_exact(mesh_shape, stencil, tile_j):
-    dec = BrickDecomp(dims=DIMS, ghost_depth=GZ, bdims=BD).initialize(
+def test_fused_exchange_sweep_bit_exact(mesh_shape, stencil, tile_j,
+                                        rings):
+    gz = tuple(rings * g for g in GZ)
+    dec = BrickDecomp(dims=DIMS, ghost_depth=gz, bdims=BD).initialize(
         skin3d_good)
     kgrid = dec.periodic_grid(TABLE_AXES)
     GK, GJ = kgrid.shape[0], kgrid.shape[1]
@@ -50,6 +53,7 @@ def test_fused_exchange_sweep_bit_exact(mesh_shape, stencil, tile_j):
                                     interpret=True)
     fus = pallas_pencil_sweep_fusedx(sd, kgrid, BD, dec.nbricks, plan,
                                      mesh_shape, params, tile_j=tile_j,
+                                     ghost_rings=(rings, rings),
                                      interpret=True)
 
     rng = np.random.default_rng(11)

@@ -83,6 +83,42 @@ def test_strong_exchange_fills_ghosts(plan):
         assert compare_arrays(got, blk, 1e-7), (dz, row)
 
 
+def test_strong_exchange_remote_bit_exact(plan):
+    """The one-kernel remote-DMA strong exchange must equal the staged
+    gather -> ppermute -> scatter exchange bit-for-bit (the kernel-level
+    form of the reference's per-peer coalesced views,
+    strong/main.cpp:288-320)."""
+    from bricklib_tpu.comm.mesh import make_flat_mesh
+    from bricklib_tpu.comm.strong import exchange_strong_remote
+
+    g, truth, stacked = _build(plan, seed=13)
+    ndev = int(np.prod(MESH))
+    flat_in = stacked.reshape((ndev,) + stacked.shape[3:])
+
+    mesh = make_domain_mesh(MESH)
+    names = mesh.axis_names
+
+    def step(b):
+        return exchange_strong_shift(b[0, 0, 0], plan,
+                                     names)[None, None, None]
+
+    sharded = jax.device_put(jnp.asarray(stacked),
+                             NamedSharding(mesh, P(*names)))
+    want = np.asarray(jax.jit(shard_map(step, mesh, P(*names),
+                                        P(*names)))(sharded))
+    want = want.reshape((ndev,) + want.shape[3:])
+
+    m1 = make_flat_mesh(MESH)
+
+    def step1(b):
+        return exchange_strong_remote(b[0], plan, ("dev",))[None]
+
+    sh1 = jax.device_put(jnp.asarray(flat_in), NamedSharding(m1, P("dev")))
+    got = np.asarray(jax.jit(shard_map(step1, m1, P("dev"),
+                                       P("dev")))(sh1))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_strong_step_vs_global_dense(plan):
     sd = stencil_by_name("mpi7pt")[0]
     g, truth, stacked = _build(plan, seed=9)

@@ -91,6 +91,24 @@ def main():
         pallas_pencil_sweep(sd7, grid3, BD, info3.nbricks, params,
                             fuse=2, k_range=(0, 4), j_range=(0, 4)))(
             view))
+    check("pencil lookahead=2", lambda: jax.jit(pallas_pencil_sweep(
+        sd7, grid3, BD, info3.nbricks, params, lookahead=2))(view))
+    check("pencil two-grid fused F=2", lambda: jax.jit(
+        pallas_pencil_sweep(sd2, grid3, BD, info3.nbricks,
+                            {"alpha": 0.4, "beta": 0.1}, fuse=2,
+                            evolve="a"))(view, view))
+
+    gu, gv = Grid("u", 3), Grid("v", 3)
+    gou, gov = Grid("ou", 3), Grid("ov", 3)
+    gou(i_, j_, k_).assign(ConstRef("alpha") * gu(i_, j_, k_)
+                           + ConstRef("beta") * gv(i_ + 1, j_, k_))
+    gov(i_, j_, k_).assign(ConstRef("alpha") * gv(i_, j_, k_)
+                           + ConstRef("beta") * gu(i_, j_ - 1, k_))
+    sds_sys = load_stencil_module({"STENCIL": [gou, gov]})
+    check("pencil system F=2", lambda: jax.jit(pallas_pencil_sweep(
+        sds_sys, grid3, BD, info3.nbricks,
+        {"alpha": 0.4, "beta": 0.1}, fuse=2, evolve=("u", "v")))(
+            view, view)[0])
 
     grid4, info4 = init_grid((4, 4, 4, 1))
     sd9 = stencil_by_name("mpi9pt")[0]
@@ -200,6 +218,25 @@ def main():
         return out
 
     check("fused exchange-in-sweep", fusedx_local)
+
+    def fusedx_deep_ghost():
+        # deep-ghost (2 brick rings/axis) fused exchange: bigger NW,
+        # shifted gates, epilogue burst over nepi+2F distinct slots
+        from bricklib_tpu.codegen.fused_exchange import (
+            pallas_pencil_sweep_fusedx)
+        from bricklib_tpu.comm.exchange import put_plan
+
+        decf = BrickDecomp(dims=(64, 32, 128), ghost_depth=(16, 16, 0),
+                           bdims=(8, 8, 128)).initialize(skin3d_good)
+        planf = put_plan(decf, (1, 1, 1), (2,))
+        fn = pallas_pencil_sweep_fusedx(
+            sd7, decf.periodic_grid((2,)), (8, 8, 128), decf.nbricks,
+            planf, (1, 1, 1), params, ghost_rings=(2, 2))
+        out, _d2 = jax.jit(fn)(
+            jnp.zeros((decf.nbricks, 8, 8, 128), jnp.float32))
+        return out
+
+    check("fused exchange deep ghost", fusedx_deep_ghost)
 
     def aot_roundtrip():
         import tempfile
