@@ -71,7 +71,8 @@ from .jnp_backend import _as_ir, _np_offsets, _run
 # per-row arithmetic from these factories rather than keeping copies.
 
 def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
-                      ilo_r=0, ihi_r=0, fields=None):
+                      ilo_r=0, ihi_r=0, fields=None, pre=(),
+                      roll_j=None):
     """Return ``compute(kslab, j0, jout, base, nrows, i0=0, iout=0)``
     evaluating ``nrows`` output k-rows from a k-slab covering
     [base - lo_k, base + nrows + hi_k); ``j0``/``i0`` are the kslab
@@ -88,17 +89,38 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
     fields=fields)`` so its outer-offset tuples carry the index.
     ``j0`` may then also be a per-field list — fused multi-input
     levels mix ring-sourced slabs (evolving field) with window-sourced
-    slabs (static aux fields), whose j origins differ."""
+    slabs (static aux fields), whose j origins differ.
+
+    ``pre``: (origin, extent) per extra leading FREE axis of the slab
+    before the banded k axis (the 4-D path's w axis,
+    ref: weak/main-4d.cpp:36-53); ``lin``'s outer-offset tuples then
+    run outermost-first over (pre axes..., k)."""
     multi = fields is not None
+    L = len(pre)
 
     def compute(kslab, j0, jout, base, nrows, i0=0, iout=0):
         j0s = (j0 if isinstance(j0, (list, tuple))
                else [j0] * (len(fields) if multi else 1))
         isl = (slice(i0 - ilo_r, i0 + iout + ihi_r) if islice
                else slice(None))
+
+        def outer_idx(outs):
+            return tuple(
+                slice(pre[a][0] + outs[a],
+                      pre[a][0] + outs[a] + pre[a][1])
+                for a in range(L)
+            ) + (slice(base + outs[L], base + outs[L] + nrows),)
+
         if lin is not None:
             wdefs, vmap_, (jlo_r, jhi_r) = lin
-            JE = jout + jlo_r + jhi_r
+            # j-shift realization: "slice" extracts each shifted window
+            # (one sublane realign per unaligned offset); "roll" builds
+            # W on an 8-ALIGNED base and rotates the sublane axis with
+            # pltpu.roll, making the post-roll extract slice-aligned.
+            use_roll = (roll_j is not None
+                        and all(jf >= 8 for jf in j0s))
+            AL = 8 if use_roll else jlo_r
+            JE = jout + AL + jhi_r
 
             kcache: dict = {}
 
@@ -107,15 +129,16 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
                     v = None
                     for fr in dks:
                         if multi:
-                            f, dk = fr
+                            f, outs = fr[0], fr[1:]
                             src = kslab[f]
                         else:
-                            (dk,) = fr
+                            outs = fr
                             f = 0
                             src = kslab
                         jf = j0s[f]
-                        s = src[base + dk:base + dk + nrows,
-                                jf - jlo_r:jf - jlo_r + JE, isl]
+                        s = src[outer_idx(outs)
+                                + (slice(jf - AL, jf - AL + JE),
+                                   isl)]
                         v = s if v is None else v + s
                     kcache[dks] = v
                 return kcache[dks]
@@ -134,24 +157,31 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
                 V = vcache.get(terms)
                 if V is None:
                     for dj, wid in terms:
-                        sl = Ws[wid][:, jlo_r + dj:jlo_r + dj + jout, :]
+                        if use_roll and dj:
+                            sl = roll_j(Ws[wid], dj)[
+                                ..., AL:AL + jout, :]
+                        else:
+                            sl = Ws[wid][...,
+                                         AL + dj:AL + dj + jout, :]
                         V = sl if V is None else V + sl
                     vcache[terms] = V
-                t = (V[:, :, ilo_r + di:ilo_r + di + iout] if islice
+                t = (V[..., ilo_r + di:ilo_r + di + iout] if islice
                      else roll_i(V, di))
                 out = t if out is None else out + t
             return out
 
         def read_tap(name, offs_edsl):
-            offs = _np_offsets(offs_edsl, 3)
+            offs = _np_offsets(offs_edsl, 3 + L)
             src = kslab[fields[name]] if multi else kslab
             jf = j0s[fields[name]] if multi else j0s[0]
-            v = src[base + offs[0]:base + offs[0] + nrows,
-                    jf + offs[1]:jf + offs[1] + jout,
-                    (slice(i0 + offs[2], i0 + offs[2] + iout)
-                     if islice else slice(None))]
-            if not islice and offs[2]:
-                v = roll_i(v, offs[2])
+            v = src[outer_idx(tuple(offs[:L + 1]))
+                    + (slice(jf + offs[L + 1],
+                             jf + offs[L + 1] + jout),
+                       (slice(i0 + offs[L + 2],
+                              i0 + offs[L + 2] + iout)
+                        if islice else slice(None)))]
+            if not islice and offs[L + 2]:
+                v = roll_i(v, offs[L + 2])
             return v
 
         return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
@@ -276,6 +306,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
                         lookahead: int = 1,
                         evolve=None,
                         wait_late: bool = False,
+                        j_shift: str = "slice",
                         vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build a pencil sweep over grid rows ``k_range`` x pencils
     ``j_range`` (half-open, grid coords).
@@ -515,6 +546,14 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     def _roll_i(v, di):
         return pltpu.roll(v, (-di) % BI, 2) if di else v
 
+    if j_shift not in ("slice", "roll"):
+        raise ValueError("j_shift is 'slice' or 'roll'")
+
+    def _roll_j(v, dj):
+        return pltpu.roll(v, (-dj) % int(v.shape[1]), 1)
+
+    _rj = _roll_j if j_shift == "roll" else None
+
     # hierarchical axis factorization shared by every Pallas emitter
     # (see codegen.ir.fold_linear): 125pt drops to 4 lane rolls
     lins = [fold_linear(r, resolve, fields=fm)
@@ -579,7 +618,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
     ilo_r, ihi_r = (lo[2], hi[2]) if islice else (0, 0)
     _computes = [build_row_compute(r, resolve, l_, _roll_i,
                                    islice=islice, ilo_r=ilo_r,
-                                   ihi_r=ihi_r, fields=fm)
+                                   ihi_r=ihi_r, fields=fm, roll_j=_rj)
                  for r, l_, fm in zip(irs, lins, fmaps)]
     # per-output input metadata: union window index and (for fused
     # levels) whether each input reads a ring (its evolving output) or

@@ -168,57 +168,17 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
                     win.at[slot, lo[0] + BW:, :, jsl, :], sem.at[slot]))
         return cps
 
+    # per-row arithmetic from the shared factory (pencil_kernel.
+    # build_row_compute): the w axis rides as one extra leading FREE
+    # axis of the slab; j-shifts / lane rolls are identical to 3-D.
+    # kslab: [WE, BK+lok+hik, JW*BJ, BIROW] -> [BW, BK, TJ*BJ, BIROW].
+    from .pencil_kernel import build_row_compute
+
+    _row_compute = build_row_compute(ir, resolve, lin, _roll_i,
+                                     pre=((lo[0], BW),))
+
     def _compute(kslab):
-        """kslab: [WE, BK+lok+hik, JW*BJ, BIROW] ->
-        [BW, BK, TJ*BJ, BIROW]."""
-        if lin is not None:
-            wdefs_, vmap_, (jlo_r, jhi_r) = lin
-            JE = TJ * BJ + jlo_r + jhi_r
-            kcache: dict = {}
-
-            def ksum(wks):
-                if wks not in kcache:
-                    v = None
-                    for dw, dk in wks:
-                        s = kslab[lo[0] + dw:lo[0] + dw + BW,
-                                  lo[1] + dk:lo[1] + dk + BK,
-                                  BJ - jlo_r:BJ - jlo_r + JE, :]
-                        v = s if v is None else v + s
-                    kcache[wks] = v
-                return kcache[wks]
-
-            Ws = []
-            for terms in wdefs_:
-                acc = None
-                for c, wks in terms:
-                    t = ksum(wks)
-                    t = t if c == 1.0 else c * t
-                    acc = t if acc is None else acc + t
-                Ws.append(acc)
-            out = None
-            vcache: dict = {}
-            for di, terms in sorted(vmap_.items()):
-                V = vcache.get(terms)
-                if V is None:
-                    for dj, wid in terms:
-                        sl = Ws[wid][:, :,
-                                     jlo_r + dj:jlo_r + dj + TJ * BJ, :]
-                        V = sl if V is None else V + sl
-                    vcache[terms] = V
-                t = _roll_i(V, di)
-                out = t if out is None else out + t
-            return out
-
-        def read_tap(_name, offs_edsl):
-            offs = _np_offsets(offs_edsl, 4)
-            v = kslab[lo[0] + offs[0]:lo[0] + offs[0] + BW,
-                      lo[1] + offs[1]:lo[1] + offs[1] + BK,
-                      BJ + offs[2]:BJ + offs[2] + TJ * BJ, :]
-            if offs[3]:
-                v = pltpu.roll(v, (-offs[3]) % BIROW, 3)
-            return v
-
-        return _run(ir, read_tap, lambda n: float(resolve(n)), jnp)
+        return _row_compute(kslab, BJ, TJ * BJ, lo[1], BK)
 
     def kernel(ids_ref, dat_ref, out_ref, win, tout, sem, osem):
         wc = pl.program_id(0)

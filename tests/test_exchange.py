@@ -260,15 +260,26 @@ def test_remote_exchange_4d():
     np.testing.assert_array_equal(got, want)
 
 
-def test_put_plan_rejects_deep_ghost_ring():
-    """The fused sweep's recv gates assume one ghost-brick ring per
-    exchanged axis; put_plan must reject deeper rings up front."""
+def test_put_plan_deep_ghost_ring():
+    """Deep ghost (2 brick rings in k) is a first-class put_plan config
+    (the reference's free GZ, brick-mpi.h:304-316): every ghost/skin
+    pair still lands in the plan with its gate group, and the k-face
+    runs span both rings."""
     from bricklib_tpu.comm.exchange import put_plan
 
     dec = BrickDecomp(dims=(24, 16, 32), ghost_depth=(8, 4, 0),
                       bdims=(4, 4, 32)).initialize(skin3d_good)
-    with pytest.raises(ValueError, match="ghost-brick ring"):
-        put_plan(dec, (2, 2, 1), (2,))
+    plan = put_plan(dec, (2, 2, 1), (2,))
+    assert len(plan) == len([
+        gr for gr in dec.ghost
+        if not ({dec._tag_axis(t) for t in gr.neighbor} & {2})])
+    klo = [e for e in plan if e[6] == "klo"]
+    khi = [e for e in plan if e[6] == "khi"]
+    assert klo and khi
+    # each pure-k face moves 2 rings x owned j pencils of bricks
+    nj = dec.grid.shape[1] - 2          # owned j columns (1 ring/side)
+    assert sum(e[2] - e[1] for e in klo) == 2 * nj
+    assert sum(e[2] - e[1] for e in khi) == 2 * nj
 
 
 @pytest.mark.parametrize("seed", range(5))
