@@ -94,8 +94,12 @@ def main():
     tgrid = dec.periodic_grid((0, 1, 2))
     k7 = rep(pallas_pencil_sweep(
         stencil_by_name("s7pt")[0], tgrid, BD, nb, params))
+    # lookahead=2: one extra window slot + one row deeper DMA prefetch.
+    # Memory-bound radius-2 sweeps gain ~4% of roofline from the extra
+    # transfer slack (measured; fused/VPU-bound configs gain nothing)
     k125 = rep(pallas_pencil_sweep(
-        stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params))
+        stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params,
+        lookahead=2))
     k7bf = rep(pallas_pencil_sweep(
         stencil_by_name("s7pt")[0], tgrid, BD, nb, params,
         dtype=jnp.bfloat16, compute_dtype=jnp.float32))

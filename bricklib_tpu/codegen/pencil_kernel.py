@@ -830,6 +830,10 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         ],
     )
     out_shape = jax.ShapeDtypeStruct((nbricks, BK, BJ, BIROW), dtype)
+    # NOTE: batch/j-tile grid instances are logically independent, but
+    # marking them "parallel" measured neutral at F=1 and regressed the
+    # fused-kernel compile — keep the sequential semantics
+    dim_sem = ("arbitrary",) * 3
     # input indices for aliasing count the scalar-prefetch operand:
     # operand 1 + NF is out_prev when inplace
     alias = dict(input_output_aliases={1 + NF: 0}) if inplace else {}
@@ -838,7 +842,7 @@ def pallas_pencil_sweep(stencil, grid: np.ndarray,
         grid_spec=grid_spec,
         out_shape=(out_shape if NO == 1 else [out_shape] * NO),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * 3,
+            dimension_semantics=dim_sem,
             vmem_limit_bytes=vmem_limit_bytes,
         ),
         cost_estimate=cost,

@@ -19,7 +19,7 @@ import numpy as np
 
 def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
         stencil="mpi7pt", st_iter=1, mesh_shape=(2, 1, 1), iters=25,
-        validate=False, backend="auto", fuse=1):
+        validate=False, backend="auto", fuse=1, exchange="shift"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -27,8 +27,9 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
     from ..bench.timing import mpi_statistics, time_mpi
     from ..codegen import brick_apply, dense_apply
     from ..comm import skin3d_good
-    from ..comm.mesh import make_domain_mesh, shard_map
-    from ..comm.strong import StrongDecomp, exchange_strong_shift
+    from ..comm.mesh import make_domain_mesh, make_flat_mesh, shard_map
+    from ..comm.strong import (StrongDecomp, exchange_strong_remote,
+                               exchange_strong_shift)
     from ..core import compare_arrays, from_bricks, random_array, to_bricks
     from ..stencils import DEFAULT_PARAMS, stencil_by_name
 
@@ -51,13 +52,21 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
             # deep-ghost bound: every iteration contaminates the ghost
             # shell radius elements deeper on ALL axes (incl. i)
             raise ValueError("st_iter x radius exceeds ghost depth")
+    if exchange not in ("shift", "remote"):
+        raise ValueError("exchange is 'shift' (staged ppermute) or "
+                         "'remote' (one-kernel remote DMAs)")
     plan = StrongDecomp(dom=dom, sdom=sdom, mesh_shape=mesh_shape,
                         bdims=bdim, ghost_depth=gz).initialize(skin3d_good)
     sdec = plan.sdec
     adj = jnp.asarray(sdec.info.adj)
-    mesh = make_domain_mesh(mesh_shape)
+    # the remote exchange addresses peers by linearized logical id over
+    # ONE flat device axis (placement-identical ravel order)
+    flatm = exchange == "remote"
+    mesh = (make_flat_mesh(mesh_shape) if flatm
+            else make_domain_mesh(mesh_shape))
     names = mesh.axis_names
     P_ = P(*names)
+    nlead = 1 if flatm else len(mesh_shape)
 
     g = random_array(dom, np.float32, seed=4)
     nloc = plan.nsub_local
@@ -116,8 +125,9 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
                     batch=nloc, batch_stride=nb, **fkw)
 
     def step(batch):
-        x = batch[(0,) * len(mesh_shape)]
-        x = exchange_strong_shift(x, plan, names)
+        x = batch[(0,) * nlead]
+        x = (exchange_strong_remote(x, plan, names) if flatm
+             else exchange_strong_shift(x, plan, names))
         if sweep_skip is not None:
             flat = x.reshape((nloc * nb,) + tuple(bdim))
             nsweeps = st_iter // fuse
@@ -131,14 +141,18 @@ def run(dom=(64, 64, 64), sdom=(32, 32, 32), bdim=(4, 4, 8),
                 out = jax.vmap(lambda v: brick_apply(
                     sd, {gname: v}, adj, DEFAULT_PARAMS))(x)
                 x = out
-        return x[(None,) * len(mesh_shape)]
+        return x[(None,) * nlead]
 
-    sharded = jax.device_put(jnp.asarray(stacked),
+    dev_stacked = (stacked.reshape((-1,) + stacked.shape[3:]) if flatm
+                   else stacked)
+    sharded = jax.device_put(jnp.asarray(dev_stacked),
                              NamedSharding(mesh, P_))
     step_j = jax.jit(shard_map(step, mesh, P_, P_), donate_argnums=0)
 
     if validate:
         out = np.asarray(step_j(jnp.copy(sharded)))
+        if flatm:
+            out = out.reshape(mesh_shape + out.shape[1:])
         # pad by the stencil's own radius so the dense twin lines up for
         # every corpus stencil (radius-2/4 star, 5^3 cube), not just r=1
         b = g
@@ -187,13 +201,17 @@ def main(argv=None):
                    choices=["auto", "jnp", "pencil"])
     p.add_argument("--fuse", type=int, default=1,
                    help="iterations fused per HBM pass (pencil backend)")
+    p.add_argument("--exchange", default="shift",
+                   choices=["shift", "remote"],
+                   help="cross-device links: staged ppermute or "
+                        "one-kernel remote DMAs")
     a = p.parse_args(argv)
     run(tuple(int(x) for x in a.dom.split(",")),
         tuple(int(x) for x in a.sdom.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,
         tuple(int(x) for x in a.mesh.split(",")),
-        a.iters, a.validate, a.backend, a.fuse)
+        a.iters, a.validate, a.backend, a.fuse, a.exchange)
 
 
 if __name__ == "__main__":

@@ -163,6 +163,18 @@ def test_strong_pencil_fast_path_validates():
                iters=1, validate=True, backend="pencil")
 
 
+def test_strong_driver_remote_exchange_validates():
+    """--exchange remote: cross-device links as one Pallas kernel of
+    remote DMAs over the flat device axis, validated against the global
+    dense twin."""
+    from bricklib_tpu.drivers import strong
+
+    strong.run(dom=(32, 32, 64), sdom=(8, 8, 64), bdim=(4, 4, 8),
+               stencil="mpi7pt", st_iter=2, mesh_shape=(2, 2, 1),
+               iters=1, validate=True, backend="pencil",
+               exchange="remote")
+
+
 def test_strong_cubic_deep_ghost_validates():
     """CUBIC subdomains (the reference's canonical 512^3 -> 128^3 shape,
     strong/args.cpp:32) with deep-ghost ST_ITER=2: ONE exchange per
