@@ -24,6 +24,24 @@ from __future__ import annotations
 import numpy as np
 
 
+# fuse only while DMA-bound: the measured VMEM-contention knee is ~40
+# passes/row (DESIGN.md); 30 leaves margin for the fused rings' own
+# extension-row overhead (7pt 18 and 13pt 26 fuse; 27pt 46, 25pt 50
+# and 125pt 55 stay unfused — all measured neutral-or-worse fused)
+_PASS_FUSE_MAX = 30
+
+
+def _passes(sdef, params) -> "int | None":
+    """Trace-time VPU pass estimate for a linear stencil (None for
+    non-linear): drives the auto-fuse policy."""
+    from .codegen.evaluate import resolve_const_from_params
+    from .codegen.ir import StencilIR, fold_linear, vpu_pass_estimate
+
+    lin = fold_linear(StencilIR.from_def(sdef),
+                      resolve_const_from_params(params))
+    return None if lin is None else vpu_pass_estimate(lin)
+
+
 class Problem:
     def __init__(self, dims, stencil="mpi7pt", params=None,
                  bdims=None, ghost=None, mesh=(1, 1, 1),
@@ -211,18 +229,35 @@ class Problem:
                 return out
 
             # auto temporal fusion: iterate in VMEM when profitable —
-            # memory-bound stencils (few taps) with a fuse that divides
-            # st_iter and fits the one-pencil j-halo.  Extends to
-            # multi-input (static aux fields stay on their windows) and
-            # to SYSTEMS (per-field VMEM rings, Jacobi levels).  The
-            # fused exchange runs its own first sweep at F=1, so it
-            # fuses only the remaining st_iter-1 iterations.
+            # a fuse that divides st_iter and fits the one-pencil
+            # j-halo.  Extends to multi-input (static aux fields stay
+            # on their windows) and to SYSTEMS (per-field VMEM rings,
+            # Jacobi levels).  The fused exchange runs its own first
+            # sweep at F=1, so it fuses only the remaining st_iter-1
+            # iterations.  Fusion pays ONLY while the sweep is
+            # DMA-bound: per the measured VMEM-contention model
+            # (DESIGN.md "QUANTIFIED FLOOR") row passes beyond ~40
+            # cost ~0.05 ms each, so fusing a pass-heavy stencil adds
+            # bound passes faster than it removes HBM traffic —
+            # measured clean-chip at 512³: 7pt (18 passes) F=4 1.5x,
+            # but 27pt (46) F=4 neutral and 125pt (55) F=2 REGRESSES
+            # 0.86 -> 0.7 (its ~4.1 ms/iter is tenancy-insensitive:
+            # VMEM-bound, not HBM-bound).  Linear stencils gate on the
+            # trace-time pass estimate; systems and multi-input keep
+            # the measured few-tap gate.
             fused_x = exchange == "fused" and distributed
             fuse = 1
             budget_iters = self.st_iter - 1 if fused_x else self.st_iter
-            if (nd == 3
-                    and max(len(s.taps) for s in sdefs) <= 7):
-                for cand in (4, 2):
+            if nd == 3:
+                np_ = (_passes(sdefs[0], self.params)
+                       if nfld == 1 and not self.aux_names else None)
+                if np_ is not None:
+                    cands = (4, 2) if np_ <= _PASS_FUSE_MAX else ()
+                elif max(len(s.taps) for s in sdefs) <= 7:
+                    cands = (4, 2)
+                else:
+                    cands = ()
+                for cand in cands:
                     if (budget_iters % cand == 0 and cand * rad <= bd[1]
                             and cand * rad <= bd[0] and budget_iters):
                         fuse = cand

@@ -140,6 +140,27 @@ def fold_linear(ir: "StencilIR", resolve, fields: dict | None = None):
             jneed)
 
 
+def vpu_pass_estimate(lin) -> int:
+    """Estimated VPU row-passes per output row for a
+    :func:`fold_linear` factorization — the x-axis of the measured
+    VMEM-contention model (docs/DESIGN.md "QUANTIFIED FLOOR"): sweeps
+    sit at the DMA floor up to ~40 passes, then each pass adds ~0.05
+    ms at 512³ because compute and window DMA contend on VMEM
+    bandwidth.  Counts k-slice sum adds, W FMAs, V j-shift extracts
+    and adds, and i lane rolls and adds — the corpus fit used exactly
+    this count (tap1 2, 7pt 18, 13pt 26, 27pt 46, 125pt 55)."""
+    wdefs, vmap_, _ = lin
+    ksum_adds = sum(len(dks) - 1
+                    for dks in {d for t in wdefs for _c, d in t})
+    wfma = sum(len(t) for t in wdefs)
+    vsets = set(vmap_.values())
+    vext = sum(len(t) for t in vsets)
+    vadd = sum(len(t) - 1 for t in vsets)
+    rolls = sum(1 for di in vmap_ if di)
+    radd = len(vmap_) - 1
+    return ksum_adds + wfma + vext + vadd + rolls + radd
+
+
 @dataclass
 class StencilIR:
     """Analyzed stencil ready for an emitter."""

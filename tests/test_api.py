@@ -105,3 +105,29 @@ def test_problem_st_iter_zero_ghost_message():
     with pytest.raises(ValueError, match="ghost depth"):
         Problem(dims=(16, 16, 16), stencil="mpi7pt", backend="jnp",
                 ghost=(0, 0, 0), st_iter=2)
+
+
+def test_problem_auto_fuse_pass_policy():
+    """Auto-fuse gates on the trace-time VPU pass estimate (fusion
+    pays only while DMA-bound — DESIGN.md VMEM-contention model):
+    7pt(18)/13pt(26) fuse, 27pt(46)/25pt(50)/125pt(55) stay unfused
+    (measured neutral-or-worse fused on a quiet chip)."""
+    kw = dict(dims=(16, 16, 32), bdims=(8, 8, 32), mesh=(1, 1, 1),
+              backend="pencil")
+    assert Problem(stencil="mpi7pt", st_iter=8, **kw).fuse == 4
+    assert Problem(stencil="mpi13pt", st_iter=8, **kw).fuse == 4
+    assert Problem(stencil="s27pt", st_iter=8, **kw).fuse == 1
+    assert Problem(stencil="mpi125pt", st_iter=4, **kw).fuse == 1
+    assert Problem(stencil="mpi25pt", st_iter=4, **kw).fuse == 1
+
+
+def test_problem_13pt_auto_fused_matches_dense():
+    """13pt st_iter=4 auto-fuses to one F=4 sweep; one step equals
+    four dense iterations (tiny shapes, interpret)."""
+    g = random_array((16, 16, 32), np.float32, 31)
+    p = Problem(dims=(16, 16, 32), stencil="mpi13pt", st_iter=4,
+                bdims=(8, 8, 32), mesh=(1, 1, 1), backend="pencil")
+    assert p.fuse == 4
+    p.init(array=g).step(1)
+    want = _dense_steps(g, "mpi13pt", 4, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
