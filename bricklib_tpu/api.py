@@ -24,13 +24,6 @@ from __future__ import annotations
 import numpy as np
 
 
-# fuse only while DMA-bound: the measured VMEM-contention knee is ~40
-# passes/row (DESIGN.md); 30 leaves margin for the fused rings' own
-# extension-row overhead (7pt 18 and 13pt 26 fuse; 27pt 46, 25pt 50
-# and 125pt 55 stay unfused — all measured neutral-or-worse fused)
-_PASS_FUSE_MAX = 30
-
-
 def _passes(sdef, params) -> "int | None":
     """Trace-time VPU pass estimate for a linear stencil (None for
     non-linear): drives the auto-fuse policy."""
@@ -252,7 +245,9 @@ class Problem:
                 np_ = (_passes(sdefs[0], self.params)
                        if nfld == 1 and not self.aux_names else None)
                 if np_ is not None:
-                    cands = (4, 2) if np_ <= _PASS_FUSE_MAX else ()
+                    from .codegen.ir import PASS_FUSE_MAX
+
+                    cands = (4, 2) if np_ <= PASS_FUSE_MAX else ()
                 elif max(len(s.taps) for s in sdefs) <= 7:
                     cands = (4, 2)
                 else:

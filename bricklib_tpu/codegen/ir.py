@@ -140,6 +140,13 @@ def fold_linear(ir: "StencilIR", resolve, fields: dict | None = None):
             jneed)
 
 
+# fuse only while DMA-bound: the measured VMEM-contention knee is ~40
+# passes/row (docs/DESIGN.md); 30 leaves margin for the fused rings'
+# own extension-row overhead (7pt 18 and 13pt 26 fuse; 27pt 46,
+# 25pt 50 and 125pt 55 stay unfused — measured neutral-or-worse fused)
+PASS_FUSE_MAX = 30
+
+
 def vpu_pass_estimate(lin) -> int:
     """Estimated VPU row-passes per output row for a
     :func:`fold_linear` factorization — the x-axis of the measured

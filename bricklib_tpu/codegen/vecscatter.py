@@ -58,12 +58,20 @@ def describe(name_or_path: str, params: dict | None = None) -> list[dict]:
             except KeyError:    # unresolved custom ConstRefs: pass
                 lin = None      # their values via --params to see this
             if lin is not None:
+                from .ir import PASS_FUSE_MAX, vpu_pass_estimate
+
                 wdefs, vmap, jneed = lin
+                passes = vpu_pass_estimate(lin)
                 desc["fold"] = {
                     "k_profiles_W": len(wdefs),
                     "j_stages_V": len(set(vmap.values())),
                     "lane_rolls": sum(1 for di in vmap if di),
                     "j_halo": list(jneed),
+                    # measured VMEM-contention model (docs/DESIGN.md):
+                    # sweeps are DMA-bound up to ~40 passes/row, and
+                    # temporal fusion only pays while DMA-bound
+                    "vpu_passes": passes,
+                    "auto_fuse": 4 if passes <= PASS_FUSE_MAX else 1,
                 }
         out.append(desc)
     return out
