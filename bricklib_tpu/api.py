@@ -258,10 +258,10 @@ class Problem:
                         fuse = cand
                         break
             # unfused sweeps are memory-bound: one extra window slot
-            # of DMA lookahead buys ~4% of roofline (measured; fused
-            # sweeps are VPU-bound and gain nothing)
-            fkw = (dict(fuse=fuse) if fuse > 1
-                   else ({} if nd == 4 else dict(lookahead=2)))
+            # of DMA lookahead buys ~4% of roofline in 3-D and ~1%
+            # (neutral-or-better) in 4-D (measured; fused sweeps are
+            # VPU-bound and gain nothing, la3 regresses)
+            fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
             # storage dtype threads into the kernels (bf16 halves HBM
             # traffic; taps still accumulate in f32 compute_dtype)
             fkw["dtype"] = jnp.dtype(self.dtype)

@@ -180,9 +180,9 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
                 raise ValueError("--overlap with fuse>1 not supported")
         sweep = (pallas_pencil_sweep if nd == 3
                  else pallas_pencil_sweep_4d)
-        # unfused = memory-bound: deeper DMA lookahead (measured +4%)
-        fkw = (dict(fuse=fuse) if fuse > 1
-               else ({} if nd == 4 else dict(lookahead=2)))
+        # unfused = memory-bound: deeper DMA lookahead (measured +4%
+        # in 3-D, ~+1% in 4-D; la3 regresses)
+        fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
         pencil_fn = sweep(sd, kgrid, bdim, dec.nbricks, params,
                           **_ranges(1), **fkw)
         if st_iter > fuse and len(table_axes) < nd:

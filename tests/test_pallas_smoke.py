@@ -250,14 +250,16 @@ def test_fused_exchange_smoke():
     np.testing.assert_array_equal(got[wids], want[wids])
 
 
-def test_pencil_4d_smoke():
+@pytest.mark.parametrize("la", [1, 2])
+def test_pencil_4d_smoke(la):
     from bricklib_tpu.codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
 
     bd4, g4 = (2, 2, 2, 8), (3, 4, 3, 1)
     grid, info, cores, views = _periodic_data(bd4, g4, 13)
     sd = stencil_by_name("mpi9pt")[0]
     fn = pallas_pencil_sweep_4d(sd, grid, bd4, info.nbricks,
-                                DEFAULT_PARAMS, interpret=True)
+                                DEFAULT_PARAMS, interpret=True,
+                                lookahead=la)
     out = np.asarray(fn(views[0]))
     want = _dense_want(sd, cores, DEFAULT_PARAMS)
     got = from_bricks(out, grid[1:-1, 1:-1, 1:-1], bd4)

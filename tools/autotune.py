@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Quiet-chip autotuner: measure schedule variants against an
+adjacently-measured DMA-copy roofline, refusing to conclude from a
+contended window.
+
+The axon chip is multi-tenant and VMEM/VPU-bound kernels keep their
+absolute time under tenant HBM contention while the copy roofline (and
+every DMA-bound kernel) degrades ~2x — so an interleaved vs-copy ratio
+measured on a busy chip can inflate by 2x for compute-bound variants
+(CLAUDE.md rule 11; a 125pt fuse=2 config once "measured" 1.39x SOL
+busy but is 0.7x quiet).  This tool encodes the discipline:
+
+1. measure the copy roofline; a window is QUIET when the copy hits
+   ``--quiet-gbs`` (default 330 GB/s, the known quiet-chip floor);
+2. interleave variants with the copy, min-of-rounds, in-jit chains
+   with scalar-readback barriers (rules 0/1);
+3. only report ``vs_sol`` verdicts from rounds whose adjacent copy was
+   quiet; otherwise retry up to ``--max-wait`` seconds and, failing
+   that, mark every ratio ``contended`` so nobody wires it in.
+
+Variants: ``--stencil`` x {la1, la2, fuse F in --fuse-list that fit
+the brick}.  The reference's tuning story is compile-time (MSIZE/THRES
+scans in the SC'19 codegen, ref: codegen/st/codegen/base.py:108-170);
+on TPU the schedule is a trace-time choice, so tuning is a runtime
+measurement loop instead.
+
+    python tools/autotune.py --stencil mpi13pt --domain 512
+    python tools/autotune.py --stencil mpi125pt --fuse-list 2,4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _barrier(out):
+    float(out[(0,) * out.ndim])
+
+
+def build_items(stencil, N, BD, fuse_list, jnp, pallas_pencil_sweep,
+                dec, params):
+    """(name -> (callable, iters_per_call)) for one in-jit chain of R
+    applications; fused variants that don't fit the brick are skipped
+    with a notice."""
+    import jax
+
+    from bricklib_tpu.codegen.ir import (StencilIR, fold_linear,
+                                         vpu_pass_estimate)
+    from bricklib_tpu.codegen.evaluate import resolve_const_from_params
+    from bricklib_tpu.stencils import stencil_by_name
+
+    R = 8
+    sd = stencil_by_name(stencil)[0]
+    lo, hi = sd.radius()
+    rad = max(max(lo), max(hi))
+    tgrid = dec.periodic_grid((0, 1, 2))
+    nb = dec.nbricks
+
+    def rep(f):
+        def g(d):
+            for _ in range(R):
+                d = f(d)
+            return d
+        return jax.jit(g)
+
+    items = {}
+    items["la1"] = (rep(pallas_pencil_sweep(sd, tgrid, BD, nb,
+                                            params)), R)
+    items["la2"] = (rep(pallas_pencil_sweep(sd, tgrid, BD, nb, params,
+                                            lookahead=2)), R)
+    for F in fuse_list:
+        if F * rad > min(BD[0], BD[1]):
+            print(f"# fuse={F}: {F}x radius {rad} exceeds brick "
+                  f"{BD[:2]} — skipped", file=sys.stderr)
+            continue
+        items[f"f{F}"] = (rep(pallas_pencil_sweep(
+            sd, tgrid, BD, nb, params, fuse=F)), F * R)
+    lin = fold_linear(StencilIR.from_def(sd),
+                      resolve_const_from_params(params))
+    passes = None if lin is None else vpu_pass_estimate(lin)
+    return items, R, passes
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="quiet-chip schedule autotuner")
+    ap.add_argument("--stencil", default="mpi7pt")
+    ap.add_argument("--domain", type=int, default=512)
+    ap.add_argument("--bdim", default="8,8,0",
+                    help="BK,BJ,BI (BI 0 = full-domain pencil)")
+    ap.add_argument("--fuse-list", default="2,4")
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--quiet-gbs", type=float, default=330.0,
+                    help="copy bandwidth that counts as a quiet chip")
+    ap.add_argument("--max-wait", type=float, default=600.0,
+                    help="seconds to keep retrying for a quiet window")
+    ap.add_argument("--json", dest="as_json", action="store_true")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.stencils import bench_params
+
+    N = args.domain
+    bk, bj, bi = (int(x) for x in args.bdim.split(","))
+    BD = (bk, bj, bi or N)
+    fuse_list = [int(x) for x in args.fuse_list.split(",") if x]
+    params = bench_params()
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(BD[0], BD[1], 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    nb = dec.nbricks
+
+    items, R, passes = build_items(args.stencil, N, BD, fuse_list, jnp,
+                                   pallas_pencil_sweep, dec, params)
+
+    def copy_kernel(dat_ref, out_ref, sem):
+        cps = []
+        for w in range(0, nb, 128):
+            e = min(w + 128, nb)
+            cp = pltpu.make_async_copy(dat_ref.at[w:e],
+                                       out_ref.at[w:e], sem)
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    cp1 = pl.pallas_call(
+        copy_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb,) + BD, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA])
+
+    def crep(d):
+        for _ in range(R):
+            d = cp1(d)
+        return d
+
+    crep = jax.jit(crep)
+    copy_bytes = 2 * nb * int(np.prod(BD)) * 4
+
+    def quiet(copy_s):
+        return copy_bytes / copy_s / 1e9 >= args.quiet_gbs
+
+    dat = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (nb,) + BD).astype(np.float32))
+
+    def timed(f):
+        out = f(dat)
+        _barrier(out)
+        t0 = time.perf_counter()
+        out = f(dat)
+        _barrier(out)
+        return (time.perf_counter() - t0) / R
+
+    best = {k: (float("inf"), False) for k in items}
+    best_copy = float("inf")
+    t_start = time.perf_counter()
+    rnd = 0
+    quiet_rounds = 0
+    while True:
+        copy_s = timed(crep)
+        best_copy = min(best_copy, copy_s)
+        q = quiet(copy_s)
+        quiet_rounds += q
+        for k, (f, per) in items.items():
+            dt = timed(f) * R / per
+            if dt < best[k][0]:
+                best[k] = (dt, q)
+            print(f"# r{rnd} {k}: {dt*1e3:.3f} ms/iter "
+                  f"(copy {copy_s/R*1e3:.2f} ms, "
+                  f"{'quiet' if q else 'contended'})",
+                  file=sys.stderr, flush=True)
+        rnd += 1
+        elapsed = time.perf_counter() - t_start
+        if rnd >= args.rounds and (quiet_rounds >= 2
+                                   or elapsed > args.max_wait):
+            break
+
+    sol = best_copy          # timed() already divides by R
+    res = {
+        "stencil": args.stencil, "domain": N, "brick": list(BD),
+        "vpu_passes": passes,
+        "sol_copy_gb_s": round(copy_bytes / best_copy / 1e9, 1),
+        "quiet_rounds": quiet_rounds, "rounds": rnd,
+        "variants": {},
+    }
+    winner, wtime = None, float("inf")
+    for k, (dt, q) in best.items():
+        res["variants"][k] = {
+            "ms_per_iter": round(dt * 1e3, 3),
+            "vs_sol": round(sol / dt, 4),
+            "quiet": bool(q and quiet_rounds >= 2),
+        }
+        if dt < wtime:
+            winner, wtime = k, dt
+    res["winner"] = winner
+    res["verdict"] = ("ok" if quiet_rounds >= 2 else
+                      "contended: ratios unreliable for compute-bound "
+                      "variants (CLAUDE.md rule 11)")
+    print(json.dumps(res) if args.as_json
+          else json.dumps(res, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
