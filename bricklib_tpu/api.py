@@ -241,20 +241,22 @@ class Problem:
             fused_x = exchange == "fused" and distributed
             fuse = 1
             budget_iters = self.st_iter - 1 if fused_x else self.st_iter
-            if nd == 3:
+            if nd in (3, 4):
                 np_ = (_passes(sdefs[0], self.params)
                        if nfld == 1 and not self.aux_names else None)
                 if np_ is not None:
                     from .codegen.ir import PASS_FUSE_MAX
 
                     cands = (4, 2) if np_ <= PASS_FUSE_MAX else ()
-                elif max(len(s.taps) for s in sdefs) <= 7:
+                elif nd == 3 and max(len(s.taps)
+                                     for s in sdefs) <= 7:
                     cands = (4, 2)
                 else:
                     cands = ()
                 for cand in cands:
-                    if (budget_iters % cand == 0 and cand * rad <= bd[1]
-                            and cand * rad <= bd[0] and budget_iters):
+                    if (budget_iters % cand == 0 and budget_iters
+                            and all(cand * rad <= b
+                                    for b in bd[:-1])):
                         fuse = cand
                         break
             # unfused sweeps are memory-bound: one extra window slot

@@ -20,6 +20,14 @@ sweep (ghost-inclusive deep-ghost semantics).
 The hierarchical factorization folds (dw, dk) — both free slices — into
 per-(dj, di) profiles, then j-shifts, then one lane roll per distinct
 di, exactly as in 3-D.
+
+``fuse`` = F > 1 applies F stencil iterations per HBM pass, mirroring
+the 3-D fused rings along k and j; the w axis is a pallas GRID dim
+here, so intermediate levels instead extend (F - f) * radius elements
+along w inside each plane's ring rows (bounded recompute shared with
+no one — the w analog of the j extension), reading a window whose
+w-halo is F slices deep.  Semantics equal F composed sweeps, as in
+3-D.
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .evaluate import resolve_const_from_params
-from .jnp_backend import _as_ir, _np_offsets, _run
+from .jnp_backend import _as_ir
 
 
 def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
@@ -48,6 +56,7 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
                            dtype=jnp.float32,
                            compute_dtype=jnp.float32,
                            interpret: bool | None = None,
+                           fuse: int = 1,
                            lookahead: int = 1,
                            vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build ``fn(dat_view) -> out_view`` for 4-D pencil bricks.
@@ -93,16 +102,45 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     if lo[0] > BW or hi[0] > BW or lo[1] > BK or hi[1] > BK \
             or lo[2] > BJ or hi[2] > BJ:
         raise ValueError("stencil radius exceeds brick dims")
+    F = int(fuse)
+    if F < 1:
+        raise ValueError("fuse must be >= 1")
+    if F > 1:
+        # contamination bounds, one per non-lane axis (same model as
+        # the 3-D kernel: each fused level grows radius deeper)
+        if F * lo[0] > BW or F * hi[0] > BW:
+            raise ValueError(f"fuse {F} x w-radius exceeds the brick "
+                             f"w depth (BW={BW})")
+        if F * lo[1] > BK or F * hi[1] > BK:
+            raise ValueError(f"fuse {F} x k-radius exceeds the brick "
+                             f"row depth (BK={BK})")
+        if F * lo[2] > BJ or F * hi[2] > BJ:
+            raise ValueError(f"fuse {F} x j-radius exceeds the "
+                             f"one-pencil window halo (BJ={BJ})")
+
+    # fused-level bookkeeping (k rows / j elements / w elements):
+    # level f in [1, F) holds intermediate iteration f; level F is the
+    # output.
+    lvlA = {f: max(K0 - (F - f), 0) for f in range(1, F)}
+    lvlB = {f: min(K1 + (F - f), GK) for f in range(1, F)}
+    lvlS = {f: 2 * (F - f) + 3 for f in range(1, F)}
+    extj_lo = {f: (F - f) * lo[2] for f in range(1, F + 1)}
+    extj_hi = {f: (F - f) * hi[2] for f in range(1, F + 1)}
+    extw_lo = {f: (F - f) * lo[0] for f in range(1, F + 1)}
+    extw_hi = {f: (F - f) * hi[0] for f in range(1, F + 1)}
+    wout = {f: BW + extw_lo[f] + extw_hi[f] for f in range(1, F + 1)}
 
     resolve = resolve_const_from_params(params)
 
-    # k-window slots: 3-row compute span + D rows of DMA prefetch
-    # (lookahead=2 buys ~4% of roofline on memory-bound 3-D sweeps;
-    # same rolling-window scheme as the 3-D emitter's NW)
+    # k-window slots: warmup span + D rows of DMA prefetch (same
+    # rolling-window scheme as the 3-D emitter's NW)
     D = int(lookahead)
     if D < 1:
         raise ValueError("lookahead must be >= 1")
-    W = 3 + D
+    W = 2 * F + 1 + D
+    # window w-halo: level 1 consumes F*radius w slices
+    WHL, WHH = F * lo[0], F * hi[0]
+    WE = BW + WHL + WHH
 
     def _roll_i(v, di):
         return pltpu.roll(v, (-di) % BIROW, 3) if di else v
@@ -116,12 +154,14 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     # VMEM-budget j-tile (same model as 3-D, with the w extent folded in)
     isz = np.dtype(dtype).itemsize
     csz = np.dtype(jnp.dtype(compute_dtype)).itemsize
-    WE = BW + lo[0] + hi[0]
 
     def vmem_estimate(tj: int) -> int:
         row = WE * BK * (tj + 2) * BJ * BIROW
         est = W * row * isz + 2 * BW * BK * tj * BJ * BIROW * isz
         est += WE * (BK + lo[1] + hi[1]) * (tj + 2) * BJ * BIROW * csz
+        for f in range(1, F):
+            est += (lvlS[f] * wout[f] * BK
+                    * (tj * BJ + extj_lo[f] + extj_hi[f]) * BIROW * csz)
         if lin is not None:
             wdefs_, vmap_, (jl, jh) = lin
             nksum = len({tuple(wks) for terms in wdefs_
@@ -154,7 +194,7 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
         wrow = _clip(W0 + wc, GW)
         wlo = _clip(W0 + wc - 1, GW)
         whi = _clip(W0 + wc + 1, GW)
-        krow = _clip(K0 - 1 + w, GK)
+        krow = _clip(K0 - F + w, GK)
         cps = []
         for cj in range(JW):
             jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
@@ -162,71 +202,107 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
             base = (krow * GJ + jcol)
             cps.append(pltpu.make_async_copy(
                 dat_ref.at[ids_ref[wrow * GK * GJ + base]],
-                win.at[slot, lo[0]:lo[0] + BW, :, jsl, :], sem.at[slot]))
-            if lo[0]:
+                win.at[slot, WHL:WHL + BW, :, jsl, :], sem.at[slot]))
+            if WHL:
                 cps.append(pltpu.make_async_copy(
                     dat_ref.at[ids_ref[wlo * GK * GJ + base],
-                               BW - lo[0]:, :, :, :],
-                    win.at[slot, :lo[0], :, jsl, :], sem.at[slot]))
-            if hi[0]:
+                               BW - WHL:, :, :, :],
+                    win.at[slot, :WHL, :, jsl, :], sem.at[slot]))
+            if WHH:
                 cps.append(pltpu.make_async_copy(
                     dat_ref.at[ids_ref[whi * GK * GJ + base],
-                               :hi[0], :, :, :],
-                    win.at[slot, lo[0] + BW:, :, jsl, :], sem.at[slot]))
+                               :WHH, :, :, :],
+                    win.at[slot, WHL + BW:, :, jsl, :], sem.at[slot]))
         return cps
 
     # per-row arithmetic from the shared factory (pencil_kernel.
     # build_row_compute): the w axis rides as one extra leading FREE
     # axis of the slab; j-shifts / lane rolls are identical to 3-D.
-    # kslab: [WE, BK+lok+hik, JW*BJ, BIROW] -> [BW, BK, TJ*BJ, BIROW].
+    # One builder per distinct level w-extent: each level's output
+    # w origin sits lo[0] slices into its source slab (both for the
+    # F-deep window halo and for ring rows one extension step wider).
     from .pencil_kernel import build_row_compute
 
-    _row_compute = build_row_compute(ir, resolve, lin, _roll_i,
-                                     pre=((lo[0], BW),))
+    _rcs = {we: build_row_compute(ir, resolve, lin, _roll_i,
+                                  pre=((lo[0], we),))
+            for we in sorted(set(wout.values()))}
 
-    def _compute(kslab):
-        return _row_compute(kslab, BJ, TJ * BJ, lo[1], BK)
-
-    def kernel(ids_ref, dat_ref, out_ref, win, tout, sem, osem):
+    def kernel(ids_ref, dat_ref, out_ref, *rest):
+        rest = list(rest)
+        win = rest.pop(0)
+        tout = rest.pop(0)
+        rings = rest[:F - 1]
+        sem, osem = rest[F - 1:]
         wc = pl.program_id(0)
         jt = pl.program_id(1)
         t = pl.program_id(2)
 
         @pl.when(t == 0)
         def _():
-            for w in range(min(W, KC + 2)):
+            for w in range(min(W, KC + 2 * F)):
                 for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
                                       w, w % W):
                     cp.start()
 
-        @pl.when(jnp.logical_and(t > 0, t + 2 + D <= KC + 1))
+        @pl.when(jnp.logical_and(t > 0, t + 2 * F + D <= KC + 2 * F - 1))
         def _():
             for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
-                                  t + 2 + D, (t + 2 + D) % W):
+                                  t + 2 * F + D, (t + 2 * F + D) % W):
                 cp.start()
 
         @pl.when(t == 0)
         def _():
-            for w in range(2):
+            for w in range(min(2 * F, KC + 2 * F - 1)):
                 for cp in _row_copies(ids_ref, dat_ref, win, sem,
                                       wc, jt, w, w % W):
                     cp.wait()
         for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
-                              t + 2, (t + 2) % W):
+                              t + 2 * F, (t + 2 * F) % W):
             cp.wait()
 
-        pieces = []
-        if lo[1]:
-            pieces.append(win[t % W, :, BK - lo[1]:, :, :])
-        pieces.append(win[(t + 1) % W])
-        if hi[1]:
-            pieces.append(win[(t + 2) % W, :, :hi[1], :, :])
-        kslab = (jnp.concatenate(pieces, axis=1)
-                 if len(pieces) > 1 else pieces[0])
-        if compute_dtype != dtype:
-            kslab = kslab.astype(compute_dtype)
+        def win_row(a):
+            """Absolute grid k-row -> window slot (content edge-clamped
+            by _row_copies)."""
+            v = win[(a + F - K0) % W]
+            return (v.astype(compute_dtype)
+                    if compute_dtype != dtype else v)
 
-        out_row = _compute(kslab)
+        def lvl_row(f, x):
+            xx = jnp.clip(x, lvlA[f], lvlB[f] - 1)
+            return rings[f - 1][xx % lvlS[f]]
+
+        def compute_level(f, x):
+            """Level-f row x from level f-1 (f == 1 reads the window);
+            returns [wout[f], BK, TJ*BJ + jext, BIROW]."""
+            src = win_row if f == 1 else (lambda a: lvl_row(f - 1, a))
+            pieces = []
+            if lo[1]:
+                pieces.append(src(x - 1)[:, BK - lo[1]:])
+            pieces.append(src(x))
+            if hi[1]:
+                pieces.append(src(x + 1)[:, :hi[1]])
+            kslab = (jnp.concatenate(pieces, axis=1)
+                     if len(pieces) > 1 else pieces[0])
+            jout = TJ * BJ + extj_lo[f] + extj_hi[f]
+            j0 = (BJ - extj_lo[f]) if f == 1 else lo[2]
+            return _rcs[wout[f]](kslab, j0, jout, lo[1], BK)
+
+        # warmup: prime each level's ring backlog
+        @pl.when(t == 0)
+        def _():
+            for f in range(1, F):
+                for x in range(lvlA[f], K0 + (F - f)):
+                    rings[f - 1][x % lvlS[f]] = compute_level(f, x)
+
+        # cadence: one row per intermediate level per step
+        for f in range(1, F):
+            x = K0 + t + (F - f)
+
+            @pl.when(x < lvlB[f])
+            def _(f=f, x=x):
+                rings[f - 1][x % lvlS[f]] = compute_level(f, x)
+
+        out_row = compute_level(F, K0 + t)
         if compute_dtype != dtype:
             out_row = out_row.astype(dtype)
 
@@ -258,10 +334,15 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
 
     nelems = WC * BW * KC * BK * JC * BJ * BIROW
     cost = pl.CostEstimate(
-        flops=ir.flops_per_element() * nelems,
+        flops=ir.flops_per_element() * nelems * F,
         bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
         transcendentals=0,
     )
+    ring_shapes = [
+        pltpu.VMEM((lvlS[f], wout[f], BK,
+                    TJ * BJ + extj_lo[f] + extj_hi[f], BIROW),
+                   compute_dtype)
+        for f in range(1, F)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(WC, JT, KC),
@@ -270,6 +351,7 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
         scratch_shapes=[
             pltpu.VMEM((W,) + row_shape, dtype),
             pltpu.VMEM((2, BW, BK, TJ * BJ, BIROW), dtype),
+        ] + ring_shapes + [
             pltpu.SemaphoreType.DMA((W,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -171,9 +171,8 @@ def run(dims=(64, 64, 64), bdim=(8, 8, 128), stencil="mpi7pt",
         if fuse > 1:
             # temporal fusion: fuse iterations per HBM pass; a step is
             # st_iter/fuse fused sweeps (all ghost-inclusive except the
-            # last, whose OUTPUT gets skip semantics)
-            if nd != 3:
-                raise ValueError("fuse>1 is 3-D only")
+            # last, whose OUTPUT gets skip semantics); 3-D and 4-D
+            # emitters both carry the fused rings
             if st_iter % fuse:
                 raise ValueError("st_iter must be a multiple of fuse")
             if overlap:

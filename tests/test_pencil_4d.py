@@ -38,6 +38,27 @@ def test_pencil_4d_matches_dense_periodic():
     assert compare_arrays(got, want, 1e-5)
 
 
+@pytest.mark.parametrize("F", [2])
+def test_pencil_4d_fused_matches_composed(F):
+    """fuse=F on the periodic table equals F dense iterations (the 3-D
+    fused-ring semantics carried to 4-D: w rides the ring rows as
+    per-level extension elements)."""
+    grid, info = init_grid(G)
+    WI, KI, JI = (g - 2 for g in G[:3])
+    core = random_array((WI * BD[0], KI * BD[1], JI * BD[2], BD[3]),
+                        np.float32, 23)
+    ext = np.pad(core, ((BD[0], BD[0]), (BD[1], BD[1]), (BD[2], BD[2]),
+                        (0, 0)), mode="wrap")
+    view = jnp.asarray(to_bricks(ext, grid, BD).reshape((-1,) + BD))
+    sd = stencil_by_name("mpi9pt")[0]
+    fn = pallas_pencil_sweep_4d(sd, grid, BD, info.nbricks,
+                                DEFAULT_PARAMS, interpret=True, fuse=F)
+    out = np.asarray(fn(view))
+    want = _dense_steps_4d(sd, core, F, DEFAULT_PARAMS)
+    got = from_bricks(out, grid[1:-1, 1:-1, 1:-1], BD)
+    assert compare_arrays(got, want, 1e-4)
+
+
 def test_weak_driver_4d_pencil_distributed():
     """4-D pencil on a (2,1,1,1) mesh with deep-ghost ST_ITER=2,
     validated against the array twin inside the driver."""
@@ -46,6 +67,16 @@ def test_weak_driver_4d_pencil_distributed():
     weak.run(dims=(4, 4, 8, 16), bdim=(2, 2, 4, 16), stencil="mpi9pt",
              st_iter=2, mesh_shape=(2, 1, 1, 1), iters=1, validate=True,
              backend="pencil")
+
+
+def test_weak_driver_4d_fused_deep_ghost():
+    """4-D st_iter=4 as two fused F=2 sweeps on a (2,1,1,1) mesh,
+    validated against the array twin inside the driver."""
+    from bricklib_tpu.drivers import weak
+
+    weak.run(dims=(8, 8, 8, 16), bdim=(4, 4, 4, 16), stencil="mpi9pt",
+             st_iter=4, mesh_shape=(2, 1, 1, 1), iters=1, validate=True,
+             backend="pencil", fuse=2)
 
 
 def _dense_steps_4d(sd, g, n, params):
@@ -83,4 +114,19 @@ def test_problem_4d_pencil_distributed_deep_ghost():
                 mesh=(2, 1, 1, 1), st_iter=2)
     p.init(array=g).step(1)
     want = _dense_steps_4d(stencil_by_name("mpi9pt")[0], g, 2, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
+
+
+def test_problem_4d_auto_fused():
+    """4-D auto-fuse: mpi9pt (16 passes, DMA-bound) picks F=4 when
+    st_iter and the brick fit; one step equals four dense iterations."""
+    from bricklib_tpu.api import Problem
+
+    g = random_array((8, 8, 8, 32), np.float32, 17)
+    p = Problem(dims=(8, 8, 8, 32), stencil="mpi9pt",
+                bdims=(4, 4, 4, 32), backend="pencil",
+                mesh=(1, 1, 1, 1), st_iter=4)
+    assert p.fuse == 4
+    p.init(array=g).step(1)
+    want = _dense_steps_4d(stencil_by_name("mpi9pt")[0], g, 4, p.params)
     assert compare_arrays(p.result(), want, 1e-4)
