@@ -115,6 +115,10 @@ def main():
     check("pencil 4-D", lambda: jax.jit(pallas_pencil_sweep_4d(
         sd9, grid4, (2, 8, 8, 128), info4.nbricks, DEFAULT_PARAMS))(
             jnp.zeros((info4.nbricks, 2, 8, 8, 128), jnp.float32)))
+    check("pencil 4-D F=2", lambda: jax.jit(pallas_pencil_sweep_4d(
+        sd9, grid4, (2, 8, 8, 128), info4.nbricks, DEFAULT_PARAMS,
+        fuse=2))(
+            jnp.zeros((info4.nbricks, 2, 8, 8, 128), jnp.float32)))
 
     gridb, infob = init_grid((4, 4, 4))
     check("generic brick streaming", lambda: jax.jit(pallas_brick_stencil(
