@@ -244,6 +244,13 @@ class Problem:
             if nd in (3, 4):
                 np_ = (_passes(sdefs[0], self.params)
                        if nfld == 1 and not self.aux_names else None)
+                # 4-D caps at F=2: the w axis is a pallas grid dim, so
+                # each fused level recomputes (F-f)*2r extra w slices
+                # per plane — at BW=4 F=4 that is 2.5x VPU
+                # amplification AND its compile hangs at 512-class
+                # sizes (measured; F=2 is 1.25x/iter recompute and
+                # runs 1.54x faster than unfused, tools/bench_4d.py)
+                top = 4 if nd == 3 else 2
                 if np_ is not None:
                     from .codegen.ir import PASS_FUSE_MAX
 
@@ -253,6 +260,7 @@ class Problem:
                     cands = (4, 2)
                 else:
                     cands = ()
+                cands = tuple(c for c in cands if c <= top)
                 for cand in cands:
                     if (budget_iters % cand == 0 and budget_iters
                             and all(cand * rad <= b

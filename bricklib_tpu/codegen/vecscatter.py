@@ -71,7 +71,10 @@ def describe(name_or_path: str, params: dict | None = None) -> list[dict]:
                     # sweeps are DMA-bound up to ~40 passes/row, and
                     # temporal fusion only pays while DMA-bound
                     "vpu_passes": passes,
-                    "auto_fuse": 4 if passes <= PASS_FUSE_MAX else 1,
+                    # 4-D caps at 2: w grid-dim recompute amplification
+                    # (api.py auto-fuse, tools/bench_4d.py measurement)
+                    "auto_fuse": ((4 if ir.dims == 3 else 2)
+                                  if passes <= PASS_FUSE_MAX else 1),
                 }
         out.append(desc)
     return out

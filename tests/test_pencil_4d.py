@@ -59,6 +59,36 @@ def test_pencil_4d_fused_matches_composed(F):
     assert compare_arrays(got, want, 1e-4)
 
 
+def test_pencil_4d_fused_mixed_radii():
+    """fuse=2 with asymmetric radii (w=1, k=2, j=2, i=1): exercises
+    multi-element k/j halos flowing through the fused ring levels."""
+    from bricklib_tpu.st import FloatLiteral, Grid, Index
+    from bricklib_tpu.st.loader import load_stencil_module
+
+    inp, out = Grid("in", 4), Grid("out", 4)
+    i, j, k, w = Index(0), Index(1), Index(2), Index(3)
+    calc = (FloatLiteral(0.3) * inp(i, j, k, w)
+            + FloatLiteral(0.11) * inp(i + 1, j, k - 2, w)
+            + FloatLiteral(0.07) * inp(i - 1, j + 2, k, w - 1)
+            + FloatLiteral(0.05) * inp(i, j - 1, k + 1, w + 1))
+    out(i, j, k, w).assign(calc)
+    sd = load_stencil_module({"STENCIL": [out]})[0]
+
+    bd = (2, 4, 4, 16)
+    G4 = (4, 4, 4, 1)
+    grid, info = init_grid(G4)
+    core = random_array(tuple((g - 2) * b for g, b in zip(G4[:3], bd[:3]))
+                        + (bd[3],), np.float32, 31)
+    ext = np.pad(core, [(b, b) for b in bd[:3]] + [(0, 0)], mode="wrap")
+    view = jnp.asarray(to_bricks(ext, grid, bd).reshape((-1,) + bd))
+    fn = pallas_pencil_sweep_4d(sd, grid, bd, info.nbricks, {},
+                                interpret=True, fuse=2)
+    out_v = np.asarray(fn(view))
+    want = _dense_steps_4d(sd, core, 2, {})
+    got = from_bricks(out_v, grid[1:-1, 1:-1, 1:-1], bd)
+    assert compare_arrays(got, want, 1e-5)
+
+
 def test_weak_driver_4d_pencil_distributed():
     """4-D pencil on a (2,1,1,1) mesh with deep-ghost ST_ITER=2,
     validated against the array twin inside the driver."""
@@ -118,15 +148,17 @@ def test_problem_4d_pencil_distributed_deep_ghost():
 
 
 def test_problem_4d_auto_fused():
-    """4-D auto-fuse: mpi9pt (16 passes, DMA-bound) picks F=4 when
-    st_iter and the brick fit; one step equals four dense iterations."""
+    """4-D auto-fuse: mpi9pt (16 passes, DMA-bound) caps at F=2 — the
+    w grid-dim recompute amplification makes F=4 unprofitable and its
+    compile hangs at scale (tools/bench_4d.py).  One step still equals
+    four dense iterations (two fused F=2 sweeps)."""
     from bricklib_tpu.api import Problem
 
     g = random_array((8, 8, 8, 32), np.float32, 17)
     p = Problem(dims=(8, 8, 8, 32), stencil="mpi9pt",
                 bdims=(4, 4, 4, 32), backend="pencil",
                 mesh=(1, 1, 1, 1), st_iter=4)
-    assert p.fuse == 4
+    assert p.fuse == 2
     p.init(array=g).step(1)
     want = _dense_steps_4d(stencil_by_name("mpi9pt")[0], g, 4, p.params)
     assert compare_arrays(p.result(), want, 1e-4)
