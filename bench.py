@@ -25,35 +25,14 @@ sweep per exchange, ref: weak/main.cpp:203-212), per-iteration.
 
 import json
 import sys
-import time
-
-
-def _barrier(out):
-    """Scalar-readback execution barrier (block_until_ready is not one
-    on this runtime).  Indexes element (0,...,0) — a ravel/sum here
-    would dispatch a full-array relayout copy inside the timed region."""
-    float(out[(0,) * out.ndim])
-
-
-def chain(fn, x, it):
-    """(avg seconds, last output) for a dependent chain with a scalar
-    readback barrier; donation-safe (never reuses a consumed buffer)."""
-    out = fn(x)
-    _barrier(out)
-    t0 = time.perf_counter()
-    for _ in range(it):
-        out = fn(out)
-    _barrier(out)
-    return (time.perf_counter() - t0) / it, out
 
 
 def main():
-    import numpy as np
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
+    from bricklib_tpu.bench.roofline import chain, make_dma_copy
+    from bricklib_tpu.bench.roofline import rep as _rep
     from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
     from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
     from bricklib_tpu.comm.exchange import exchange_shift
@@ -85,11 +64,7 @@ def main():
     # ~0.25 ms/iter); donating pure-output sweep chains COSTS
     # ~0.24 ms/iter on this runtime
     def rep(f, r=R):
-        def g(d):
-            for _ in range(r):
-                d = f(d)
-            return d
-        return jax.jit(g)
+        return _rep(f, r)
 
     tgrid = dec.periodic_grid((0, 1, 2))
     k7 = rep(pallas_pencil_sweep(
@@ -152,30 +127,11 @@ def main():
     honest_bf16 = jax.jit(honest_step_bf16, donate_argnums=0)
 
     # composition-immune roofline: Pallas DMA copy of the same storage
-    def copy_kernel(dat_ref, out_ref, sem):
-        cps = []
-        for w in range(0, nb, 128):
-            e = min(w + 128, nb)
-            cp = pltpu.make_async_copy(dat_ref.at[w:e], out_ref.at[w:e],
-                                       sem)
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
-
-    def make_dma_copy(dt):
-        return rep(pl.pallas_call(
-            copy_kernel,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((nb,) + BD, dt),
-            scratch_shapes=[pltpu.SemaphoreType.DMA],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 2 ** 20),
-            interpret=not on_tpu))
-
-    dma_copy = make_dma_copy(jnp.float32)
-    dma_copy_bf16 = make_dma_copy(jnp.bfloat16)
+    # (shared machinery: bricklib_tpu.bench.roofline)
+    dma_copy = rep(make_dma_copy(nb, BD, jnp.float32,
+                                 interpret=not on_tpu))
+    dma_copy_bf16 = rep(make_dma_copy(nb, BD, jnp.bfloat16,
+                                      interpret=not on_tpu))
 
     def fresh(seed):
         return jax.random.uniform(jax.random.PRNGKey(seed), (nb,) + BD,

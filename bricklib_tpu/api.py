@@ -306,11 +306,10 @@ class Problem:
                 from .comm.exchange import put_plan, put_send_ids
 
                 fusedx_plan = put_plan(dec, msh, table_axes)
+                # ghost_rings come from the plan itself (PutPlan)
                 fusedx_kern = pallas_pencil_sweep_fusedx(
                     self.sdef, kgrid, bd, dec.nbricks, fusedx_plan,
                     msh, self.params, dtype=jnp.dtype(self.dtype),
-                    ghost_rings=(max(self.ghost[0] // bd[0], 1),
-                                 max(self.ghost[1] // bd[1], 1)),
                     **_rng(0 if self.st_iter > 1 else 1))
                 self._send_ids = lambda: put_send_ids(
                     fusedx_plan, msh, names[0])

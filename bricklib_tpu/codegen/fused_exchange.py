@@ -66,7 +66,7 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
                                compute_dtype=jnp.float32,
                                interpret: bool | None = None,
                                collective_id: int = 2,
-                               ghost_rings: tuple[int, int] = (1, 1),
+                               ghost_rings: tuple[int, int] | None = None,
                                vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build ``fn(dat_view, nbr_ids) -> (out_view, dat_view')``.
 
@@ -80,10 +80,14 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
 
     ``ghost_rings`` = (gzk, gzj): ghost-BRICK rings per exchanged axis
     (``decomp.ghost_depth[a] // bdims[a]`` — the reference's free GZ,
-    brick-mpi.h:304-316).  Deeper rings shift the gate rows: the main
-    k-stream starts above the low ghost block (gzk + F), the khi gate
-    fires at the first prefetch of the LOWEST high-ghost row, and the
-    j gate covers every tile whose window reads a ghost pencil.
+    brick-mpi.h:304-316).  Defaults to the counts the plan carries
+    (:class:`...comm.exchange.PutPlan`); passing a value that
+    contradicts the plan raises — a wrong ring count silently shifts
+    the recv gates and races the remote copies.  Deeper rings shift
+    the gate rows: the main k-stream starts above the low ghost block
+    (gzk + F), the khi gate fires at the first prefetch of the LOWEST
+    high-ghost row, and the j gate covers every tile whose window
+    reads a ghost pencil.
     """
     ir = _as_ir(stencil)
     params = dict(params or {})
@@ -117,6 +121,15 @@ def pallas_pencil_sweep_fusedx(stencil, grid: np.ndarray,
         raise ValueError("stencil radius exceeds brick dims")
     F = 1
 
+    plan_rings = getattr(plan, "ghost_rings", None)
+    if ghost_rings is None:
+        ghost_rings = plan_rings if plan_rings is not None else (1, 1)
+    elif (plan_rings is not None
+            and tuple(int(g) for g in ghost_rings) != tuple(plan_rings)):
+        raise ValueError(
+            f"ghost_rings {tuple(ghost_rings)} contradicts the plan's "
+            f"decomp ({tuple(plan_rings)}) — recv gates would race the "
+            f"remote ghost copies")
     gzk, gzj = (int(g) for g in ghost_rings)
     if gzk < 1 or gzj < 1:
         raise ValueError("ghost_rings counts ghost-brick rings (>= 1)")

@@ -117,7 +117,11 @@ def build_row_compute(ir, resolve, lin, roll_i, *, islice=False,
             # (one sublane realign per unaligned offset); "roll" builds
             # W on an 8-ALIGNED base and rotates the sublane axis with
             # pltpu.roll, making the post-roll extract slice-aligned.
-            use_roll = (roll_j is not None
+            # roll mode is only sound while the 8-aligned W base covers
+            # the full low j-halo (the slab spans offsets [-8, jout +
+            # jhi_r)); a j-radius > 8 would need data the base never
+            # holds — fall back to the slice realization
+            use_roll = (roll_j is not None and jlo_r <= 8
                         and all(jf >= 8 for jf in j0s))
             AL = 8 if use_roll else jlo_r
             JE = jout + AL + jhi_r

@@ -71,11 +71,20 @@ def describe(name_or_path: str, params: dict | None = None) -> list[dict]:
                     # sweeps are DMA-bound up to ~40 passes/row, and
                     # temporal fusion only pays while DMA-bound
                     "vpu_passes": passes,
-                    # 4-D caps at 2: w grid-dim recompute amplification
-                    # (api.py auto-fuse, tools/bench_4d.py measurement)
-                    "auto_fuse": ((4 if ir.dims == 3 else 2)
-                                  if passes <= PASS_FUSE_MAX else 1),
                 }
+                # mirror Problem's ACTUAL auto-fuse policy (api.py):
+                # single-input linear stencils gate on the pass
+                # estimate; multi-input gates on taps <= 7 (3-D only —
+                # an input may be bound as a static aux field); 4-D
+                # caps at F=2 (w grid-dim recompute amplification,
+                # tools/bench_4d.py); other dims never fuse
+                if ir.dims in (3, 4):
+                    top = 4 if ir.dims == 3 else 2
+                    if len(sd.inputs) == 1:
+                        fits = passes <= PASS_FUSE_MAX
+                    else:
+                        fits = ir.dims == 3 and len(sd.taps) <= 7
+                    desc["fold"]["auto_fuse"] = top if fits else 1
         out.append(desc)
     return out
 

@@ -326,30 +326,17 @@ def exchange_shift_remote(dat, decomp: BrickDecomp,
             "with comm.mesh.make_flat_mesh and pass its one axis name")
 
     # --- logical ids of the devices each (stage, sign) SENDS to --------
-    # (receiver r takes from r+sign, so sender q targets q-sign;
-    # cf. _shift_perm).  Computed at trace time inside shard_map.
-    strides = np.ones(len(mesh_shape), dtype=np.int64)
-    for a in range(len(mesh_shape) - 2, -1, -1):
-        strides[a] = strides[a + 1] * mesh_shape[a + 1]
-    if len(axis_names) == 1 and len(mesh_shape) > 1:
-        lin = lax.axis_index(axis_names[0])
-        coords = [lax.rem(lin // int(strides[a]), mesh_shape[a])
-                  for a in range(len(mesh_shape))]
-    else:
-        coords = [lax.axis_index(axis_names[a])
-                  for a in range(len(mesh_shape))]
-        lin = sum(coords[a] * int(strides[a])
-                  for a in range(len(mesh_shape)))
+    # computed at trace time inside shard_map (mesh_self_coords)
+    lin, coords, strides = mesh_self_coords(mesh_shape, axis_names)
     send_ids = []
     id_of = {}
     for ax, by_sign in plan:
         if mesh_shape[ax] <= 1:
             continue
         for sign in by_sign:
-            tgt = lax.rem(coords[ax] - sign + mesh_shape[ax],
-                          mesh_shape[ax])
             id_of[(ax, sign)] = len(send_ids)
-            send_ids.append(lin + (tgt - coords[ax]) * int(strides[ax]))
+            send_ids.append(shift_send_id(lin, coords, strides,
+                                          mesh_shape, ax, sign))
     ids = jnp.stack([i.astype(jnp.int32) for i in send_ids])
 
     def kernel(ids_ref, dat_ref, out_ref, ssem, rsem, lsem):
@@ -409,6 +396,43 @@ def exchange_shift_remote(dat, decomp: BrickDecomp,
     return out.reshape(shape)
 
 
+def mesh_self_coords(mesh_shape: tuple[int, ...],
+                     axis_names: tuple[str, ...]):
+    """Trace-time ``(lin, coords, strides)`` of the calling device over
+    the mesh's row-major ravel order (call inside ``shard_map``).
+    ``axis_names`` is either one flat axis (LOGICAL linear ids) or one
+    name per mesh axis.  Shared by every remote-DMA exchange — the
+    ravel-order convention must stay identical across them."""
+    nd = len(mesh_shape)
+    strides = np.ones(nd, dtype=np.int64)
+    for a in range(nd - 2, -1, -1):
+        strides[a] = strides[a + 1] * mesh_shape[a + 1]
+    if len(axis_names) == 1 and nd > 1:
+        lin = lax.axis_index(axis_names[0])
+        coords = [lax.rem(lin // int(strides[a]), mesh_shape[a])
+                  for a in range(nd)]
+    else:
+        coords = [lax.axis_index(axis_names[a]) for a in range(nd)]
+        lin = sum(coords[a] * int(strides[a]) for a in range(nd))
+    return lin, coords, strides
+
+
+def shift_send_id(lin, coords, strides, mesh_shape, ax: int, sign: int):
+    """Logical id of the device a ``sign``-shift along mesh axis ``ax``
+    SENDS to (receiver r takes from r+sign, so sender q targets q-sign;
+    cf. ``_shift_perm``), periodic."""
+    tgt = lax.rem(coords[ax] - sign + mesh_shape[ax], mesh_shape[ax])
+    return lin + (tgt - coords[ax]) * int(strides[ax])
+
+
+class PutPlan(list):
+    """:func:`put_plan`'s entry list, carrying the decomp's ghost-brick
+    ring counts (``ghost_rings``) so the fused sweep can derive its
+    recv-gate geometry instead of trusting a caller-supplied value."""
+
+    ghost_rings: tuple[int, ...] = (1, 1)
+
+
 def put_plan(decomp: BrickDecomp, mesh_shape: tuple[int, ...],
              table_axes: tuple[int, ...] = ()):
     """Static PUT-exchange plan for the kernel-fused sweep: one entry
@@ -444,6 +468,8 @@ def put_plan(decomp: BrickDecomp, mesh_shape: tuple[int, ...],
             group = "j"
         plan.append((delta, gr.pos, gr.pos + gr.len,
                      sr.pos, sr.pos + sr.len, remote, group))
+    plan = PutPlan(plan)
+    plan.ghost_rings = tuple(max(g, 1) for g in decomp.gz[:2])
     return plan
 
 
@@ -459,10 +485,7 @@ def put_send_ids(plan, mesh_shape: tuple[int, ...], axis_name: str):
     if not remote:
         return None
     nd = len(mesh_shape)
-    strides = [int(np.prod(mesh_shape[a + 1:])) for a in range(nd)]
-    lin = lax.axis_index(axis_name)
-    coords = [lax.rem(lin // strides[a], mesh_shape[a])
-              for a in range(nd)]
+    lin, coords, strides = mesh_self_coords(mesh_shape, (axis_name,))
     ids = []
     for delta, *_ in remote:
         tgt = lin
@@ -470,7 +493,7 @@ def put_send_ids(plan, mesh_shape: tuple[int, ...], axis_name: str):
             if delta[a]:
                 ta = lax.rem(coords[a] - delta[a] + mesh_shape[a],
                              mesh_shape[a])
-                tgt = tgt + (ta - coords[a]) * strides[a]
+                tgt = tgt + (ta - coords[a]) * int(strides[a])
         ids.append(tgt)
     return jnp.stack([i.astype(jnp.int32) for i in ids])
 

@@ -278,30 +278,20 @@ def exchange_strong_remote(batch, plan: StrongDecomp,
             "device axis (make_flat_mesh) — see exchange_shift_remote")
 
     # --- send-target logical ids per remote (ax, sign) -----------------
-    strides = np.ones(len(mesh_shape), dtype=np.int64)
-    for a in range(len(mesh_shape) - 2, -1, -1):
-        strides[a] = strides[a + 1] * mesh_shape[a + 1]
-    if len(axis_names) == 1 and len(mesh_shape) > 1:
-        lin = lax.axis_index(axis_names[0])
-        coords = [lax.rem(lin // int(strides[a]), mesh_shape[a])
-                  for a in range(len(mesh_shape))]
-    else:
-        coords = [lax.axis_index(axis_names[a])
-                  for a in range(len(mesh_shape))]
-        lin = sum(coords[a] * int(strides[a])
-                  for a in range(len(mesh_shape)))
-    import jax.numpy as _jnp
+    # shared ravel-order derivation (exchange.mesh_self_coords)
+    from .exchange import mesh_self_coords, shift_send_id
+
+    lin, coords, strides = mesh_self_coords(mesh_shape, axis_names)
     send_ids = []
     id_of = {}
     for ax, per_sign in kstages:
         for sign, _l, rp in per_sign:
             if not rp:
                 continue
-            tgt = lax.rem(coords[ax] - sign + mesh_shape[ax],
-                          mesh_shape[ax])
             id_of[(ax, sign)] = len(send_ids)
-            send_ids.append(lin + (tgt - coords[ax]) * int(strides[ax]))
-    ids = _jnp.stack([i.astype(_jnp.int32) for i in send_ids])
+            send_ids.append(shift_send_id(lin, coords, strides,
+                                          mesh_shape, ax, sign))
+    ids = jnp.stack([i.astype(jnp.int32) for i in send_ids])
 
     def kernel(ids_ref, dat_ref, out_ref, ssem, rsem, lsem):
         if not interpret:

@@ -36,20 +36,13 @@ import sys
 import time
 
 
-def _barrier(out):
-    float(out[(0,) * out.ndim])
-
-
-def build_items(stencil, N, BD, fuse_list, jnp, pallas_pencil_sweep,
-                dec, params):
+def build_items(stencil, BD, fuse_list, dec, params):
     """(name -> (callable, iters_per_call)) for one in-jit chain of R
     applications; fused variants that don't fit the brick are skipped
     with a notice."""
-    import jax
-
-    from bricklib_tpu.codegen.ir import (StencilIR, fold_linear,
-                                         vpu_pass_estimate)
-    from bricklib_tpu.codegen.evaluate import resolve_const_from_params
+    from bricklib_tpu.api import _passes
+    from bricklib_tpu.bench.roofline import rep
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
     from bricklib_tpu.stencils import stencil_by_name
 
     R = 8
@@ -59,29 +52,19 @@ def build_items(stencil, N, BD, fuse_list, jnp, pallas_pencil_sweep,
     tgrid = dec.periodic_grid((0, 1, 2))
     nb = dec.nbricks
 
-    def rep(f):
-        def g(d):
-            for _ in range(R):
-                d = f(d)
-            return d
-        return jax.jit(g)
-
     items = {}
     items["la1"] = (rep(pallas_pencil_sweep(sd, tgrid, BD, nb,
-                                            params)), R)
+                                            params), R), R)
     items["la2"] = (rep(pallas_pencil_sweep(sd, tgrid, BD, nb, params,
-                                            lookahead=2)), R)
+                                            lookahead=2), R), R)
     for F in fuse_list:
         if F * rad > min(BD[0], BD[1]):
             print(f"# fuse={F}: {F}x radius {rad} exceeds brick "
                   f"{BD[:2]} — skipped", file=sys.stderr)
             continue
         items[f"f{F}"] = (rep(pallas_pencil_sweep(
-            sd, tgrid, BD, nb, params, fuse=F)), F * R)
-    lin = fold_linear(StencilIR.from_def(sd),
-                      resolve_const_from_params(params))
-    passes = None if lin is None else vpu_pass_estimate(lin)
-    return items, R, passes
+            sd, tgrid, BD, nb, params, fuse=F), R), F * R)
+    return items, R, _passes(sd, params)
 
 
 def main(argv=None):
@@ -101,12 +84,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import numpy as np
-    import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
+    from bricklib_tpu.bench.roofline import barrier, make_dma_copy, rep
     from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
     from bricklib_tpu.stencils import bench_params
 
@@ -119,33 +99,10 @@ def main(argv=None):
                       bdims=BD).initialize(skinlist_by_name("good", 3))
     nb = dec.nbricks
 
-    items, R, passes = build_items(args.stencil, N, BD, fuse_list, jnp,
-                                   pallas_pencil_sweep, dec, params)
+    items, R, passes = build_items(args.stencil, BD, fuse_list, dec,
+                                   params)
 
-    def copy_kernel(dat_ref, out_ref, sem):
-        cps = []
-        for w in range(0, nb, 128):
-            e = min(w + 128, nb)
-            cp = pltpu.make_async_copy(dat_ref.at[w:e],
-                                       out_ref.at[w:e], sem)
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
-
-    cp1 = pl.pallas_call(
-        copy_kernel,
-        out_shape=jax.ShapeDtypeStruct((nb,) + BD, jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA])
-
-    def crep(d):
-        for _ in range(R):
-            d = cp1(d)
-        return d
-
-    crep = jax.jit(crep)
+    crep = rep(make_dma_copy(nb, BD, jnp.float32), R)
     copy_bytes = 2 * nb * int(np.prod(BD)) * 4
 
     def quiet(copy_s):
@@ -156,10 +113,10 @@ def main(argv=None):
 
     def timed(f):
         out = f(dat)
-        _barrier(out)
+        barrier(out)
         t0 = time.perf_counter()
         out = f(dat)
-        _barrier(out)
+        barrier(out)
         return (time.perf_counter() - t0) / R
 
     best = {k: (float("inf"), False) for k in items}

@@ -18,21 +18,6 @@ Ref: weak/main-4d.cpp:36-53 (the reference's 4-D 9pt weak benchmark).
 import argparse
 import json
 import sys
-import time
-
-
-def _barrier(out):
-    float(out[(0,) * out.ndim])
-
-
-def chain(fn, x, it):
-    out = fn(x)
-    _barrier(out)
-    t0 = time.perf_counter()
-    for _ in range(it):
-        out = fn(out)
-    _barrier(out)
-    return (time.perf_counter() - t0) / it, out
 
 
 def main():
@@ -44,9 +29,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
+    from bricklib_tpu.bench.roofline import chain, make_dma_copy
+    from bricklib_tpu.bench.roofline import rep as _rep
     from bricklib_tpu.codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
     from bricklib_tpu.core import init_grid
     from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
@@ -70,11 +55,7 @@ def main():
     interior *= BD[-1]
 
     def rep(f, r=R):
-        def g(d):
-            for _ in range(r):
-                d = f(d)
-            return d
-        return jax.jit(g)
+        return _rep(f, r)
 
     kw = dict(interpret=not on_tpu)
     # 9pt_f4 is opt-in (--only): at 512-class sizes its Mosaic compile
@@ -94,26 +75,8 @@ def main():
         k4 = rep(pallas_pencil_sweep_4d(sd, grid, BD, nb, DEFAULT_PARAMS,
                                         fuse=4, **kw))
 
-    def copy_kernel(dat_ref, out_ref, sem):
-        cps = []
-        for w in range(0, nb, 128):
-            e = min(w + 128, nb)
-            cp = pltpu.make_async_copy(dat_ref.at[w:e], out_ref.at[w:e],
-                                       sem)
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
-
-    dma_copy = rep(pl.pallas_call(
-        copy_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nb,) + BD, jnp.float32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2 ** 20),
-        interpret=not on_tpu))
+    dma_copy = rep(make_dma_copy(nb, BD, jnp.float32,
+                                 interpret=not on_tpu))
 
     # per nominal stencil iteration: R for unfused/copy, R*F for fused
     items = {}
