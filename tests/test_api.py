@@ -131,3 +131,30 @@ def test_problem_13pt_auto_fused_matches_dense():
     p.init(array=g).step(1)
     want = _dense_steps(g, "mpi13pt", 4, p.params)
     assert compare_arrays(p.result(), want, 1e-4)
+
+
+def test_problem_bf16_pencil_singledevice():
+    """dtype=bfloat16 threads into the pencil kernels (storage bf16,
+    f32 accumulation) — loose tolerance, bf16 has ~2-3 digits."""
+    g = random_array((8, 8, 32), np.float32, 41)
+    p = Problem(dims=(8, 8, 32), stencil="mpi7pt", bdims=(4, 4, 32),
+                mesh=(1, 1, 1), backend="pencil", dtype=np.dtype("bfloat16"))
+    p.init(array=g).step(1)
+    want = _dense_steps(g.astype("bfloat16").astype(np.float32),
+                        "mpi7pt", 1, p.params)
+    got = np.asarray(p.result(), dtype=np.float32)
+    assert np.abs(got - want).max() < 3e-2
+
+
+def test_problem_bf16_distributed_exchange():
+    """bf16 storage through the distributed step: SHIFT exchange +
+    deep-ghost pencil sweeps on a (2,1,1) mesh."""
+    g = random_array((16, 8, 32), np.float32, 43)
+    p = Problem(dims=(8, 8, 32), stencil="mpi7pt", bdims=(4, 4, 32),
+                mesh=(2, 1, 1), backend="pencil", st_iter=2,
+                dtype=np.dtype("bfloat16"))
+    p.init(array=g).step(1)
+    want = _dense_steps(g.astype("bfloat16").astype(np.float32),
+                        "mpi7pt", 2, p.params)
+    got = np.asarray(p.result(), dtype=np.float32)
+    assert np.abs(got - want).max() < 6e-2
