@@ -345,6 +345,17 @@ class Problem:
                         states = [_call(k, s_, vs)
                                   for k, s_ in zip(ks, sdefs)]
                 return states[0] if nfld == 1 else tuple(states)
+
+            self._exec_plan = {
+                "backend": "pencil",
+                "fuse": fuse,
+                "exchange": ("fused" if fusedx_kern is not None
+                             else exchange if distributed else "table"),
+                "table_axes": list(table_axes),
+                "kernels": [{"tile_j": k.tile_j,
+                             "vmem_bytes": k.vmem_bytes}
+                            for k in kerns],
+            }
         else:
             from .codegen import brick_apply
 
@@ -389,6 +400,9 @@ class Problem:
                     return views[0].reshape(shp)
                 return tuple(v.reshape(shp) for v in views)
 
+            self._exec_plan = {"backend": "jnp", "fuse": 1,
+                               "exchange": "shift", "kernels": []}
+
         # donate only when the step moves ghost data in place; donating
         # to a pure-output kernel costs an extra copy on this runtime
         moves = not (backend == "pencil"
@@ -404,6 +418,19 @@ class Problem:
             self._step = jax.jit(one, **don)
         self._dats = None
         self._aux = ()
+
+    # ------------------------------------------------------------------
+    def describe(self) -> dict:
+        """The chosen execution plan (the runtime analog of the
+        vecscatter CLI's factorization report): backend, temporal-fuse
+        factor, exchange form, and per-kernel j-tile / VMEM budget."""
+        return {
+            "dims": list(self.dims), "bdims": list(self.bdims),
+            "mesh": list(self.mesh_shape), "st_iter": self.st_iter,
+            "dtype": np.dtype(self.dtype).name,
+            "fields": list(self.fields), "aux": list(self.aux_names),
+            **self._exec_plan,
+        }
 
     # ------------------------------------------------------------------
     def _stack_global(self, array) -> np.ndarray:

@@ -158,3 +158,17 @@ def test_problem_bf16_distributed_exchange():
                         "mpi7pt", 2, p.params)
     got = np.asarray(p.result(), dtype=np.float32)
     assert np.abs(got - want).max() < 6e-2
+
+
+def test_problem_describe_reports_plan():
+    """describe() mirrors the chosen execution plan (runtime analog of
+    the vecscatter report)."""
+    p = Problem(dims=(16, 16, 32), stencil="mpi13pt", st_iter=4,
+                bdims=(8, 8, 32), mesh=(1, 1, 1), backend="pencil")
+    d = p.describe()
+    assert d["backend"] == "pencil" and d["fuse"] == 4
+    assert d["exchange"] == "table" and d["table_axes"] == [0, 1, 2]
+    assert d["kernels"] and all(
+        k["tile_j"] >= 1 and k["vmem_bytes"] > 0 for k in d["kernels"])
+    q = Problem(dims=(8, 8, 16), bdims=(4, 4, 8), backend="jnp")
+    assert q.describe()["backend"] == "jnp"
