@@ -433,6 +433,34 @@ class Problem:
         }
 
     # ------------------------------------------------------------------
+    def export_step(self, path: "str | None" = None) -> bytes:
+        """AOT-serialize the jitted distributed step (``jax.export``):
+        the export captures the mesh, shardings, collectives and Pallas
+        kernels, so a serving process can run steps without tracing or
+        this package — ``jax.export.deserialize(blob).call(*state)``
+        on a matching device topology.  Platform-bound (Pallas payloads
+        are Mosaic artifacts: export on the platform that serves).
+        Requires ``init()`` (the live state supplies the arg specs).
+        Returns the serialized bytes; also written to ``path`` if
+        given.  Beyond the reference (its VSTARGET AOT story is
+        compile-time codegen, cmake/VecScatter.cmake)."""
+        if self._dats is None:
+            raise RuntimeError("init() the problem first — export "
+                               "takes arg specs from the live state")
+        import jax
+        import jax.export as jex
+
+        args = list(self._dats) + list(self._aux)
+        specs = [jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                      sharding=a.sharding)
+                 for a in args]
+        blob = jex.export(self._step)(*specs).serialize()
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(blob)
+        return blob
+
+    # ------------------------------------------------------------------
     def _stack_global(self, array) -> np.ndarray:
         """Global periodic array -> stacked per-device brick storage
         (ghost filled by wrap, kernel-native shape end-to-end — no

@@ -172,3 +172,27 @@ def test_problem_describe_reports_plan():
         k["tile_j"] >= 1 and k["vmem_bytes"] > 0 for k in d["kernels"])
     q = Problem(dims=(8, 8, 16), bdims=(4, 4, 8), backend="jnp")
     assert q.describe()["backend"] == "jnp"
+
+
+def test_problem_export_step_roundtrip(tmp_path):
+    """jax.export round-trip of the full distributed step: the
+    deserialized artifact steps identically to the live one (mesh,
+    shardings and ppermute collectives all inside the export)."""
+    import jax.export as jex
+
+    g = random_array((16, 16, 32), np.float32, 47)
+    p = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                bdims=(4, 4, 8), backend="jnp")
+    p.init(array=g)
+    blob = p.export_step(tmp_path / "step.bin")
+    assert (tmp_path / "step.bin").read_bytes() == blob
+    out = np.asarray(jex.deserialize(blob).call(p._dats[0]))
+    p.step(1)
+    np.testing.assert_allclose(out, np.asarray(p._dats[0]),
+                               rtol=0, atol=0)
+
+
+def test_problem_export_requires_init():
+    p = Problem(dims=(8, 8, 16), bdims=(4, 4, 8), backend="jnp")
+    with pytest.raises(RuntimeError):
+        p.export_step()
