@@ -25,8 +25,13 @@ import time
 
 
 def barrier(out):
-    """Scalar-readback execution barrier."""
-    float(out[(0,) * out.ndim])
+    """Scalar-readback execution barrier (pytree-aware: reads one
+    element of the first leaf — with dependent chains that is enough,
+    every earlier step is ordered before it)."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf[(0,) * leaf.ndim])
 
 
 def chain(fn, x, it):
