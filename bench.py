@@ -24,11 +24,63 @@ sweep per exchange, ref: weak/main.cpp:203-212), per-iteration.
 """
 
 import json
+import os
 import sys
+
+
+def _supervise() -> int:
+    """Run the real bench in a BOUNDED child; rerun on CPU if it dies.
+
+    The axon tunnel flaps: backend init can hang forever, and a
+    successful subprocess probe does not protect the very next claim
+    (both observed 2026-08-17).  So the only robust shape is a
+    watchdog AROUND the whole measurement: one child does the real
+    TPU run with a hard deadline; if it times out or fails, a second
+    child repins to CPU.  Either way the driver gets its one JSON
+    line (a labeled CPU number is honest; a hung zero-output round is
+    not)."""
+    from bricklib_tpu.bench.roofline import run_bounded
+
+    env = dict(os.environ, BRICK_BENCH_INNER="1")
+    budget = int(os.environ.get("BRICK_BENCH_TPU_TIMEOUT_S", "1500"))
+    rc, out, err = run_bounded([sys.executable, os.path.abspath(__file__)],
+                               budget, env=env)
+    if rc == 0 and out.strip():
+        sys.stdout.write(out)
+        return 0
+    note = f"timeout>{budget}s" if rc is None else f"rc={rc}"
+    print(f"WARNING: TPU bench attempt failed ({note}); "
+          f"rerunning on CPU", file=sys.stderr)
+    sys.stderr.write(err[-2000:])
+    env["BRICK_BENCH_FORCE_CPU"] = "1"
+    budget = int(os.environ.get("BRICK_BENCH_CPU_TIMEOUT_S", "2400"))
+    rc, out, err = run_bounded([sys.executable, os.path.abspath(__file__)],
+                               budget, env=env)
+    if rc == 0 and out.strip():
+        sys.stdout.write(out)
+        return 0
+    sys.stderr.write(err[-2000:])
+    print(json.dumps({
+        "metric": "7pt_512cubed_brick_stencil", "value": 0.0,
+        "unit": "GStencil/s", "vs_baseline": 0.0,
+        "details": {"error": f"tpu attempt {note}; cpu rerun "
+                             f"{'timeout' if rc is None else rc}"}}))
+    return 1
 
 
 def main():
     import jax
+
+    if os.environ.get("BRICK_BENCH_INNER") != "1":
+        from bricklib_tpu.bench.roofline import preferred_platform
+
+        if preferred_platform() != "cpu":
+            return _supervise()
+        # already pinned to CPU (tests / manual runs): measure inline
+    elif os.environ.get("BRICK_BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    tpu_fallback = os.environ.get("BRICK_BENCH_FORCE_CPU") == "1"
+
     import jax.numpy as jnp
 
     from bricklib_tpu.bench.roofline import chain, make_dma_copy
@@ -75,9 +127,12 @@ def main():
     k125 = rep(pallas_pencil_sweep(
         stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params,
         lookahead=2))
-    k7bf = rep(pallas_pencil_sweep(
-        stencil_by_name("s7pt")[0], tgrid, BD, nb, params,
-        dtype=jnp.bfloat16, compute_dtype=jnp.float32))
+    # bf16 items are TPU-only: on the CPU fallback they triple the
+    # interpret-mode compile count for numbers nobody reads
+    if on_tpu:
+        k7bf = rep(pallas_pencil_sweep(
+            stencil_by_name("s7pt")[0], tgrid, BD, nb, params,
+            dtype=jnp.bfloat16, compute_dtype=jnp.float32))
 
     # honest distributed config — THE HEADLINE: real ghost bricks +
     # SHIFT exchange + deep-ghost ST_ITER=8 run as two temporally-FUSED
@@ -109,29 +164,30 @@ def main():
 
     # the same honest distributed config on bfloat16 storage: HBM
     # traffic halves, so it is judged against a bf16 DMA-copy roofline
-    bkw = dict(dtype=jnp.bfloat16, compute_dtype=jnp.float32)
-    gb_skip = pallas_pencil_sweep(
-        stencil_by_name("s7pt")[0], dec.grid, BD, nb, params, fuse=FUSE,
-        **bkw)
-    gb_ghost = pallas_pencil_sweep(
-        stencil_by_name("s7pt")[0], dec.grid, BD, nb, params,
-        k_range=(0, GK), j_range=(0, GJ), fuse=FUSE, **bkw)
+    if on_tpu:
+        bkw = dict(dtype=jnp.bfloat16, compute_dtype=jnp.float32)
+        gb_skip = pallas_pencil_sweep(
+            stencil_by_name("s7pt")[0], dec.grid, BD, nb, params,
+            fuse=FUSE, **bkw)
+        gb_ghost = pallas_pencil_sweep(
+            stencil_by_name("s7pt")[0], dec.grid, BD, nb, params,
+            k_range=(0, GK), j_range=(0, GJ), fuse=FUSE, **bkw)
 
-    def honest_step_bf16(d):
-        d = exchange_shift(d, dec, ("x", "y", "z"), (1, 1, 1),
-                           table_axes=(2,))
-        for _ in range(ST_ITER // FUSE - 1):
-            d = gb_ghost(d)
-        return gb_skip(d)
+        def honest_step_bf16(d):
+            d = exchange_shift(d, dec, ("x", "y", "z"), (1, 1, 1),
+                               table_axes=(2,))
+            for _ in range(ST_ITER // FUSE - 1):
+                d = gb_ghost(d)
+            return gb_skip(d)
 
-    honest_bf16 = jax.jit(honest_step_bf16, donate_argnums=0)
+        honest_bf16 = jax.jit(honest_step_bf16, donate_argnums=0)
 
     # composition-immune roofline: Pallas DMA copy of the same storage
     # (shared machinery: bricklib_tpu.bench.roofline)
     dma_copy = rep(make_dma_copy(nb, BD, jnp.float32,
                                  interpret=not on_tpu))
-    dma_copy_bf16 = rep(make_dma_copy(nb, BD, jnp.bfloat16,
-                                      interpret=not on_tpu))
+    if on_tpu:
+        dma_copy_bf16 = rep(make_dma_copy(nb, BD, jnp.bfloat16))
 
     def fresh(seed):
         return jax.random.uniform(jax.random.PRNGKey(seed), (nb,) + BD,
@@ -139,13 +195,16 @@ def main():
 
     # per nominal iteration: R for rep-items, ST_ITER for the honest step
     items = {"copy": (dma_copy, R), "7pt": (k7, R), "125pt": (k125, R),
-             "honest": (honest, ST_ITER), "noex": (noex, ST_ITER),
-             "7pt_bf16": (k7bf, R), "copy_bf16": (dma_copy_bf16, R),
-             "honest_bf16": (honest_bf16, ST_ITER)}
+             "honest": (honest, ST_ITER), "noex": (noex, ST_ITER)}
+    if on_tpu:
+        items.update({"7pt_bf16": (k7bf, R),
+                      "copy_bf16": (dma_copy_bf16, R),
+                      "honest_bf16": (honest_bf16, ST_ITER)})
     times = {k: [] for k in items}
     bufs = {k: fresh(s) for s, k in enumerate(items)}
     for k in ("7pt_bf16", "copy_bf16", "honest_bf16"):
-        bufs[k] = bufs[k].astype(jnp.bfloat16)
+        if k in bufs:
+            bufs[k] = bufs[k].astype(jnp.bfloat16)
     for _ in range(rounds):
         for k, (fn, per) in items.items():
             dt, bufs[k] = chain(fn, bufs[k], iters)
@@ -194,17 +253,21 @@ def main():
             "125pt_gstencil_s": round(elems / best["125pt"] / 1e9, 3),
             "125pt_step_ms": round(best["125pt"] * 1e3, 3),
             "125pt_vs_sol": round(best["copy"] / best["125pt"], 4),
-            "bf16_sweep_gstencil_s": round(
-                elems / best["7pt_bf16"] / 1e9, 3),
-            "bf16_honest": {
-                "gstencil_s": round(elems / best["honest_bf16"] / 1e9, 3),
-                "per_iter_ms": round(best["honest_bf16"] * 1e3, 3),
-                "vs_bf16_sol": round(
-                    best["copy_bf16"] / best["honest_bf16"], 4),
-                "sol_copy_gb_s": round(
-                    2 * elems * 2 / best["copy_bf16"] / 1e9, 1),
-            },
+            **({"bf16_sweep_gstencil_s": round(
+                    elems / best["7pt_bf16"] / 1e9, 3),
+                "bf16_honest": {
+                    "gstencil_s": round(
+                        elems / best["honest_bf16"] / 1e9, 3),
+                    "per_iter_ms": round(best["honest_bf16"] * 1e3, 3),
+                    "vs_bf16_sol": round(
+                        best["copy_bf16"] / best["honest_bf16"], 4),
+                    "sol_copy_gb_s": round(
+                        2 * elems * 2 / best["copy_bf16"] / 1e9, 1),
+                }} if on_tpu else {}),
             "backend": jax.default_backend(),
+            # True: the supervised TPU attempt died and this is the
+            # CPU rerun (see _supervise)
+            "tpu_fallback": tpu_fallback,
         },
     }))
 

@@ -144,7 +144,16 @@ def main(argv=None):
     p.add_argument("--no-pencil", action="store_true")
     p.add_argument("--copy", action="store_true",
                    help="layout copy benchmark instead of stencils")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin jax to the (virtual-device) CPU platform "
+                        "before any backend init — plain "
+                        "JAX_PLATFORMS=cpu does not stick here "
+                        "(sitecustomize re-pins axon)")
     a = p.parse_args(argv)
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if a.copy:
         print("copy")
         copy_bench(a.n, tuple(int(x) for x in a.bdim.split(",")),

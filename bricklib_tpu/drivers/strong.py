@@ -205,7 +205,16 @@ def main(argv=None):
                    choices=["shift", "remote"],
                    help="cross-device links: staged ppermute or "
                         "one-kernel remote DMAs")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin jax to the (virtual-device) CPU platform "
+                        "before any backend init — plain "
+                        "JAX_PLATFORMS=cpu does not stick here "
+                        "(sitecustomize re-pins axon)")
     a = p.parse_args(argv)
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     run(tuple(int(x) for x in a.dom.split(",")),
         tuple(int(x) for x in a.sdom.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),

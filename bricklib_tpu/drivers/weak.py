@@ -486,7 +486,16 @@ def main(argv=None):
     p.add_argument("--fuse", type=int, default=1,
                    help="stencil iterations fused per HBM pass "
                         "(pencil backend; must divide st_iter)")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin jax to the (virtual-device) CPU platform "
+                        "before any backend init — plain "
+                        "JAX_PLATFORMS=cpu does not stick here "
+                        "(sitecustomize re-pins axon)")
     a = p.parse_args(argv)
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,

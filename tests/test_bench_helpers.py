@@ -1,0 +1,60 @@
+"""Shared bench machinery (bricklib_tpu.bench.roofline).
+
+The measurement helpers are load-bearing for the round record (bench.py
+prints the judged JSON line through them), so the cheap invariants get
+fast-tier coverage: pytree-aware barrier/chain semantics and the
+dead-tunnel CPU-fallback guard.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from bricklib_tpu.bench.roofline import (barrier, chain, device_init_ok,
+                                         ensure_live_backend, rep)
+
+
+def test_ensure_live_backend_noop_on_cpu_pin():
+    # conftest pins jax_platforms=cpu: the guard must not probe (probing
+    # costs seconds) and must report None ("already pinned")
+    t0 = time.monotonic()
+    assert ensure_live_backend() is None
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_device_init_ok_bounded():
+    # contract: returns a bool and respects its timeout — never hangs
+    # (the whole point: in-process backend init on a dead tunnel blocks
+    # forever and cannot be cancelled)
+    t0 = time.monotonic()
+    ok = device_init_ok(1)
+    assert ok in (True, False)
+    assert time.monotonic() - t0 < 30
+
+
+def test_chain_pytree_carry_and_count():
+    # chain() = 1 warm-up + `it` timed dependent calls, pytree carries
+    # work (the coupled-system benches time (u, v) tuples)
+    calls = []
+
+    @jax.jit
+    def step(uv):
+        u, v = uv
+        return u + 1.0, v + 2.0
+
+    def counted(uv):
+        calls.append(1)
+        return step(uv)
+
+    x = (jnp.zeros((2, 2)), jnp.zeros((2, 2)))
+    dt, (u, v) = chain(counted, x, 3)
+    assert dt > 0 and len(calls) == 4
+    assert float(u[0, 0]) == 4.0 and float(v[0, 0]) == 8.0
+
+
+def test_rep_composes_iterations():
+    f = rep(lambda d: d * 2.0, 3)
+    out = f(jnp.ones((2,)))
+    assert float(out[0]) == 8.0
+    barrier(out)  # smoke: scalar readback on an array leaf

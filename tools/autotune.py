@@ -83,6 +83,12 @@ def main(argv=None):
     ap.add_argument("--json", dest="as_json", action="store_true")
     args = ap.parse_args(argv)
 
+    from bricklib_tpu.bench.roofline import ensure_live_backend
+
+    if ensure_live_backend() is False:
+        print("WARNING: TPU backend init dead/hung; fell back to CPU "
+              "interpret mode", file=sys.stderr)
+
     import numpy as np
     import jax.numpy as jnp
 

@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--rounds", type=int, default=None)
     a = ap.parse_args()
 
+    from bricklib_tpu.bench.roofline import ensure_live_backend
+
+    if ensure_live_backend() is False:
+        print("WARNING: TPU backend init dead/hung; fell back to CPU "
+              "interpret mode", file=sys.stderr)
+
     import jax
     import jax.numpy as jnp
 

@@ -32,6 +32,12 @@ def main():
 
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+    from bricklib_tpu.bench.roofline import ensure_live_backend
+
+    if ensure_live_backend() is False:
+        print("WARNING: TPU backend init dead/hung; fell back to CPU "
+              "interpret mode", file=sys.stderr)
+
     from bricklib_tpu.bench.roofline import chain, make_dma_copy, rep
     from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_sweep
     from bricklib_tpu.comm import BrickDecomp, skinlist_by_name

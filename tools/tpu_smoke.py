@@ -14,11 +14,16 @@ import traceback
 
 
 def main():
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from bricklib_tpu.bench.roofline import ensure_live_backend
+
+    if ensure_live_backend() is False:
+        print("WARNING: TPU backend init dead/hung; fell back to CPU "
+              "interpret mode", file=sys.stderr)
+
     import numpy as np
     import jax
     import jax.numpy as jnp
-
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
     from bricklib_tpu.codegen.pallas_backend import (
         pallas_brick_stencil, pallas_dense_stencil)
