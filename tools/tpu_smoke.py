@@ -18,8 +18,14 @@ def main():
     from bricklib_tpu.bench.roofline import ensure_live_backend
 
     if ensure_live_backend() is False:
-        print("WARNING: TPU backend init dead/hung; fell back to CPU "
-              "interpret mode", file=sys.stderr)
+        # this is a HARDWARE smoke: interpret mode does not check DMA
+        # alignment (CLAUDE.md rule 7), so a CPU fallback run proves
+        # nothing — fail fast instead of interpreting 25 variants
+        print("ERROR: TPU backend init dead/hung; tpu_smoke is "
+              "hardware-only (interpret mode cannot check DMA "
+              "alignment) — retry when the tunnel answers",
+              file=sys.stderr)
+        return 2
 
     import numpy as np
     import jax
