@@ -53,7 +53,14 @@ def run_bounded(argv, timeout_s: int, env=None, cwd=None):
                 os.killpg(p.pid, signal.SIGKILL)
             except OSError:
                 pass
-            p.wait()
+            try:
+                # bounded reap: a child stuck in uninterruptible kernel
+                # sleep swallows even SIGKILL until its syscall returns,
+                # and an unbounded wait would resurrect the hang this
+                # helper exists to prevent
+                p.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                pass
             rc = None
         fo.seek(0)
         fe.seek(0)

@@ -6,30 +6,50 @@ fast-tier coverage: pytree-aware barrier/chain semantics and the
 dead-tunnel CPU-fallback guard.
 """
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-from bricklib_tpu.bench.roofline import (barrier, chain, device_init_ok,
-                                         ensure_live_backend, rep)
+from bricklib_tpu.bench.roofline import (barrier, chain,
+                                         ensure_live_backend,
+                                         preferred_platform, rep,
+                                         run_bounded)
 
 
 def test_ensure_live_backend_noop_on_cpu_pin():
     # conftest pins jax_platforms=cpu: the guard must not probe (probing
-    # costs seconds) and must report None ("already pinned")
+    # costs seconds and would claim the shared real chip) and must
+    # report None ("already pinned")
     t0 = time.monotonic()
     assert ensure_live_backend() is None
     assert time.monotonic() - t0 < 1.0
 
 
-def test_device_init_ok_bounded():
-    # contract: returns a bool and respects its timeout — never hangs
-    # (the whole point: in-process backend init on a dead tunnel blocks
-    # forever and cannot be cancelled)
+def test_preferred_platform_is_first_entry():
+    # the axon sitecustomize pins "axon,cpu"; only the FIRST entry
+    # counts (a substring test once disabled every tunnel guard)
+    assert preferred_platform() == "cpu"  # conftest pin
+
+
+def test_run_bounded_completes_and_captures():
+    rc, out, err = run_bounded(
+        [sys.executable, "-c", "print('o'); import sys; "
+                               "print('e', file=sys.stderr)"], 30)
+    assert rc == 0 and out.strip() == "o" and err.strip() == "e"
+
+
+def test_run_bounded_kills_on_deadline():
+    # contract: hard deadline, rc None — never hangs (in-process
+    # backend init on a dead tunnel blocks forever and cannot be
+    # cancelled, so callers rely on this bound). Plain sleep child:
+    # the probe itself would claim the shared real TPU from the test
+    # tier and its outcome would depend on tunnel state.
     t0 = time.monotonic()
-    ok = device_init_ok(1)
-    assert ok in (True, False)
+    rc, _, _ = run_bounded([sys.executable, "-c",
+                            "import time; time.sleep(60)"], 1)
+    assert rc is None
     assert time.monotonic() - t0 < 30
 
 

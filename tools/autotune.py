@@ -83,11 +83,18 @@ def main(argv=None):
     ap.add_argument("--json", dest="as_json", action="store_true")
     args = ap.parse_args(argv)
 
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
     from bricklib_tpu.bench.roofline import ensure_live_backend
 
     if ensure_live_backend() is False:
-        print("WARNING: TPU backend init dead/hung; fell back to CPU "
-              "interpret mode", file=sys.stderr)
+        # quiet-chip tuner: CPU numbers cannot produce a schedule
+        # verdict, and the copy roofline is a hardware Pallas kernel —
+        # fail fast like tpu_smoke instead of crashing at first trace
+        print("ERROR: TPU backend init dead/hung; autotune needs the "
+              "real chip — retry when the tunnel answers",
+              file=sys.stderr)
+        return 2
 
     import numpy as np
     import jax.numpy as jnp

@@ -30,6 +30,12 @@ def main():
                     help="subset of {copy,9pt,9pt_f2,9pt_f4} to measure")
     ap.add_argument("--rounds", type=int, default=None)
     a = ap.parse_args()
+    known = {"copy", "9pt", "9pt_f2", "9pt_f4"}
+    if a.only and not set(a.only) <= known:
+        ap.error(f"--only: unknown items {sorted(set(a.only) - known)} "
+                 f"(choose from {sorted(known)})")
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
     from bricklib_tpu.bench.roofline import ensure_live_backend
 

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of {copy,sys,sys_f2,sys_f4} to run")
     a = ap.parse_args()
+    known = {"copy", "sys", "sys_f2", "sys_f4"}
+    if a.only and not set(a.only) <= known:
+        ap.error(f"--only: unknown items {sorted(set(a.only) - known)} "
+                 f"(choose from {sorted(known)})")
 
     import jax
     import jax.numpy as jnp
@@ -86,8 +90,7 @@ def main():
     # sys_f4 is TPU-default only: four interpret-mode compiles make a
     # CPU smoke run take >10 min; CPU covers copy/sys/sys_f2.
     sel = set(a.only) if a.only else (
-        {"copy", "sys", "sys_f2", "sys_f4"} if on_tpu
-        else {"copy", "sys", "sys_f2"})
+        known if on_tpu else {"copy", "sys", "sys_f2"})
     items = {}
     if "copy" in sel:
         items["copy"] = (rep(make_dma_copy(nb, BD, jnp.float32,
@@ -96,7 +99,9 @@ def main():
         items["sys"] = (sysrep(1), R)
     if "sys_f2" in sel:
         items["sys_f2"] = (sysrep(2), 2 * R)
-    if "sys_f4" in sel and min(BD[:2]) >= 4:
+    # fused-sweep constraint: fuse x stencil j/k-radius (1 here) must
+    # fit the brick j/k depth (pallas_pencil_sweep enforces the same)
+    if "sys_f4" in sel and 4 * 1 <= min(BD[0], BD[1]):
         items["sys_f4"] = (sysrep(4), 4 * R)
 
     times = {k_: [] for k_ in items}
