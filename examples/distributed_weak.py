@@ -39,7 +39,10 @@ def main():
     from bricklib_tpu.stencils import stencil_by_name
 
     mesh = (2, 2, 1)          # devices per domain axis (k, j; i on-chip)
-    dims = (32, 32, 128)      # per-device owned elements
+    # per-device owned elements; BRICK_EXAMPLE_DIMS shrinks
+    # interpret-mode runs (tests)
+    dims = tuple(int(x) for x in os.environ.get(
+        "BRICK_EXAMPLE_DIMS", "32,32,128").split(","))
     st_iter = 4               # iterations per ghost exchange (deep-ghost)
 
     rng = np.random.default_rng(1)

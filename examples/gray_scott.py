@@ -49,21 +49,24 @@ def main():
     params = {"dt": 0.8, "Du": 0.16, "Dv": 0.08, "F": 0.035,
               "K": 0.065}
 
-    n = 128   # pencil folds need i % 128 == 0 on hardware (lane tiles)
+    # pencil folds need i % 128 == 0 on hardware (lane tiles);
+    # BRICK_EXAMPLE_N shrinks interpret-mode runs (tests)
+    n = int(os.environ.get("BRICK_EXAMPLE_N", "128"))
     rng = np.random.default_rng(0)
     u0 = np.ones((n, n, n), np.float32)
     v0 = np.zeros((n, n, n), np.float32)
     # seed a perturbed blob in the middle
-    c = n // 2
-    s = slice(c - 6, c + 6)
+    c, h = n // 2, min(6, n // 4)
+    s = slice(c - h, c + h)
     u0[s, s, s] = 0.5
     v0[s, s, s] = 0.25
     v0 += 0.01 * rng.random((n, n, n), dtype=np.float32)
 
     p = Problem(dims=(n, n, n), stencil=sdefs, field=("u", "v"),
                 params=params, bdims=(8, 8, n), backend="pencil")
+    steps = int(os.environ.get("BRICK_EXAMPLE_STEPS", "50"))
     p.init(array={"u": u0, "v": v0})
-    p.step(50)
+    p.step(steps)
     out = p.result()
 
     # numpy twin for a short re-run (3 steps from the same start)
@@ -92,7 +95,7 @@ def main():
     err = max(np.abs(got["u"] - wu).max(), np.abs(got["v"] - wv).max())
     print(f"max |err| vs numpy after 3 steps: {err:.2e}")
     assert err < 1e-4
-    print(f"50 steps: u in [{out['u'].min():.3f}, {out['u'].max():.3f}],"
+    print(f"{steps} steps: u in [{out['u'].min():.3f}, {out['u'].max():.3f}],"
           f" v in [{out['v'].min():.3f}, {out['v'].max():.3f}]")
     print("OK")
 

@@ -33,7 +33,9 @@ def main():
     sdef = load_stencil_module({"STENCIL": STENCIL})[0]
     params = {"alpha": 0.4, "beta": 0.1}
 
-    n = 128   # pencil folds need i % 128 == 0 on hardware (lane tiles)
+    # pencil folds need i % 128 == 0 on hardware (lane tiles);
+    # BRICK_EXAMPLE_N shrinks interpret-mode runs (tests)
+    n = int(os.environ.get("BRICK_EXAMPLE_N", "128"))
     rng = np.random.default_rng(0)
     field = rng.random((n, n, n), dtype=np.float32)
 

@@ -42,7 +42,9 @@ def main():
     sdef = load_stencil_module({"STENCIL": STENCIL})[0]
     params = {"dt": 0.05}
 
-    n = 128   # pencil folds need i % 128 == 0 on hardware (lane tiles)
+    # pencil folds need i % 128 == 0 on hardware (lane tiles);
+    # BRICK_EXAMPLE_N shrinks interpret-mode runs (tests)
+    n = int(os.environ.get("BRICK_EXAMPLE_N", "128"))
     rng = np.random.default_rng(0)
     u0 = rng.random((n, n, n), dtype=np.float32)
     # smooth, positive coefficient field
