@@ -1,3 +1,4 @@
+from .autodiff import adjoint_stencil, differentiable_pencil_sweep
 from .evaluate import evaluate, resolve_const_from_params
 from .ir import StencilIR, linear_decomposition
 from .jnp_backend import dense_apply, brick_apply
@@ -9,4 +10,6 @@ __all__ = [
     "linear_decomposition",
     "dense_apply",
     "brick_apply",
+    "adjoint_stencil",
+    "differentiable_pencil_sweep",
 ]

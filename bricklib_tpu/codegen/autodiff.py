@@ -1,0 +1,164 @@
+"""Differentiable stencil sweeps (beyond the reference).
+
+The jnp oracle (:mod:`.jnp_backend`) is differentiable for free, but
+the Pallas fast path is opaque to JAX's AD.  For LINEAR single-input
+stencils the reverse-mode rule is exact and cheap: the operator is
+``y = A x`` with ``A`` the periodic stencil matrix, so the pullback is
+``x̄ = Aᵀ ȳ`` — and ``Aᵀ`` is just the stencil with every tap offset
+NEGATED (same coefficients), i.e. *another pencil sweep at identical
+cost*.  That turns the flagship kernel into a building block for
+differentiable simulation / PINN-style training loops without leaving
+the speed-of-light path.
+
+Contract (checked at build time):
+
+- single linear input (``linear_decomposition`` succeeds) — nonlinear
+  or multi-input stencils differentiate through ``brick_apply``;
+- the grid table is FULLY PERIODIC in k and j (``BrickDecomp.
+  periodic_grid`` over all axes) and the layout is the pencil one
+  (i periodic by lane rolls), so the owned bricks form a torus and
+  the transpose of "periodic stencil" is "periodic stencil with
+  negated offsets";
+- gradients flow through the storage array only (coefficients are
+  trace-time constants, as everywhere on the Pallas path).
+
+Rows the sweep never writes (ghost ring, garbage brick 0) hold
+undefined data in any Pallas output; the pullback therefore masks
+them to zero so downstream consumers (optimizers, checkpoints) never
+see garbage — the true gradient there IS zero, because the forward
+never reads ghost storage through a periodic table.
+
+Temporal fusion composes cleanly: ``(A^F)ᵀ = (Aᵀ)^F``, so ``fuse=F``
+builds the pullback as the F-fused adjoint sweep.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..st.expr import ConstRef, FloatLiteral, Index
+from ..st.grid import Grid
+from ..st.loader import StencilDef, load_stencil_module
+from .ir import linear_decomposition
+
+
+def adjoint_stencil(sdef: StencilDef) -> StencilDef:
+    """The transpose stencil: same coefficients, every offset negated.
+
+    For ``y[p] = Σ_t c_t · x[p + o_t]`` (periodic), ``(Aᵀ ȳ)[q] =
+    Σ_t c_t · ȳ[q - o_t]``.  Coefficient ``ConstRef``s keep their
+    names so one params dict serves both sweeps.  Involution:
+    ``adjoint(adjoint(s))`` has the original taps."""
+    lin = linear_decomposition(sdef.rhs)
+    if lin is None:
+        raise ValueError(
+            f"stencil '{sdef.output.name}' is not a pure linear tap "
+            f"combination — differentiate through brick_apply instead")
+    if len(sdef.inputs) != 1:
+        raise ValueError("adjoint_stencil supports single-input stencils")
+    d = sdef.dims
+    in_name = next(iter(sdef.inputs))
+    g = Grid(in_name, d)
+    og = Grid(sdef.output.name + "_adj", d)
+    idx = [Index(a) for a in range(d)]
+    rhs = None
+    for _key, cexpr, taps in lin:
+        coeff = (ConstRef(cexpr.name) if hasattr(cexpr, "name")
+                 else FloatLiteral(float(cexpr.val)))
+        for sign, _gname, offs in taps:
+            ref = g(*[idx[a] - int(offs[a]) for a in range(d)])
+            term = coeff * ref
+            if sign < 0:
+                term = -term
+            rhs = term if rhs is None else rhs + term
+    og(*idx).assign(rhs)
+    return load_stencil_module({"STENCIL": [og]})[0]
+
+
+def _check_periodic_table(grid: np.ndarray, k_range, j_range):
+    """The transpose rule needs a torus: every ghost ring cell must
+    redirect to the wrapped owned brick (periodic_grid semantics)."""
+    GK, GJ = grid.shape[:2]
+    K0, K1 = k_range
+    J0, J1 = j_range
+    pk, pj = K1 - K0, J1 - J0
+    ok = True
+    for r in range(K0):
+        ok &= bool(np.array_equal(grid[r], grid[r + pk]))
+    for r in range(GK - K1):
+        ok &= bool(np.array_equal(grid[K1 + r], grid[K0 + r]))
+    for r in range(J0):
+        ok &= bool(np.array_equal(grid[:, r], grid[:, r + pj]))
+    for r in range(GJ - J1):
+        ok &= bool(np.array_equal(grid[:, J1 + r], grid[:, J0 + r]))
+    if not ok:
+        raise ValueError(
+            "differentiable_pencil_sweep needs a fully periodic grid "
+            "table (BrickDecomp.periodic_grid over all axes): the "
+            "transpose of the periodic stencil operator is only "
+            "another stencil on a torus")
+
+
+def differentiable_pencil_sweep(stencil, grid: np.ndarray,
+                                bdims: Sequence[int], nbricks: int,
+                                params: dict | None = None,
+                                mask_ghost: bool = True,
+                                **kw):
+    """``fn(dat_view) -> out_view`` like :func:`pallas_pencil_sweep`,
+    but registered with :func:`jax.custom_vjp`: ``jax.grad`` through it
+    runs the adjoint stencil as a second pencil sweep (same schedule,
+    same cost).  See the module docstring for the contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel import pallas_pencil_sweep
+
+    for bad in ("evolve", "batch", "i_ghost", "inplace"):
+        if kw.get(bad):
+            raise ValueError(f"differentiable_pencil_sweep does not "
+                             f"support {bad}=...")
+    grid = np.asarray(grid)
+    g2 = grid[:, :, 0] if grid.ndim == 3 else grid
+    if grid.ndim == 3 and grid.shape[2] != 1:
+        raise ValueError("pencil layout only (one brick per (k, j))")
+    GK, GJ = g2.shape
+    k_range = tuple(kw.get("k_range") or (1, GK - 1))
+    j_range = tuple(kw.get("j_range") or (1, GJ - 1))
+    _check_periodic_table(g2, k_range, j_range)
+
+    fwd_fn = pallas_pencil_sweep(stencil, grid, bdims, nbricks, params,
+                                 **kw)
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    if len(sdefs) != 1:
+        raise ValueError("differentiable_pencil_sweep takes one output")
+    adj_fn = pallas_pencil_sweep(adjoint_stencil(sdefs[0]), grid, bdims,
+                                 nbricks, params, **kw)
+
+    # rows the sweep writes; everything else (ghost ring bricks, the
+    # garbage brick 0) is undefined in a Pallas output and its true
+    # gradient is zero — mask so it never leaks downstream
+    written = np.zeros(nbricks, np.bool_)
+    written[np.unique(g2[k_range[0]:k_range[1],
+                         j_range[0]:j_range[1]])] = True
+    mask = jnp.asarray(written.reshape((nbricks,) + (1,) * len(bdims)))
+
+    @jax.custom_vjp
+    def step(d):
+        return fwd_fn(d)
+
+    def step_fwd(d):
+        return fwd_fn(d), None
+
+    def step_bwd(_res, ct):
+        xb = adj_fn(ct)
+        # where, not multiply: the unwritten rows can hold NaN/inf and
+        # garbage * 0 keeps the NaN
+        return ((jnp.where(mask, xb, jnp.zeros((), xb.dtype))
+                 if mask_ghost else xb),)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.adjoint = adj_fn
+    return step

@@ -1,0 +1,181 @@
+"""Differentiable pencil sweeps (codegen.autodiff).
+
+Fast tier: the adjoint stencil is algebraically the transpose
+(inner-product identity on a periodic dense domain, numpy only).
+Slow tier: jax.grad through the Pallas kernel (custom_vjp) matches
+jax.grad through the differentiable dense twin, including chained
+steps and temporal fusion.
+"""
+
+import numpy as np
+import pytest
+
+from bricklib_tpu.codegen import (adjoint_stencil, dense_apply,
+                                  linear_decomposition)
+from bricklib_tpu.st import ConstRef, Grid, Index, load_stencil_module
+from bricklib_tpu.stencils import DEFAULT_PARAMS, stencil_by_name
+
+
+def _asym_stencil():
+    """Deliberately asymmetric taps — symmetric stencils cannot catch
+    offset-negation sign bugs (their adjoint equals themselves)."""
+    i, j, k = Index(0), Index(1), Index(2)
+    g, o = Grid("in", 3), Grid("out", 3)
+    o(i, j, k).assign(
+        ConstRef("a") * g(i + 1, j, k) + ConstRef("b") * g(i, j - 1, k)
+        + ConstRef("c") * g(i, j, k + 2) - ConstRef("a") * g(i - 2, j, k)
+        + g(i, j, k))
+    return load_stencil_module({"STENCIL": [o]})[0]
+
+
+_ASYM_PARAMS = {"a": 0.7, "b": -0.3, "c": 1.9}
+
+
+def _dense_periodic(sdef, x, params):
+    lo, hi = sdef.radius()
+    pad = tuple((lo[a], hi[a]) for a in range(x.ndim))
+    return dense_apply(sdef, {next(iter(sdef.inputs)):
+                              np.pad(x, pad, mode="wrap")}, params,
+                       xp=np)
+
+
+def _canon(sdef, params):
+    """Canonical {np_offsets: resolved coeff} for tap-set comparison."""
+    acc = {}
+    for _k, cexpr, taps in linear_decomposition(sdef.rhs):
+        c = (params[cexpr.name] if hasattr(cexpr, "name")
+             else float(cexpr.val))
+        for sign, _g, offs in taps:
+            o = tuple(reversed(offs))
+            acc[o] = acc.get(o, 0.0) + (c if sign > 0 else -c)
+    return acc
+
+
+@pytest.mark.parametrize("case", ["asym", "mpi7pt", "mpi13pt"])
+def test_adjoint_inner_product(case):
+    # <S x, y> == <x, S^T y> on the periodic torus
+    if case == "asym":
+        sd, params = _asym_stencil(), _ASYM_PARAMS
+    else:
+        sd, params = stencil_by_name(case)[0], dict(DEFAULT_PARAMS)
+    adj = adjoint_stencil(sd)
+    rng = np.random.default_rng(3)
+    x = rng.random((8, 8, 8)).astype(np.float64)
+    y = rng.random((8, 8, 8)).astype(np.float64)
+    lhs = float(np.sum(_dense_periodic(sd, x, params) * y))
+    rhs = float(np.sum(x * _dense_periodic(adj, y, params)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_adjoint_involution():
+    sd = _asym_stencil()
+    twice = adjoint_stencil(adjoint_stencil(sd))
+    a, b = _canon(sd, _ASYM_PARAMS), _canon(twice, _ASYM_PARAMS)
+    assert set(a) == set(b)
+    for o in a:
+        np.testing.assert_allclose(a[o], b[o], rtol=1e-12)
+
+
+def test_adjoint_rejects_nonlinear():
+    sd = stencil_by_name("cond")[0]
+    with pytest.raises(ValueError, match="linear"):
+        adjoint_stencil(sd)
+
+
+# ---------------------------------------------------------------- slow
+
+
+@pytest.fixture(scope="module")
+def _grad_setup():
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import differentiable_pencil_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.core import to_bricks
+
+    N = 16
+    BD = (4, 4, N)
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(BD[0], BD[1], 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    tgrid = dec.periodic_grid((0, 1, 2))
+    sd, params = _asym_stencil(), _ASYM_PARAMS
+
+    def stage(a):
+        idx = [np.arange(-g, N + g) % N for g in (BD[0], BD[1], 0)]
+        dat = np.zeros((dec.nbricks, int(np.prod(BD))), np.float32)
+        to_bricks(a[np.ix_(*idx)], dec.grid, BD, dat=dat)
+        return dat.reshape((dec.nbricks,) + BD)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((N, N, N), np.float32)
+    w = rng.random((N, N, N), np.float32)
+    xb = jnp.asarray(stage(x))
+    wb = stage(w)
+    wb[dec.sep_pos[1]:] = 0.0   # weigh OWNED rows only (ghost rows of
+    wb[0] = 0.0                 # a Pallas output are undefined)
+    wb = jnp.asarray(wb)
+
+    def make(fuse=1):
+        return differentiable_pencil_sweep(
+            sd, tgrid, BD, dec.nbricks, params, interpret=True,
+            fuse=fuse)
+
+    return dict(N=N, BD=BD, dec=dec, sd=sd, params=params, x=x, w=w,
+                xb=xb, wb=wb, make=make, jax=jax, jnp=jnp)
+
+
+def _unstage(dec, BD, g):
+    from bricklib_tpu.core import from_bricks
+
+    N = BD[2]
+    full = from_bricks(np.asarray(g).reshape(dec.nbricks, -1), dec.grid,
+                       BD)
+    return full[BD[0]:BD[0] + N, BD[1]:BD[1] + N, :]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("steps", [1, 2])
+def test_grad_matches_dense_twin(_grad_setup, steps):
+    s = _grad_setup
+    jax, jnp = s["jax"], s["jnp"]
+    step = s["make"]()
+
+    def loss_pencil(d):
+        for _ in range(steps):
+            d = step(d)
+        return jnp.sum(d * s["wb"])
+
+    gb = jax.grad(loss_pencil)(s["xb"])
+
+    def loss_dense(xd):
+        d = xd
+        lo, hi = s["sd"].radius()
+        for _ in range(steps):
+            pad = tuple((lo[a], hi[a]) for a in range(3))
+            d = dense_apply(s["sd"],
+                            {"in": jnp.pad(d, pad, mode="wrap")},
+                            s["params"])
+        return jnp.sum(d * jnp.asarray(s["w"]))
+
+    gd = jax.grad(loss_dense)(jnp.asarray(s["x"]))
+    got = _unstage(s["dec"], s["BD"], gb)
+    np.testing.assert_allclose(got, np.asarray(gd), rtol=2e-5,
+                               atol=2e-5)
+    # masked rows carry exact zeros, not Pallas garbage
+    assert float(np.abs(np.asarray(gb)[0]).max()) == 0.0
+    assert float(np.abs(np.asarray(gb)[s["dec"].sep_pos[1]:]).max()) \
+        == 0.0
+
+
+@pytest.mark.slow
+def test_grad_fused_equals_composed(_grad_setup):
+    s = _grad_setup
+    jax, jnp = s["jax"], s["jnp"]
+    f2, f1 = s["make"](fuse=2), s["make"]()
+
+    g2 = jax.grad(lambda d: jnp.sum(f2(d) * s["wb"]))(s["xb"])
+    g1 = jax.grad(lambda d: jnp.sum(f1(f1(d)) * s["wb"]))(s["xb"])
+    np.testing.assert_allclose(
+        _unstage(s["dec"], s["BD"], g2),
+        _unstage(s["dec"], s["BD"], g1), rtol=2e-5, atol=2e-5)

@@ -39,3 +39,8 @@ def test_distributed_weak(monkeypatch):
     # brick rows per exchanged axis (interior-first reorder warmup)
     _run("distributed_weak.py", monkeypatch,
          BRICK_EXAMPLE_DIMS="32,32,32")
+
+
+def test_adjoint_assimilation(monkeypatch):
+    _run("adjoint_assimilation.py", monkeypatch, BRICK_EXAMPLE_N="16",
+         BRICK_EXAMPLE_STEPS="40")
