@@ -105,11 +105,26 @@ def differentiable_pencil_sweep(stencil, grid: np.ndarray,
                                 bdims: Sequence[int], nbricks: int,
                                 params: dict | None = None,
                                 mask_ghost: bool = True,
+                                exchanged_axes: Sequence[int] = (),
                                 **kw):
     """``fn(dat_view) -> out_view`` like :func:`pallas_pencil_sweep`,
     but registered with :func:`jax.custom_vjp`: ``jax.grad`` through it
     runs the adjoint stencil as a second pencil sweep (same schedule,
-    same cost).  See the module docstring for the contract."""
+    same cost).  See the module docstring for the contract.
+
+    ``exchanged_axes`` (numpy order: 0 = k, 1 = j) marks axes whose
+    ghost ring is filled by a real exchange (``exchange_shift`` under
+    ``shard_map`` — pure ppermute/slice ops, AD-transparent) instead of
+    table periodicity.  On those axes the pullback runs the adjoint
+    sweep over the FULL grid range: the cotangent it scatters into the
+    ghost bricks is routed back to the neighbors' skins by the
+    exchange's own transpose.  Exactness needs the incoming cotangent
+    to vanish on the ghost ring — true whenever the loss reads owned
+    rows and steps compose as ``sweep(exchange(x))`` (the exchange's
+    overwrite-transpose re-zeroes ghost cotangent every step), i.e.
+    one sweep per exchange.  Deep-ghost ``st_iter > 1`` chains
+    ghost-INCLUSIVE sweeps whose edge-clamped windows are not exactly
+    transposed — exchange every iteration when differentiating."""
     import jax
     import jax.numpy as jnp
 
@@ -126,22 +141,35 @@ def differentiable_pencil_sweep(stencil, grid: np.ndarray,
     GK, GJ = g2.shape
     k_range = tuple(kw.get("k_range") or (1, GK - 1))
     j_range = tuple(kw.get("j_range") or (1, GJ - 1))
-    _check_periodic_table(g2, k_range, j_range)
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0, 1}:
+        raise ValueError("exchanged_axes are numpy-order k/j axes "
+                         "(0 and/or 1); i is always lane-periodic")
+    if not exchanged_axes:
+        _check_periodic_table(g2, k_range, j_range)
 
     fwd_fn = pallas_pencil_sweep(stencil, grid, bdims, nbricks, params,
                                  **kw)
     sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
     if len(sdefs) != 1:
         raise ValueError("differentiable_pencil_sweep takes one output")
+    # pullback ranges: full span on exchanged axes (ghost cotangent is
+    # real data the exchange transpose routes home), owned span on
+    # table-periodic axes (their ring cells alias owned bricks — a
+    # full-range write would scatter each brick twice)
+    bkw = dict(kw)
+    bkw["k_range"] = (0, GK) if 0 in exchanged_axes else k_range
+    bkw["j_range"] = (0, GJ) if 1 in exchanged_axes else j_range
     adj_fn = pallas_pencil_sweep(adjoint_stencil(sdefs[0]), grid, bdims,
-                                 nbricks, params, **kw)
+                                 nbricks, params, **bkw)
 
-    # rows the sweep writes; everything else (ghost ring bricks, the
-    # garbage brick 0) is undefined in a Pallas output and its true
-    # gradient is zero — mask so it never leaks downstream
+    # rows the pullback writes; everything else (the garbage brick 0,
+    # and on table-periodic axes the ghost bricks) is undefined in a
+    # Pallas output and its true gradient is zero — mask so it never
+    # leaks downstream
     written = np.zeros(nbricks, np.bool_)
-    written[np.unique(g2[k_range[0]:k_range[1],
-                         j_range[0]:j_range[1]])] = True
+    written[np.unique(g2[bkw["k_range"][0]:bkw["k_range"][1],
+                         bkw["j_range"][0]:bkw["j_range"][1]])] = True
     mask = jnp.asarray(written.reshape((nbricks,) + (1,) * len(bdims)))
 
     @jax.custom_vjp

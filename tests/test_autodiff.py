@@ -179,3 +179,105 @@ def test_grad_fused_equals_composed(_grad_setup):
     np.testing.assert_allclose(
         _unstage(s["dec"], s["BD"], g2),
         _unstage(s["dec"], s["BD"], g1), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_grad_distributed_exchange_sweep():
+    """jax.grad through the full distributed step — exchange_shift
+    (AD-transparent ppermutes under shard_map) composed with the
+    custom-VJP pencil sweep (exchanged_axes mode: the pullback's ghost
+    cotangent rides the exchange's own transpose back to the senders).
+    Two steps on a (2, 2, 1) mesh vs the global dense periodic twin."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bricklib_tpu.codegen.autodiff import differentiable_pencil_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.comm.exchange import exchange_shift
+    from bricklib_tpu.comm.mesh import make_domain_mesh, shard_map
+    from bricklib_tpu.core import from_bricks, to_bricks
+
+    mesh_shape = (2, 2, 1)
+    dims = (16, 16, 32)            # per-device owned elements
+    BD = (4, 4, dims[2])
+    gz = (BD[0], BD[1], 0)
+    sd, params = _asym_stencil(), _ASYM_PARAMS
+    dec = BrickDecomp(dims=dims, ghost_depth=gz, bdims=BD).initialize(
+        skinlist_by_name("good", 3))
+    nb = dec.nbricks
+    kgrid = dec.periodic_grid((2,))   # i periodic by table; k, j exchanged
+    mesh = make_domain_mesh(mesh_shape)
+    names = mesh.axis_names
+    P_ = P(tuple(names))
+
+    dstep = differentiable_pencil_sweep(
+        sd, kgrid, BD, nb, params, interpret=True, exchanged_axes=(0, 1))
+
+    def step2(d):
+        for _ in range(2):
+            d = exchange_shift(d, dec, names, mesh_shape,
+                               table_axes=(2,))
+            d = dstep(d)
+        return d
+
+    fwd = jax.jit(shard_map(step2, mesh, P_, P_))
+
+    gshape = tuple(m * d for m, d in zip(mesh_shape, dims))
+    rng = np.random.default_rng(7)
+    x = rng.random(gshape, np.float32)
+    w = rng.random(gshape, np.float32)
+
+    def stage(g, zero_nonowned):
+        ndev = int(np.prod(mesh_shape))
+        stacked = np.zeros((ndev * nb,) + BD, np.float32)
+        for r, c in enumerate(np.ndindex(*mesh_shape)):
+            idx = [(np.arange(c[a] * dims[a] - gz[a],
+                              c[a] * dims[a] + dims[a] + gz[a])
+                    % gshape[a]) for a in range(3)]
+            dat = np.zeros((nb, int(np.prod(BD))), np.float32)
+            to_bricks(g[np.ix_(*idx)], dec.grid, BD, dat=dat)
+            if zero_nonowned:
+                dat[dec.sep_pos[1]:] = 0.0
+                dat[0] = 0.0
+            stacked[r * nb:(r + 1) * nb] = dat.reshape((-1,) + BD)
+        return stacked
+
+    sharding = NamedSharding(mesh, P_)
+    xb = jax.device_put(jnp.asarray(stage(x, False)), sharding)
+    wb = jax.device_put(jnp.asarray(stage(w, True)), sharding)
+
+    # forward equivalence first (2 exact periodic global steps)
+    got_y = np.asarray(fwd(xb))
+    yd = jnp.asarray(x)
+    lo, hi = sd.radius()
+    pad = tuple((lo[a], hi[a]) for a in range(3))
+
+    def dense_step(d):
+        return dense_apply(sd, {"in": jnp.pad(d, pad, mode="wrap")},
+                           params)
+
+    yd2 = np.asarray(dense_step(dense_step(yd)))
+    for r, c in enumerate(np.ndindex(*mesh_shape)):
+        own = from_bricks(got_y[r * nb:(r + 1) * nb].reshape(nb, -1),
+                          dec.interior_grid(), BD)
+        sl = tuple(slice(c[a] * dims[a], (c[a] + 1) * dims[a])
+                   for a in range(3))
+        np.testing.assert_allclose(own, yd2[sl], rtol=2e-5, atol=2e-5)
+
+    # gradient equivalence
+    gb = jax.grad(lambda d: jnp.sum(fwd(d) * wb))(xb)
+    gd = np.asarray(jax.grad(
+        lambda d: jnp.sum(dense_step(dense_step(d))
+                          * jnp.asarray(w)))(jnp.asarray(x)))
+    gbn = np.asarray(gb)
+    for r, c in enumerate(np.ndindex(*mesh_shape)):
+        own = from_bricks(gbn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                          dec.interior_grid(), BD)
+        sl = tuple(slice(c[a] * dims[a], (c[a] + 1) * dims[a])
+                   for a in range(3))
+        np.testing.assert_allclose(own, gd[sl], rtol=2e-5, atol=2e-5)
+        # the exchange overwrites ghost storage, so its transpose
+        # zeroes the ghost cotangent: grads wrt initial ghost rows = 0
+        blk = gbn[r * nb:(r + 1) * nb]
+        assert float(np.abs(blk[dec.sep_pos[1]:]).max()) == 0.0
