@@ -19,7 +19,8 @@ import json
 import sys
 
 
-def describe(name_or_path: str, params: dict | None = None) -> list[dict]:
+def describe(name_or_path: str, params: dict | None = None,
+             adjoint: bool = False) -> list[dict]:
     from ..st import load_stencil_module
     from .ir import StencilIR
 
@@ -28,6 +29,10 @@ def describe(name_or_path: str, params: dict | None = None) -> list[dict]:
     else:
         from ..stencils import stencil_by_name
         sdefs = stencil_by_name(name_or_path)
+    if adjoint:
+        from .autodiff import adjoint_stencil
+
+        sdefs = [adjoint_stencil(sd) for sd in sdefs]
     out = []
     for sd in sdefs:
         ir = StencilIR.from_def(sd)
@@ -110,10 +115,15 @@ def main(argv=None):
     p.add_argument("--backend", default="brick",
                    choices=["brick", "pencil"],
                    help="kernel flavor to build/export")
+    p.add_argument("--adjoint", action="store_true",
+                   help="analyze/build the TRANSPOSE stencil instead "
+                        "(negated offsets, same coefficients — the "
+                        "reverse-mode rule of codegen.autodiff); linear "
+                        "single-input stencils only")
     a = p.parse_args(argv)
 
     user_params = json.loads(a.params) if a.params else None
-    descs = describe(a.stencil, user_params)
+    descs = describe(a.stencil, user_params, adjoint=a.adjoint)
     if a.json:
         print(json.dumps(descs, indent=2))
     else:
@@ -146,6 +156,10 @@ def main(argv=None):
         else:
             from ..stencils import stencil_by_name
             sd = stencil_by_name(a.stencil)[0]
+        if a.adjoint:
+            from .autodiff import adjoint_stencil
+
+            sd = adjoint_stencil(sd)
         if a.backend == "pencil":
             from .pencil_kernel import pallas_pencil_stencil
 

@@ -54,3 +54,15 @@ def test_vecscatter_describe():
     assert describe("cond")[0]["linear"] is False
     d9 = describe("mpi9pt")[0]
     assert d9["dims"] == 4 and d9["taps"] == 9
+
+
+def test_vecscatter_describe_adjoint():
+    # --adjoint analyzes the transpose stencil; an asymmetric radius
+    # mirrors (lo <-> hi), a symmetric one is self-adjoint
+    import numpy as np
+
+    d = describe("mpi13pt", adjoint=True)[0]
+    s = describe("mpi13pt")[0]
+    assert d["taps"] == s["taps"] == 13
+    assert d["radius_lo"] == s["radius_hi"]
+    assert d["output"].endswith("_adj")
