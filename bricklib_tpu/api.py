@@ -420,6 +420,89 @@ class Problem:
         self._aux = ()
 
     # ------------------------------------------------------------------
+    def differentiable_step(self):
+        """A step function registered for JAX reverse-mode AD
+        (beyond the reference; codegen.autodiff).
+
+        Returns ``fn(state) -> state`` over the stacked sharded storage
+        (same layout as the internal step): the pullback runs the
+        ADJOINT stencil as a second pencil sweep, and on distributed
+        axes the ghost cotangent rides the SHIFT exchange's own
+        transpose back to the senders.  Use with :meth:`owned_mask` to
+        write losses over owned rows (ghost rows of a Pallas output
+        are undefined; their gradient is exactly zero).
+
+        Contract: 3-D pencil backend, one linear evolving field, no
+        aux fields, shift exchange; on a distributed mesh the step
+        must be one sweep per exchange (``st_iter == fuse``) —
+        ghost-inclusive deep-ghost sweeps clamp their windows, which
+        is not exactly transposed."""
+        import jax
+
+        from .codegen.autodiff import differentiable_pencil_sweep
+        from .comm.exchange import exchange_shift
+        from .comm.mesh import shard_map
+
+        if (self._exec_plan["backend"] != "pencil"
+                or len(self.dims) != 3):
+            raise ValueError("differentiable_step needs the 3-D "
+                             "pencil backend")
+        if self.nfld != 1 or self.aux_names:
+            raise ValueError("differentiable_step takes one linear "
+                             "evolving field and no aux fields "
+                             "(nonlinear/multi-input problems "
+                             "differentiate through brick_apply)")
+        if self._exec_plan["exchange"] == "fused":
+            raise ValueError("the fused-exchange kernel is opaque to "
+                             "AD; use exchange='shift'")
+        msh = self.mesh_shape
+        table_axes = tuple(a for a in range(3) if msh[a] == 1)
+        distributed = len(table_axes) < 3
+        if distributed and self.st_iter != self.fuse:
+            raise ValueError(
+                f"differentiable distributed step needs one sweep per "
+                f"exchange: st_iter {self.st_iter} != fuse {self.fuse}")
+        import jax.numpy as jnp
+
+        fkw = (dict(fuse=self.fuse) if self.fuse > 1
+               else dict(lookahead=2))
+        kern = differentiable_pencil_sweep(
+            self.sdef, self.dec.periodic_grid(table_axes), self.bdims,
+            self.dec.nbricks, self.params,
+            exchanged_axes=tuple(a for a in (0, 1)
+                                 if a not in table_axes),
+            dtype=jnp.dtype(self.dtype), **fkw)
+        names = self.mesh.axis_names
+
+        def one(d):
+            if distributed:
+                d = exchange_shift(d, self.dec, names, msh,
+                                   table_axes=table_axes)
+                return kern(d)
+            for _ in range(self.st_iter // self.fuse):
+                d = kern(d)
+            return d
+
+        if int(np.prod(msh)) > 1:
+            return jax.jit(shard_map(one, self.mesh, self._P, self._P))
+        return jax.jit(one)
+
+    def owned_mask(self):
+        """Broadcastable 0/1 mask over the stacked storage selecting
+        each device's OWNED brick rows (loss weights for
+        :meth:`differentiable_step`; ghost rows of a Pallas output
+        are undefined)."""
+        import jax
+        import jax.numpy as jnp
+
+        nb = self.dec.nbricks
+        ndev = int(np.prod(self.mesh_shape))
+        m = np.zeros(ndev * nb, np.bool_)
+        for r in range(ndev):
+            m[r * nb + 1:r * nb + self.dec.sep_pos[1]] = True
+        m = m.reshape((-1,) + (1,) * len(self.bdims))
+        return jax.device_put(jnp.asarray(m), self._sharding)
+
     def describe(self) -> dict:
         """The chosen execution plan (the runtime analog of the
         vecscatter CLI's factorization report): backend, temporal-fuse

@@ -281,3 +281,60 @@ def test_grad_distributed_exchange_sweep():
         # zeroes the ghost cotangent: grads wrt initial ghost rows = 0
         blk = gbn[r * nb:(r + 1) * nb]
         assert float(np.abs(blk[dec.sep_pos[1]:]).max()) == 0.0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mesh", [(1, 1, 1), (2, 1, 1)])
+def test_problem_differentiable_step(mesh):
+    """Problem.differentiable_step: jax.grad through the user-facing
+    API (single-device chained sweeps and a distributed mesh) matches
+    the dense global twin."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.api import Problem
+
+    dims = (16, 16, 32)
+    sd, params = _asym_stencil(), _ASYM_PARAMS
+    st_iter = 2 if mesh == (1, 1, 1) else 1
+    p = Problem(dims=dims, mesh=mesh, stencil=sd, params=params,
+                bdims=(4, 4, dims[2]), backend="pencil",
+                st_iter=st_iter)
+    fn = p.differentiable_step()
+    wmask = p.owned_mask()
+
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    rng = np.random.default_rng(11)
+    x = rng.random(gshape, np.float32)
+    w = rng.random(gshape, np.float32)
+    p.init(array=x)
+    xb = p._dats[0]
+    wp = Problem(dims=dims, mesh=mesh, stencil=sd, params=params,
+                 bdims=(4, 4, dims[2]), backend="pencil",
+                 st_iter=st_iter)
+    wp.init(array=w)
+    wb = jnp.where(wmask, wp._dats[0], 0.0)
+
+    gb = jax.grad(lambda d: jnp.sum(fn(d) * wb))(xb)
+
+    lo, hi = sd.radius()
+    pad = tuple((lo[a], hi[a]) for a in range(3))
+
+    def loss_dense(d):
+        for _ in range(st_iter):
+            d = dense_apply(sd, {"in": jnp.pad(d, pad, mode="wrap")},
+                            params)
+        return jnp.sum(d * jnp.asarray(w))
+
+    gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(x)))
+
+    from bricklib_tpu.core import from_bricks
+
+    nb = p.dec.nbricks
+    gbn = np.asarray(gb)
+    for r, c in enumerate(np.ndindex(*mesh)):
+        own = from_bricks(gbn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                          p.dec.interior_grid(), p.bdims)
+        sl = tuple(slice(c[a] * dims[a], (c[a] + 1) * dims[a])
+                   for a in range(3))
+        np.testing.assert_allclose(own, gd[sl], rtol=2e-5, atol=2e-5)
