@@ -458,14 +458,18 @@ class Problem:
         msh = self.mesh_shape
         table_axes = tuple(a for a in range(3) if msh[a] == 1)
         distributed = len(table_axes) < 3
-        if distributed and self.st_iter != self.fuse:
+        if distributed and self.st_iter != 1:
+            # one UNFUSED sweep per exchange: deep-ghost chains and the
+            # fused adjoint's clamped intermediate levels are not
+            # exactly transposed across a real ghost ring
             raise ValueError(
-                f"differentiable distributed step needs one sweep per "
-                f"exchange: st_iter {self.st_iter} != fuse {self.fuse}")
+                f"differentiable distributed step needs st_iter=1 "
+                f"(one unfused sweep per exchange), got st_iter="
+                f"{self.st_iter}, fuse={self.fuse}")
         import jax.numpy as jnp
 
-        fkw = (dict(fuse=self.fuse) if self.fuse > 1
-               else dict(lookahead=2))
+        fuse = 1 if distributed else self.fuse
+        fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
         kern = differentiable_pencil_sweep(
             self.sdef, self.dec.periodic_grid(table_axes), self.bdims,
             self.dec.nbricks, self.params,
@@ -479,7 +483,7 @@ class Problem:
                 d = exchange_shift(d, self.dec, names, msh,
                                    table_axes=table_axes)
                 return kern(d)
-            for _ in range(self.st_iter // self.fuse):
+            for _ in range(self.st_iter // fuse):
                 d = kern(d)
             return d
 

@@ -77,22 +77,26 @@ def adjoint_stencil(sdef: StencilDef) -> StencilDef:
     return load_stencil_module({"STENCIL": [og]})[0]
 
 
-def _check_periodic_table(grid: np.ndarray, k_range, j_range):
-    """The transpose rule needs a torus: every ghost ring cell must
-    redirect to the wrapped owned brick (periodic_grid semantics)."""
+def _check_periodic_table(grid: np.ndarray, k_range, j_range,
+                          axes=(0, 1)):
+    """The transpose rule needs a torus on every NON-exchanged axis:
+    each ghost ring cell must redirect to the wrapped owned brick
+    (periodic_grid semantics)."""
     GK, GJ = grid.shape[:2]
     K0, K1 = k_range
     J0, J1 = j_range
     pk, pj = K1 - K0, J1 - J0
     ok = True
-    for r in range(K0):
-        ok &= bool(np.array_equal(grid[r], grid[r + pk]))
-    for r in range(GK - K1):
-        ok &= bool(np.array_equal(grid[K1 + r], grid[K0 + r]))
-    for r in range(J0):
-        ok &= bool(np.array_equal(grid[:, r], grid[:, r + pj]))
-    for r in range(GJ - J1):
-        ok &= bool(np.array_equal(grid[:, J1 + r], grid[:, J0 + r]))
+    if 0 in axes:
+        for r in range(K0):
+            ok &= bool(np.array_equal(grid[r], grid[r + pk]))
+        for r in range(GK - K1):
+            ok &= bool(np.array_equal(grid[K1 + r], grid[K0 + r]))
+    if 1 in axes:
+        for r in range(J0):
+            ok &= bool(np.array_equal(grid[:, r], grid[:, r + pj]))
+        for r in range(GJ - J1):
+            ok &= bool(np.array_equal(grid[:, J1 + r], grid[:, J0 + r]))
     if not ok:
         raise ValueError(
             "differentiable_pencil_sweep needs a fully periodic grid "
@@ -106,6 +110,7 @@ def differentiable_pencil_sweep(stencil, grid: np.ndarray,
                                 params: dict | None = None,
                                 mask_ghost: bool = True,
                                 exchanged_axes: Sequence[int] = (),
+                                forward_fn=None,
                                 **kw):
     """``fn(dat_view) -> out_view`` like :func:`pallas_pencil_sweep`,
     but registered with :func:`jax.custom_vjp`: ``jax.grad`` through it
@@ -124,7 +129,12 @@ def differentiable_pencil_sweep(stencil, grid: np.ndarray,
     overwrite-transpose re-zeroes ghost cotangent every step), i.e.
     one sweep per exchange.  Deep-ghost ``st_iter > 1`` chains
     ghost-INCLUSIVE sweeps whose edge-clamped windows are not exactly
-    transposed — exchange every iteration when differentiating."""
+    transposed — exchange every iteration when differentiating; for
+    the same reason ``fuse > 1`` is rejected with exchanged axes.
+
+    ``forward_fn``: a prebuilt :func:`pallas_pencil_sweep` with the
+    SAME configuration (skips rebuilding the forward kernel — e.g.
+    the one a Problem's plan already built)."""
     import jax
     import jax.numpy as jnp
 
@@ -145,14 +155,26 @@ def differentiable_pencil_sweep(stencil, grid: np.ndarray,
     if not set(exchanged_axes) <= {0, 1}:
         raise ValueError("exchanged_axes are numpy-order k/j axes "
                          "(0 and/or 1); i is always lane-periodic")
-    if not exchanged_axes:
-        _check_periodic_table(g2, k_range, j_range)
-
-    fwd_fn = pallas_pencil_sweep(stencil, grid, bdims, nbricks, params,
-                                 **kw)
+    if exchanged_axes and int(kw.get("fuse") or 1) > 1:
+        # the fused adjoint's intermediate levels CLAMP their windows
+        # at the table edge, which injects cotangent into outer ghost
+        # elements where the exact transpose is zero — and the exchange
+        # transpose would route that garbage into the neighbors' owned
+        # gradients.  fuse=1 is immune: its only clamped reads hit
+        # ghost-row cotangent, zero by contract.
+        raise ValueError("exchanged_axes with fuse > 1 would compute "
+                         "wrong gradients (clamped fused adjoint "
+                         "levels); exchange every iteration at fuse=1")
+    # every NON-exchanged axis must be table-periodic, or the pullback
+    # silently drops the boundary cotangent there
+    _check_periodic_table(
+        g2, k_range, j_range,
+        axes=tuple(a for a in (0, 1) if a not in exchanged_axes))
     sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
     if len(sdefs) != 1:
         raise ValueError("differentiable_pencil_sweep takes one output")
+    fwd_fn = forward_fn or pallas_pencil_sweep(stencil, grid, bdims,
+                                               nbricks, params, **kw)
     # pullback ranges: full span on exchanged axes (ghost cotangent is
     # real data the exchange transpose routes home), owned span on
     # table-periodic axes (their ring cells alias owned bricks — a

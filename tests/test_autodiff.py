@@ -338,3 +338,37 @@ def test_problem_differentiable_step(mesh):
         sl = tuple(slice(c[a] * dims[a], (c[a] + 1) * dims[a])
                    for a in range(3))
         np.testing.assert_allclose(own, gd[sl], rtol=2e-5, atol=2e-5)
+
+
+def test_exchanged_axes_rejects_fuse():
+    """Regression (review finding): distributed + fuse>1 would compute
+    WRONG gradients — the fused adjoint's clamped intermediate levels
+    inject cotangent into outer ghost elements where the exact
+    transpose is zero, and the exchange transpose routes that garbage
+    into the neighbors' owned gradients.  Must be rejected at build."""
+    from bricklib_tpu.codegen.autodiff import differentiable_pencil_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+    BD = (4, 4, 16)
+    dec = BrickDecomp(dims=(16, 16, 16), ghost_depth=(4, 4, 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    kg = dec.periodic_grid((1, 2))
+    with pytest.raises(ValueError, match="fuse"):
+        differentiable_pencil_sweep(
+            _asym_stencil(), kg, BD, dec.nbricks, _ASYM_PARAMS,
+            exchanged_axes=(0,), fuse=2, interpret=True)
+    # and a non-periodic table on a NON-exchanged axis is rejected too
+    with pytest.raises(ValueError, match="periodic"):
+        differentiable_pencil_sweep(
+            _asym_stencil(), dec.periodic_grid((2,)), BD, dec.nbricks,
+            _ASYM_PARAMS, exchanged_axes=(0,), interpret=True)
+
+
+def test_problem_differentiable_step_rejects_deep_ghost():
+    from bricklib_tpu.api import Problem
+
+    p = Problem(dims=(16, 16, 32), mesh=(2, 1, 1),
+                stencil=_asym_stencil(), params=_ASYM_PARAMS,
+                bdims=(4, 4, 32), backend="pencil", st_iter=2)
+    with pytest.raises(ValueError, match="st_iter=1"):
+        p.differentiable_step()
