@@ -1,4 +1,5 @@
-from .autodiff import adjoint_stencil, differentiable_pencil_sweep
+from .autodiff import (adjoint_stencil, differentiable_pencil_sweep,
+                       oracle_vjp_sweep)
 from .evaluate import evaluate, resolve_const_from_params
 from .ir import StencilIR, linear_decomposition
 from .jnp_backend import dense_apply, brick_apply
@@ -12,4 +13,5 @@ __all__ = [
     "brick_apply",
     "adjoint_stencil",
     "differentiable_pencil_sweep",
+    "oracle_vjp_sweep",
 ]

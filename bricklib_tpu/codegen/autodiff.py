@@ -212,3 +212,121 @@ def differentiable_pencil_sweep(stencil, grid: np.ndarray,
     step.forward = fwd_fn
     step.adjoint = adj_fn
     return step
+
+
+def oracle_vjp_sweep(stencil, dec, bdims: Sequence[int],
+                     params: dict | None = None,
+                     fields: Sequence[str] | None = None,
+                     **kw):
+    """Fast Pallas forward + exact ORACLE pullback, for everything the
+    adjoint-stencil mode cannot serve: nonlinear stencils, coupled
+    multi-output systems, and multi-input (variable-coefficient)
+    problems — including gradients wrt the AUX coefficient fields,
+    the inverse-problem case.
+
+    On a fully periodic table the dense twin computes the same
+    function as the pencil kernel (the golden equivalence every test
+    asserts), so ``jax.vjp`` through the traceable dense oracle is the
+    exact pullback of the Pallas forward.  The forward runs at kernel
+    speed; the backward runs at XLA-fused jnp speed (one dense
+    periodic application per output per fused level).
+
+    ``dec``: a :class:`~bricklib_tpu.comm.decomp.BrickDecomp` whose
+    table is used fully periodic (single-device / table-periodic
+    semantics — distributed meshes differentiate through the linear
+    adjoint mode only).  ``fields``: evolving grid names in STENCIL
+    output order (defaults to the single input).  Returns
+    ``fn(*views)`` in ``fn.fields`` input order, one output view per
+    STENCIL entry."""
+    import jax
+    import jax.numpy as jnp
+
+    from .jnp_backend import dense_apply
+    from .pencil_kernel import pallas_pencil_sweep
+
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    for bad in ("evolve", "batch", "i_ghost", "inplace", "k_range",
+                "j_range", "i_range"):
+        if kw.get(bad):
+            raise ValueError(f"oracle_vjp_sweep does not take {bad}=")
+    if fields is None:
+        if len(sdefs) != 1 or len(sdefs[0].inputs) != 1:
+            raise ValueError("fields= is required for systems / "
+                             "multi-input stencils")
+        fields = (next(iter(sdefs[0].inputs)),)
+    fields = tuple(fields)
+    if len(fields) != len(sdefs):
+        raise ValueError("one evolving field per STENCIL output")
+    nd = sdefs[0].dims
+    if nd != 3:
+        raise ValueError("oracle_vjp_sweep is 3-D pencil only")
+    kgrid = dec.periodic_grid(tuple(range(nd)))
+    F = int(kw.get("fuse") or 1)
+
+    fwd_fn = pallas_pencil_sweep(
+        sdefs if len(sdefs) > 1 else sdefs[0], kgrid, bdims,
+        dec.nbricks, params, evolve=fields, **kw)
+    fieldnames = getattr(fwd_fn, "fields", fields)
+    NO = len(sdefs)
+
+    # traceable storage <-> dense transforms over the OWNED cells
+    ids_np = dec.interior_grid()
+    ids2 = ids_np[:, :, 0] if ids_np.ndim == 3 else ids_np
+    gk, gj = ids2.shape
+    BK, BJ, BI = (int(b) for b in bdims)
+    flat_ids = jnp.asarray(ids2.ravel().astype(np.int32))
+
+    def to_dense(v):
+        b = v[flat_ids].reshape(gk, gj, BK, BJ, BI)
+        return b.transpose(0, 2, 1, 3, 4).reshape(gk * BK, gj * BJ, BI)
+
+    def to_store(dn, like):
+        b = dn.reshape(gk, BK, gj, BJ, BI).transpose(0, 2, 1, 3, 4)
+        return jnp.zeros_like(like).at[flat_ids].set(
+            b.reshape(gk * gj, BK, BJ, BI))
+
+    pads = {}
+    for sd in sdefs:
+        lo, hi = sd.radius()
+        pads[sd.output.name] = tuple((lo[a], hi[a]) for a in range(nd))
+
+    def oracle(*views):
+        vs = {n: to_dense(v) for n, v in zip(fieldnames, views)}
+        for _ in range(F):
+            outs = [dense_apply(
+                sd, {n: jnp.pad(vs[n], pads[sd.output.name],
+                                mode="wrap") for n in sd.inputs},
+                params) for sd in sdefs]
+            vs.update(zip(fields, outs))   # Jacobi: all read pre-level
+        return tuple(vs[f] for f in fields)
+
+    written = np.zeros(dec.nbricks, np.bool_)
+    written[np.unique(ids2)] = True
+    mask = jnp.asarray(written.reshape((dec.nbricks,)
+                                       + (1,) * len(bdims)))
+
+    @jax.custom_vjp
+    def step(*views):
+        return fwd_fn(*views)
+
+    def step_fwd(*views):
+        return fwd_fn(*views), views
+
+    def step_bwd(views, ct):
+        cts = ct if isinstance(ct, tuple) else (ct,)
+        # zero the undefined (unwritten) output rows before the vjp
+        cts = tuple(jnp.where(mask, c, jnp.zeros((), c.dtype))
+                    for c in cts)
+
+        def ofn(*v):
+            outs = oracle(*v)
+            return tuple(to_store(o, views[fieldnames.index(f)])
+                         for o, f in zip(outs, fields))
+
+        _, vjp = jax.vjp(ofn, *views)
+        return vjp(cts)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.fields = tuple(fieldnames)
+    return step

@@ -372,3 +372,152 @@ def test_problem_differentiable_step_rejects_deep_ghost():
                 bdims=(4, 4, 32), backend="pencil", st_iter=2)
     with pytest.raises(ValueError, match="st_iter=1"):
         p.differentiable_step()
+
+
+def _gray_scott_defs():
+    i, j, k = Index(0), Index(1), Index(2)
+    u, v = Grid("u", 3), Grid("v", 3)
+    ou, ov = Grid("ou", 3), Grid("ov", 3)
+
+    def lap(g):
+        return (g(i + 1, j, k) + g(i - 1, j, k) + g(i, j + 1, k)
+                + g(i, j - 1, k) + g(i, j, k + 1) + g(i, j, k - 1)
+                - 6.0 * g(i, j, k))
+
+    uvv = u(i, j, k) * v(i, j, k) * v(i, j, k)
+    ou(i, j, k).assign(u(i, j, k) + 0.8 * (0.16 * lap(u) - uvv
+                                           + 0.035 * (1.0 - u(i, j, k))))
+    ov(i, j, k).assign(v(i, j, k) + 0.8 * (0.08 * lap(v) + uvv
+                                           - 0.1 * v(i, j, k)))
+    return load_stencil_module({"STENCIL": [ou, ov]})
+
+
+@pytest.mark.slow
+def test_oracle_vjp_nonlinear_system():
+    """oracle_vjp_sweep: Pallas forward + dense-oracle pullback on the
+    NONLINEAR Gray-Scott system — jax.grad wrt both fields matches
+    jax.grad through the pure dense twin."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import oracle_vjp_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.core import to_bricks
+
+    N = 16
+    BD = (4, 4, N)
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(4, 4, 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    sds = _gray_scott_defs()
+    step = oracle_vjp_sweep(sds, dec, BD, {}, fields=("u", "v"),
+                            interpret=True)
+
+    def stage(a):
+        idx = [np.arange(-g, N + g) % N for g in (4, 4, 0)]
+        dat = np.zeros((dec.nbricks, int(np.prod(BD))), np.float32)
+        to_bricks(a[np.ix_(*idx)], dec.grid, BD, dat=dat)
+        return jnp.asarray(dat.reshape((dec.nbricks,) + BD))
+
+    rng = np.random.default_rng(2)
+    u0 = rng.random((N, N, N), np.float32)
+    v0 = rng.random((N, N, N), np.float32)
+    w = rng.random((N, N, N), np.float32)
+    wb = np.array(stage(w))
+    wb[dec.sep_pos[1]:] = 0.0
+    wb[0] = 0.0
+    wb = jnp.asarray(wb)
+
+    ub, vb = stage(u0), stage(v0)
+    ins = {n: (ub if n == "u" else vb) for n in step.fields}
+
+    def loss(uv):
+        u_, v_ = step(*(uv[0] if n == "u" else uv[1]
+                        for n in step.fields))
+        return jnp.sum(u_ * wb) + 0.5 * jnp.sum(v_ * wb)
+
+    gu, gv = jax.grad(loss)((ub, vb))
+
+    lo, hi = sds[0].radius()
+    pad = tuple((lo[a], hi[a]) for a in range(3))
+
+    def dense_loss(uv):
+        cur = {"u": uv[0], "v": uv[1]}
+        outs = [dense_apply(sd, {n: jnp.pad(cur[n], pad, mode="wrap")
+                                 for n in sd.inputs}, {})
+                for sd in sds]
+        return (jnp.sum(outs[0] * jnp.asarray(w))
+                + 0.5 * jnp.sum(outs[1] * jnp.asarray(w)))
+
+    du, dv = jax.grad(dense_loss)((jnp.asarray(u0), jnp.asarray(v0)))
+    dec_ = dec
+    for got, want in ((gu, du), (gv, dv)):
+        own = _unstage(dec_, BD, got)
+        np.testing.assert_allclose(own, np.asarray(want), rtol=2e-5,
+                                   atol=2e-5)
+
+
+@pytest.mark.slow
+def test_oracle_vjp_aux_coefficient_grad():
+    """Gradients wrt a STATIC aux coefficient field (the inverse
+    problem: estimate c(x) from observations) through the Pallas
+    forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import oracle_vjp_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.core import to_bricks
+
+    i, j, k = Index(0), Index(1), Index(2)
+    u, c, o = Grid("u", 3), Grid("c", 3), Grid("out", 3)
+    flux = None
+    for args in ([i + 1, j, k], [i, j - 1, k], [i, j, k + 1]):
+        f = (c(i, j, k) + c(*args)) * (u(*args) - u(i, j, k))
+        flux = f if flux is None else flux + f
+    o(i, j, k).assign(u(i, j, k) + 0.05 * flux)
+    sd = load_stencil_module({"STENCIL": [o]})[0]
+
+    N = 16
+    BD = (4, 4, N)
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(4, 4, 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    step = oracle_vjp_sweep(sd, dec, BD, {}, fields=("u",),
+                            interpret=True)
+
+    def stage(a):
+        idx = [np.arange(-g, N + g) % N for g in (4, 4, 0)]
+        dat = np.zeros((dec.nbricks, int(np.prod(BD))), np.float32)
+        to_bricks(a[np.ix_(*idx)], dec.grid, BD, dat=dat)
+        return jnp.asarray(dat.reshape((dec.nbricks,) + BD))
+
+    rng = np.random.default_rng(4)
+    u0 = rng.random((N, N, N), np.float32)
+    c0 = 1.0 + 0.5 * rng.random((N, N, N), np.float32)
+    w = rng.random((N, N, N), np.float32)
+    wb = np.array(stage(w))
+    wb[dec.sep_pos[1]:] = 0.0
+    wb[0] = 0.0
+    wb = jnp.asarray(wb)
+    named = {"u": stage(u0), "c": stage(c0)}
+
+    def loss(uv):
+        byname = dict(zip(("u", "c"), uv))
+        out = step(*(byname[n] for n in step.fields))
+        return jnp.sum(out * wb)
+
+    gu, gc = jax.grad(loss)((named["u"], named["c"]))
+
+    lo, hi = sd.radius()
+    pad = tuple((lo[a], hi[a]) for a in range(3))
+
+    def dense_loss(uv):
+        out = dense_apply(sd, {"u": jnp.pad(uv[0], pad, mode="wrap"),
+                               "c": jnp.pad(uv[1], pad, mode="wrap")},
+                          {})
+        return jnp.sum(out * jnp.asarray(w))
+
+    du, dc = jax.grad(dense_loss)((jnp.asarray(u0), jnp.asarray(c0)))
+    np.testing.assert_allclose(_unstage(dec, BD, gu), np.asarray(du),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(_unstage(dec, BD, gc), np.asarray(dc),
+                               rtol=2e-5, atol=2e-5)
