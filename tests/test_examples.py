@@ -44,3 +44,8 @@ def test_distributed_weak(monkeypatch):
 def test_adjoint_assimilation(monkeypatch):
     _run("adjoint_assimilation.py", monkeypatch, BRICK_EXAMPLE_N="16",
          BRICK_EXAMPLE_STEPS="40")
+
+
+def test_coefficient_inversion(monkeypatch):
+    _run("coefficient_inversion.py", monkeypatch, BRICK_EXAMPLE_N="16",
+         BRICK_EXAMPLE_STEPS="60")
