@@ -49,3 +49,8 @@ def test_adjoint_assimilation(monkeypatch):
 def test_coefficient_inversion(monkeypatch):
     _run("coefficient_inversion.py", monkeypatch, BRICK_EXAMPLE_N="16",
          BRICK_EXAMPLE_STEPS="60")
+
+
+def test_multigrid_poisson(monkeypatch):
+    _run("multigrid_poisson.py", monkeypatch, BRICK_EXAMPLE_N="16",
+         BRICK_EXAMPLE_STEPS="5")
