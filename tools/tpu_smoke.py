@@ -20,7 +20,7 @@ def main():
     if ensure_live_backend() is False:
         # this is a HARDWARE smoke: interpret mode does not check DMA
         # alignment (CLAUDE.md rule 7), so a CPU fallback run proves
-        # nothing — fail fast instead of interpreting 25 variants
+        # nothing — fail fast instead of interpreting every variant
         print("ERROR: TPU backend init dead/hung; tpu_smoke is "
               "hardware-only (interpret mode cannot check DMA "
               "alignment) — retry when the tunnel answers",
@@ -265,6 +265,34 @@ def main():
             ex = jax.export.deserialize(bytearray(open(f.name,
                                                        "rb").read()))
         return ex.call(view)
+
+    def autodiff_grads():
+        from bricklib_tpu.codegen.autodiff import (
+            differentiable_pencil_sweep, oracle_vjp_sweep)
+        from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+        adec = BrickDecomp(dims=(16, 16, 128), ghost_depth=(8, 8, 0),
+                           bdims=BD).initialize(
+                               skinlist_by_name("good", 3))
+        tg = adec.periodic_grid((0, 1, 2))
+        dstep = differentiable_pencil_sweep(sd7, tg, BD, adec.nbricks,
+                                            params)
+        own = np.zeros(adec.nbricks, np.bool_)
+        own[1:adec.sep_pos[1]] = True
+        msk = jnp.asarray(own.reshape((-1, 1, 1, 1)))
+        av = jnp.ones((adec.nbricks,) + BD, jnp.float32)
+        g1 = jax.jit(jax.grad(lambda d: jnp.sum(
+            jnp.where(msk, dstep(d), 0.0))))(av)
+        ostep = oracle_vjp_sweep(sd2, adec, BD,
+                                 {"alpha": 0.4, "beta": 0.1},
+                                 fields=("a",))
+        args = {n: av for n in ostep.fields}
+        g2 = jax.jit(jax.grad(lambda d: jnp.sum(jnp.where(
+            msk, ostep(*(d if n == "a" else av
+                         for n in ostep.fields)), 0.0))))(av)
+        return g1 + g2
+
+    check("autodiff grads (adjoint + oracle)", autodiff_grads)
 
     check("AOT export roundtrip", aot_roundtrip)
 
