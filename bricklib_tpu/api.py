@@ -283,6 +283,9 @@ class Problem:
                 kerns = [sweep(sdefs if nfld > 1 else sdefs[0], kgrid,
                                bd, dec.nbricks, self.params,
                                evolve=self.fields, **_rng(1), **fkw)]
+                # differentiable_step reuses this as its forward when
+                # the configs match (Mosaic first-compiles are minutes)
+                self._plan_kern0 = kerns[0]
             else:
                 kerns = [sweep(s, kgrid, bd, dec.nbricks, self.params,
                                **_rng(1), **fkw) for s in sdefs]
@@ -434,15 +437,18 @@ class Problem:
 
         Contract: 3-D pencil backend, one linear evolving field, no
         aux fields, shift exchange; on a distributed mesh the step
-        must be one sweep per exchange (``st_iter == fuse``) —
-        ghost-inclusive deep-ghost sweeps clamp their windows, which
-        is not exactly transposed."""
+        must be ONE UNFUSED sweep per exchange (``st_iter == 1``) —
+        ghost-inclusive deep-ghost chains and fused adjoint levels
+        clamp their windows, which is not exactly transposed across a
+        real ghost ring.  The built step is cached on the Problem."""
         import jax
 
         from .codegen.autodiff import differentiable_pencil_sweep
         from .comm.exchange import exchange_shift
         from .comm.mesh import shard_map
 
+        if getattr(self, "_diff_step", None) is not None:
+            return self._diff_step
         if (self._exec_plan["backend"] != "pencil"
                 or len(self.dims) != 3):
             raise ValueError("differentiable_step needs the 3-D "
@@ -475,7 +481,11 @@ class Problem:
             self.dec.nbricks, self.params,
             exchanged_axes=tuple(a for a in (0, 1)
                                  if a not in table_axes),
-            dtype=jnp.dtype(self.dtype), **fkw)
+            dtype=jnp.dtype(self.dtype),
+            # the plan's kernel IS this forward when fuse matches
+            # (identical stencil/grid/ranges/dtype/lookahead)
+            forward_fn=(self._plan_kern0 if fuse == self.fuse
+                        else None), **fkw)
         names = self.mesh.axis_names
 
         def one(d):
@@ -487,9 +497,10 @@ class Problem:
                 d = kern(d)
             return d
 
-        if int(np.prod(msh)) > 1:
-            return jax.jit(shard_map(one, self.mesh, self._P, self._P))
-        return jax.jit(one)
+        self._diff_step = (
+            jax.jit(shard_map(one, self.mesh, self._P, self._P))
+            if int(np.prod(msh)) > 1 else jax.jit(one))
+        return self._diff_step
 
     def owned_mask(self):
         """Broadcastable 0/1 mask over the stacked storage selecting
@@ -499,11 +510,8 @@ class Problem:
         import jax
         import jax.numpy as jnp
 
-        nb = self.dec.nbricks
         ndev = int(np.prod(self.mesh_shape))
-        m = np.zeros(ndev * nb, np.bool_)
-        for r in range(ndev):
-            m[r * nb + 1:r * nb + self.dec.sep_pos[1]] = True
+        m = np.tile(self.dec.owned_mask(), ndev)
         m = m.reshape((-1,) + (1,) * len(self.bdims))
         return jax.device_put(jnp.asarray(m), self._sharding)
 

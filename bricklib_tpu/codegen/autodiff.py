@@ -165,8 +165,17 @@ def differentiable_pencil_sweep(stencil, grid: np.ndarray,
         raise ValueError("exchanged_axes with fuse > 1 would compute "
                          "wrong gradients (clamped fused adjoint "
                          "levels); exchange every iteration at fuse=1")
-    # every NON-exchanged axis must be table-periodic, or the pullback
-    # silently drops the boundary cotangent there
+    # every NON-exchanged axis must be table-periodic AND keep its
+    # ghost ring OUT of the computed range: a ghost-inclusive range on
+    # a periodic axis (e.g. the deep-ghost (0, GK)) writes each skin
+    # brick twice through the ring alias — last-write-wins corruption —
+    # and makes the periodicity check below vacuous
+    for ax, rng, G in ((0, k_range, GK), (1, j_range, GJ)):
+        if ax not in exchanged_axes and (rng[0] < 1 or rng[1] > G - 1):
+            raise ValueError(
+                f"axis {ax}: range {rng} includes the periodic ghost "
+                f"ring (grid extent {G}); table-periodic axes must "
+                f"compute owned cells only (1, {G - 1})")
     _check_periodic_table(
         g2, k_range, j_range,
         axes=tuple(a for a in (0, 1) if a not in exchanged_axes))

@@ -258,6 +258,15 @@ class BrickDecomp:
         sl = tuple(slice(g, g + D) for g, D in zip(self.gz, self.gdims))
         return self.grid[sl]
 
+    def owned_mask(self) -> np.ndarray:
+        """Bool[nbricks]: True exactly for bricks this rank owns
+        (interior + skin).  Derived from the grid table rather than a
+        bare ``[1:sep_pos[1])`` slice, so the garbage brick 0 and any
+        ``align > 1`` padding rows stay False."""
+        m = np.zeros(self.nbricks, np.bool_)
+        m[np.unique(self.interior_grid())] = True
+        return m
+
     def periodic_grid(self, axes) -> np.ndarray:
         """Grid table with ghost cells along ``axes`` redirected to the
         periodically wrapped owned cells.

@@ -63,9 +63,7 @@ def main():
 
     rng = np.random.default_rng(0)
     x_true = stage(rng.random((n, n, n), np.float32))
-    owned = np.zeros(dec.nbricks, np.bool_)
-    owned[1:dec.sep_pos[1]] = True
-    wmask = jnp.asarray(owned.reshape((-1,) + (1,) * 3))
+    wmask = jnp.asarray(dec.owned_mask().reshape((-1,) + (1,) * 3))
 
     def fwd2(x):
         return step(step(x))

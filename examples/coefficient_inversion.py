@@ -66,9 +66,7 @@ def main():
     # the coefficient identifiable
     u0s = [stage(rng.random((n, n, n), np.float32)) for _ in range(3)]
     cb_true = stage(c_true)
-    owned = np.zeros(dec.nbricks, np.bool_)
-    owned[1:dec.sep_pos[1]] = True
-    wmask = jnp.asarray(owned.reshape((-1,) + (1,) * 3))
+    wmask = jnp.asarray(dec.owned_mask().reshape((-1,) + (1,) * 3))
 
     args_of = {nme: idx for idx, nme in enumerate(step.fields)}
 

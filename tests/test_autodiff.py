@@ -521,3 +521,35 @@ def test_oracle_vjp_aux_coefficient_grad():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(_unstage(dec, BD, gc), np.asarray(dc),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_rejects_ghost_inclusive_range_on_periodic_axis():
+    """Regression (review finding): a deep-ghost range like (0, GK) on
+    a table-periodic axis writes each skin brick twice through the
+    ring alias (last-write-wins corruption) and made the periodicity
+    check vacuous — must be rejected at build."""
+    from bricklib_tpu.codegen.autodiff import differentiable_pencil_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+    BD = (4, 4, 16)
+    dec = BrickDecomp(dims=(16, 16, 16), ghost_depth=(4, 4, 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    tg = dec.periodic_grid((0, 1, 2))
+    GK = tg.shape[0]
+    with pytest.raises(ValueError, match="ghost ring"):
+        differentiable_pencil_sweep(
+            _asym_stencil(), tg, BD, dec.nbricks, _ASYM_PARAMS,
+            k_range=(0, GK), interpret=True)
+
+
+def test_decomp_owned_mask():
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+    dec = BrickDecomp(dims=(16, 16, 16), ghost_depth=(4, 4, 0),
+                      bdims=(4, 4, 16)).initialize(
+                          skinlist_by_name("good", 3))
+    m = dec.owned_mask()
+    assert not m[0]                       # garbage brick
+    assert m.sum() == dec.interior_grid().size
+    assert bool(np.all(m[1:dec.sep_pos[1]]))   # align=1: contiguous
+    assert not m[dec.sep_pos[1]:].any()

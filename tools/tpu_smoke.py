@@ -277,16 +277,13 @@ def main():
         tg = adec.periodic_grid((0, 1, 2))
         dstep = differentiable_pencil_sweep(sd7, tg, BD, adec.nbricks,
                                             params)
-        own = np.zeros(adec.nbricks, np.bool_)
-        own[1:adec.sep_pos[1]] = True
-        msk = jnp.asarray(own.reshape((-1, 1, 1, 1)))
+        msk = jnp.asarray(adec.owned_mask().reshape((-1, 1, 1, 1)))
         av = jnp.ones((adec.nbricks,) + BD, jnp.float32)
         g1 = jax.jit(jax.grad(lambda d: jnp.sum(
             jnp.where(msk, dstep(d), 0.0))))(av)
         ostep = oracle_vjp_sweep(sd2, adec, BD,
                                  {"alpha": 0.4, "beta": 0.1},
                                  fields=("a",))
-        args = {n: av for n in ostep.fields}
         g2 = jax.jit(jax.grad(lambda d: jnp.sum(jnp.where(
             msk, ostep(*(d if n == "a" else av
                          for n in ostep.fields)), 0.0))))(av)
