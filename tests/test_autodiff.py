@@ -553,3 +553,20 @@ def test_decomp_owned_mask():
     assert m.sum() == dec.interior_grid().size
     assert bool(np.all(m[1:dec.sep_pos[1]]))   # align=1: contiguous
     assert not m[dec.sep_pos[1]:].any()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_adjoint_inner_product(seed):
+    """Randomized adjoint property: <S x, y> == <x, S^T y> for seeded
+    random linear stencils (asymmetric radii, repeated taps, degenerate
+    coefficients) on the periodic dense torus — numpy only."""
+    from tests.test_fuzz_stencils import _random_stencil
+
+    rng = np.random.default_rng(7000 + seed)
+    sd = _random_stencil(rng)
+    adj = adjoint_stencil(sd)
+    x = rng.random((8, 8, 8)).astype(np.float64)
+    y = rng.random((8, 8, 8)).astype(np.float64)
+    lhs = float(np.sum(_dense_periodic(sd, x, {}) * y))
+    rhs = float(np.sum(x * _dense_periodic(adj, y, {})))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12, atol=1e-12)
