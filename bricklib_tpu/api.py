@@ -419,6 +419,11 @@ class Problem:
                                  **don)
         else:  # single device: no SPMD wrapper
             self._step = jax.jit(one, **don)
+        # rollout() fuses n steps into ONE dispatch (fori_loop inside
+        # the SPMD region) — per-dispatch cost is ~1-2 ms on the tunnel
+        self._one = one
+        self._one_wrap = (don, nin, out_specs)
+        self._rollouts = {}
         self._dats = None
         self._aux = ()
 
@@ -642,6 +647,52 @@ class Problem:
         for _ in range(n):
             out = self._step(*self._dats, *self._aux)
             self._dats = (out,) if self.nfld == 1 else tuple(out)
+        return self
+
+    def rollout(self, n: int):
+        """Advance ``n`` steps in ONE device dispatch.
+
+        ``step(n)`` issues one jit call per step; on the tunnel each
+        dispatch costs ~1-2 ms, comparable to a whole 512-class step.
+        ``rollout`` runs a ``lax.fori_loop`` of the step INSIDE the
+        SPMD region instead (exchanges included), so the chain runs at
+        kernel speed regardless of n.  Numerically identical to
+        ``step(n)``."""
+        import jax
+        from jax import lax
+
+        from .comm.mesh import shard_map
+
+        n = int(n)
+        if n < 1:
+            raise ValueError("rollout needs n >= 1")
+        if self._dats is None:
+            raise RuntimeError("call init() first")
+        fn = self._rollouts.get(n)
+        if fn is None:
+            one = self._one
+            don, nin, out_specs = self._one_wrap
+            nfld = self.nfld
+
+            def many(*sv):
+                aux = sv[nfld:]
+
+                def body(_, st):
+                    out = one(*st, *aux)
+                    return (out,) if nfld == 1 else tuple(out)
+
+                out = lax.fori_loop(0, n, body, tuple(sv[:nfld]))
+                return out[0] if nfld == 1 else tuple(out)
+
+            if int(np.prod(self.mesh_shape)) > 1:
+                fn = jax.jit(shard_map(many, self.mesh,
+                                       (self._P,) * nin, out_specs),
+                             **don)
+            else:
+                fn = jax.jit(many, **don)
+            self._rollouts[n] = fn
+        out = fn(*self._dats, *self._aux)
+        self._dats = (out,) if self.nfld == 1 else tuple(out)
         return self
 
     def save(self, path: str):

@@ -196,3 +196,28 @@ def test_problem_export_requires_init():
     p = Problem(dims=(8, 8, 16), bdims=(4, 4, 8), backend="jnp")
     with pytest.raises(RuntimeError):
         p.export_step()
+
+
+def test_problem_rollout_matches_step_jnp_multidevice():
+    # n steps in ONE dispatch (fori_loop inside the SPMD region,
+    # exchange included) must equal n step() dispatches
+    g = random_array((16, 16, 32), np.float32, 6)
+    p = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                bdims=(4, 4, 8), backend="jnp")
+    q = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                bdims=(4, 4, 8), backend="jnp")
+    p.init(array=g).rollout(3)
+    q.init(array=g).step(3)
+    np.testing.assert_allclose(p.result(), q.result(), rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_problem_rollout_matches_step_pencil():
+    g = random_array((8, 12, 16), np.float32, 7)
+    p = Problem(dims=(8, 12, 16), stencil="mpi7pt", bdims=(2, 4, 16),
+                mesh=(1, 1, 1), backend="pencil")
+    q = Problem(dims=(8, 12, 16), stencil="mpi7pt", bdims=(2, 4, 16),
+                mesh=(1, 1, 1), backend="pencil")
+    p.init(array=g).rollout(2)
+    q.init(array=g).step(2)
+    np.testing.assert_allclose(p.result(), q.result(), rtol=0, atol=0)

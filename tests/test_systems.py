@@ -177,3 +177,23 @@ def test_system_init_and_result_guards():
         p.result()
     with pytest.raises(RuntimeError, match="init"):
         p.result("u")
+
+
+@pytest.mark.slow
+def test_system_rollout_matches_step():
+    # multi-field carry through the fused-dispatch fori_loop
+    sdefs = _coupled_system()
+    gdim = (16, 16, 32)
+    mesh = (2, 1, 1)
+    dims = tuple(g // m for g, m in zip(gdim, mesh))
+    u0 = random_array(gdim, np.float32, 3)
+    v0 = random_array(gdim, np.float32, 4)
+    kw = dict(dims=dims, stencil=sdefs, field=("u", "v"),
+              backend="pencil", mesh=mesh, st_iter=1,
+              bdims=(4, 4, dims[2]), params=PARAMS)
+    p, q = Problem(**kw), Problem(**kw)
+    p.init(array={"u": u0, "v": v0}).rollout(3)
+    q.init(array={"u": u0, "v": v0}).step(3)
+    for f in ("u", "v"):
+        np.testing.assert_allclose(p.result(f), q.result(f),
+                                   rtol=0, atol=0)
