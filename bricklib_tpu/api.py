@@ -533,7 +533,8 @@ class Problem:
         }
 
     # ------------------------------------------------------------------
-    def export_step(self, path: "str | None" = None) -> bytes:
+    def export_step(self, path: "str | None" = None,
+                    steps: int = 1) -> bytes:
         """AOT-serialize the jitted distributed step (``jax.export``):
         the export captures the mesh, shardings, collectives and Pallas
         kernels, so a serving process can run steps without tracing or
@@ -541,20 +542,24 @@ class Problem:
         on a matching device topology.  Platform-bound (Pallas payloads
         are Mosaic artifacts: export on the platform that serves).
         Requires ``init()`` (the live state supplies the arg specs).
-        Returns the serialized bytes; also written to ``path`` if
-        given.  Beyond the reference (its VSTARGET AOT story is
-        compile-time codegen, cmake/VecScatter.cmake)."""
+        ``steps > 1`` exports the fused n-step chain (one dispatch —
+        see :meth:`rollout`), the natural serving unit.  Returns the
+        serialized bytes; also written to ``path`` if given.  Beyond
+        the reference (its VSTARGET AOT story is compile-time codegen,
+        cmake/VecScatter.cmake)."""
         if self._dats is None:
             raise RuntimeError("init() the problem first — export "
                                "takes arg specs from the live state")
         import jax
         import jax.export as jex
 
+        fn = (self._step if int(steps) <= 1
+              else self._build_rollout(int(steps)))
         args = list(self._dats) + list(self._aux)
         specs = [jax.ShapeDtypeStruct(a.shape, a.dtype,
                                       sharding=a.sharding)
                  for a in args]
-        blob = jex.export(self._step)(*specs).serialize()
+        blob = jex.export(fn)(*specs).serialize()
         if path is not None:
             with open(path, "wb") as f:
                 f.write(blob)
@@ -658,42 +663,46 @@ class Problem:
         SPMD region instead (exchanges included), so the chain runs at
         kernel speed regardless of n.  Numerically identical to
         ``step(n)``."""
-        import jax
-        from jax import lax
-
-        from .comm.mesh import shard_map
-
         n = int(n)
         if n < 1:
             raise ValueError("rollout needs n >= 1")
         if self._dats is None:
             raise RuntimeError("call init() first")
-        fn = self._rollouts.get(n)
-        if fn is None:
-            one = self._one
-            don, nin, out_specs = self._one_wrap
-            nfld = self.nfld
-
-            def many(*sv):
-                aux = sv[nfld:]
-
-                def body(_, st):
-                    out = one(*st, *aux)
-                    return (out,) if nfld == 1 else tuple(out)
-
-                out = lax.fori_loop(0, n, body, tuple(sv[:nfld]))
-                return out[0] if nfld == 1 else tuple(out)
-
-            if int(np.prod(self.mesh_shape)) > 1:
-                fn = jax.jit(shard_map(many, self.mesh,
-                                       (self._P,) * nin, out_specs),
-                             **don)
-            else:
-                fn = jax.jit(many, **don)
-            self._rollouts[n] = fn
-        out = fn(*self._dats, *self._aux)
+        out = self._build_rollout(n)(*self._dats, *self._aux)
         self._dats = (out,) if self.nfld == 1 else tuple(out)
         return self
+
+    def _build_rollout(self, n: int):
+        """Cached jitted n-step chain (one dispatch; see rollout)."""
+        import jax
+        from jax import lax
+
+        from .comm.mesh import shard_map
+
+        fn = self._rollouts.get(n)
+        if fn is not None:
+            return fn
+        one = self._one
+        don, nin, out_specs = self._one_wrap
+        nfld = self.nfld
+
+        def many(*sv):
+            aux = sv[nfld:]
+
+            def body(_, st):
+                out = one(*st, *aux)
+                return (out,) if nfld == 1 else tuple(out)
+
+            out = lax.fori_loop(0, n, body, tuple(sv[:nfld]))
+            return out[0] if nfld == 1 else tuple(out)
+
+        if int(np.prod(self.mesh_shape)) > 1:
+            fn = jax.jit(shard_map(many, self.mesh,
+                                   (self._P,) * nin, out_specs), **don)
+        else:
+            fn = jax.jit(many, **don)
+        self._rollouts[n] = fn
+        return fn
 
     def save(self, path: str):
         """Checkpoint the sharded brick state + problem config.

@@ -221,3 +221,21 @@ def test_problem_rollout_matches_step_pencil():
     p.init(array=g).rollout(2)
     q.init(array=g).step(2)
     np.testing.assert_allclose(p.result(), q.result(), rtol=0, atol=0)
+
+
+def test_export_fused_rollout_roundtrip(tmp_path):
+    import jax
+    import jax.export as jex
+
+    g = random_array((16, 16, 32), np.float32, 8)
+    p = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                bdims=(4, 4, 8), backend="jnp")
+    p.init(array=g)
+    blob = p.export_step(steps=3)
+    ex = jex.deserialize(bytearray(blob))
+    got = ex.call(*p._dats, *p._aux)
+    q = Problem(dims=(8, 8, 16), stencil="mpi7pt", mesh=(2, 2, 2),
+                bdims=(4, 4, 8), backend="jnp")
+    q.init(array=g).step(3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(q._dats[0]),
+                               rtol=0, atol=0)
