@@ -162,3 +162,18 @@ def test_problem_4d_auto_fused():
     p.init(array=g).step(1)
     want = _dense_steps_4d(stencil_by_name("mpi9pt")[0], g, 4, p.params)
     assert compare_arrays(p.result(), want, 1e-4)
+
+
+@pytest.mark.slow
+def test_problem_4d_rollout_matches_step():
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import random_array
+
+    g = random_array((4, 8, 8, 32), np.float32, 5)
+    kw = dict(dims=(4, 8, 8, 32), stencil="mpi9pt",
+              bdims=(2, 4, 4, 32), backend="pencil",
+              mesh=(1, 1, 1, 1))
+    p, q = Problem(**kw), Problem(**kw)
+    p.init(array=g).rollout(2)
+    q.init(array=g).step(2)
+    np.testing.assert_allclose(p.result(), q.result(), rtol=0, atol=0)
