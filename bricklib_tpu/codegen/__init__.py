@@ -1,4 +1,5 @@
 from .autodiff import (adjoint_stencil, differentiable_pencil_sweep,
+                       differentiable_pencil_sweep_4d,
                        oracle_vjp_sweep)
 from .evaluate import evaluate, resolve_const_from_params
 from .ir import StencilIR, linear_decomposition
@@ -13,5 +14,6 @@ __all__ = [
     "brick_apply",
     "adjoint_stencil",
     "differentiable_pencil_sweep",
+    "differentiable_pencil_sweep_4d",
     "oracle_vjp_sweep",
 ]

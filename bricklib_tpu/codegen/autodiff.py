@@ -339,3 +339,94 @@ def oracle_vjp_sweep(stencil, dec, bdims: Sequence[int],
     step.forward = fwd_fn
     step.fields = tuple(fieldnames)
     return step
+
+
+def _check_periodic_table_nd(grid: np.ndarray, ranges):
+    """n-outer-axis torus check (4-D pencil tables): every ghost ring
+    cell must alias the wrapped owned brick along every axis."""
+    ok = True
+    for ax, (a0, a1) in enumerate(ranges):
+        G = grid.shape[ax]
+        p = a1 - a0
+        sl = [slice(None)] * grid.ndim
+
+        def at(r):
+            s = list(sl)
+            s[ax] = r
+            return grid[tuple(s)]
+
+        for r in range(a0):
+            ok &= bool(np.array_equal(at(r), at(r + p)))
+        for r in range(G - a1):
+            ok &= bool(np.array_equal(at(a1 + r), at(a0 + r)))
+    if not ok:
+        raise ValueError(
+            "differentiable_pencil_sweep_4d needs a fully periodic "
+            "grid table (BrickDecomp.periodic_grid over all axes)")
+
+
+def differentiable_pencil_sweep_4d(stencil, grid: np.ndarray,
+                                   bdims: Sequence[int], nbricks: int,
+                                   params: dict | None = None,
+                                   mask_ghost: bool = True,
+                                   **kw):
+    """4-D twin of :func:`differentiable_pencil_sweep` (table-periodic
+    configs only — the 4-D path has no exchanged-axes mode).  Same
+    contract: linear single-input stencil, fully periodic table, exact
+    adjoint sweep as the pullback, undefined output rows masked to
+    zero.  ``fuse`` composes exactly on the torus."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel_4d import pallas_pencil_sweep_4d
+
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    if len(sdefs) != 1:
+        raise ValueError("differentiable_pencil_sweep_4d takes one "
+                         "output")
+    if sdefs[0].dims != 4:
+        raise ValueError("use differentiable_pencil_sweep for 3-D")
+    grid = np.asarray(grid)
+    g3 = grid[:, :, :, 0] if grid.ndim == 4 else grid
+    if grid.ndim == 4 and grid.shape[3] != 1:
+        raise ValueError("pencil layout only (one brick per (w, k, j))")
+    GW, GK, GJ = g3.shape
+    ranges = (tuple(kw.get("w_range") or (1, GW - 1)),
+              tuple(kw.get("k_range") or (1, GK - 1)),
+              tuple(kw.get("j_range") or (1, GJ - 1)))
+    for ax, (a0, a1) in enumerate(ranges):
+        G = g3.shape[ax]
+        if a0 < 1 or a1 > G - 1:
+            raise ValueError(
+                f"axis {ax}: range {(a0, a1)} includes the periodic "
+                f"ghost ring (grid extent {G}); compute owned cells "
+                f"only (1, {G - 1})")
+    _check_periodic_table_nd(g3, ranges)
+
+    fwd_fn = pallas_pencil_sweep_4d(sdefs[0], grid, bdims, nbricks,
+                                    params, **kw)
+    adj_fn = pallas_pencil_sweep_4d(adjoint_stencil(sdefs[0]), grid,
+                                    bdims, nbricks, params, **kw)
+
+    written = np.zeros(nbricks, np.bool_)
+    written[np.unique(g3[ranges[0][0]:ranges[0][1],
+                         ranges[1][0]:ranges[1][1],
+                         ranges[2][0]:ranges[2][1]])] = True
+    mask = jnp.asarray(written.reshape((nbricks,) + (1,) * len(bdims)))
+
+    @jax.custom_vjp
+    def step(d):
+        return fwd_fn(d)
+
+    def step_fwd(d):
+        return fwd_fn(d), None
+
+    def step_bwd(_res, ct):
+        xb = adj_fn(ct)
+        return ((jnp.where(mask, xb, jnp.zeros((), xb.dtype))
+                 if mask_ghost else xb),)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.adjoint = adj_fn
+    return step

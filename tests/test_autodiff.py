@@ -570,3 +570,70 @@ def test_fuzz_adjoint_inner_product(seed):
     lhs = float(np.sum(_dense_periodic(sd, x, {}) * y))
     rhs = float(np.sum(x * _dense_periodic(adj, y, {})))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_grad_4d_matches_dense_twin():
+    """4-D differentiable sweep: jax.grad through the 4-D pencil
+    kernel (asymmetric taps, fuse=1 and fuse=2) vs the dense twin."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import (
+        differentiable_pencil_sweep_4d)
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.core import from_bricks, to_bricks
+
+    i, j, k, w = Index(0), Index(1), Index(2), Index(3)
+    g, o = Grid("in", 4), Grid("out", 4)
+    o(i, j, k, w).assign(
+        1.0 * g(i, j, k, w) + 0.6 * g(i + 1, j, k, w)
+        - 0.3 * g(i, j - 1, k, w) + 0.2 * g(i, j, k + 1, w)
+        + 0.9 * g(i, j, k, w - 1))
+    sd = load_stencil_module({"STENCIL": [o]})[0]
+
+    dims = (4, 8, 8, 16)        # (w, k, j, i)
+    BD = (2, 4, 4, 16)
+    gz = (2, 4, 4, 0)
+    dec = BrickDecomp(dims=dims, ghost_depth=gz, bdims=BD).initialize(
+        skinlist_by_name("good", 4))
+    tg = dec.periodic_grid((0, 1, 2, 3))
+
+    def stage(a):
+        idx = [np.arange(-z, dims[ax] + z) % dims[ax]
+               for ax, z in enumerate(gz)]
+        dat = np.zeros((dec.nbricks, int(np.prod(BD))), np.float32)
+        to_bricks(a[np.ix_(*idx)], dec.grid, BD, dat=dat)
+        return jnp.asarray(dat.reshape((dec.nbricks,) + BD))
+
+    rng = np.random.default_rng(6)
+    x = rng.random(dims, np.float32)
+    wgt = rng.random(dims, np.float32)
+    wb = np.array(stage(wgt))
+    wb[~dec.owned_mask()] = 0.0
+    wb = jnp.asarray(wb)
+    xb = stage(x)
+
+    lo, hi = sd.radius()
+    pad = tuple((lo[a], hi[a]) for a in range(4))
+
+    def dense_steps(d, n):
+        for _ in range(n):
+            d = dense_apply(sd, {"in": jnp.pad(d, pad, mode="wrap")},
+                            {})
+        return d
+
+    def unstage(b):
+        full = from_bricks(np.asarray(b).reshape(dec.nbricks, -1),
+                           dec.grid, BD)
+        return full[tuple(slice(z, z + dims[a])
+                          for a, z in enumerate(gz))]
+
+    for fuse, nsteps in ((1, 1), (2, 2)):
+        step = differentiable_pencil_sweep_4d(
+            sd, tg, BD, dec.nbricks, {}, interpret=True, fuse=fuse)
+        gb = jax.grad(lambda d: jnp.sum(step(d) * wb))(xb)
+        gd = jax.grad(lambda d: jnp.sum(
+            dense_steps(d, nsteps) * jnp.asarray(wgt)))(jnp.asarray(x))
+        np.testing.assert_allclose(unstage(gb), np.asarray(gd),
+                                   rtol=2e-5, atol=2e-5)
