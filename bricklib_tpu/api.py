@@ -440,12 +440,16 @@ class Problem:
         write losses over owned rows (ghost rows of a Pallas output
         are undefined; their gradient is exactly zero).
 
-        Contract: 3-D pencil backend, one linear evolving field, no
-        aux fields, shift exchange; on a distributed mesh the step
-        must be ONE UNFUSED sweep per exchange (``st_iter == 1``) —
-        ghost-inclusive deep-ghost chains and fused adjoint levels
-        clamp their windows, which is not exactly transposed across a
-        real ghost ring.  The built step is cached on the Problem."""
+        Linear single-field problems get the exact adjoint-sweep
+        pullback — ``fn(state) -> state``; on a distributed mesh the
+        step must be ONE UNFUSED sweep per exchange (``st_iter == 1``,
+        ghost-inclusive/fused windows clamp, which is not exactly
+        transposed across a real ghost ring).  Systems and
+        multi-input/aux problems get the ORACLE pullback
+        (table-periodic single-device meshes) with signature
+        ``fn(*fields, *aux) -> fields`` — gradients flow wrt the aux
+        coefficient fields too.  3-D pencil backend, shift exchange;
+        the built step is cached on the Problem."""
         import jax
 
         from .codegen.autodiff import differentiable_pencil_sweep
@@ -458,17 +462,23 @@ class Problem:
                 or len(self.dims) != 3):
             raise ValueError("differentiable_step needs the 3-D "
                              "pencil backend")
-        if self.nfld != 1 or self.aux_names:
-            raise ValueError("differentiable_step takes one linear "
-                             "evolving field and no aux fields "
-                             "(nonlinear/multi-input problems "
-                             "differentiate through brick_apply)")
         if self._exec_plan["exchange"] == "fused":
             raise ValueError("the fused-exchange kernel is opaque to "
                              "AD; use exchange='shift'")
         msh = self.mesh_shape
         table_axes = tuple(a for a in range(3) if msh[a] == 1)
         distributed = len(table_axes) < 3
+        if self.nfld != 1 or self.aux_names:
+            # systems / multi-input: oracle pullback (Pallas forward,
+            # dense-twin vjp) — table-periodic configs only, signature
+            # fn(*fields, *aux) -> fields so grads flow wrt aux too
+            if distributed:
+                raise ValueError(
+                    "multi-field/aux differentiable_step runs on "
+                    "fully table-periodic (single-device) meshes; "
+                    "distributed meshes differentiate the linear "
+                    "single-field configuration")
+            return self._build_oracle_diff_step()
         if distributed and self.st_iter != 1:
             # one UNFUSED sweep per exchange: deep-ghost chains and the
             # fused adjoint's clamped intermediate levels are not
@@ -505,6 +515,34 @@ class Problem:
         self._diff_step = (
             jax.jit(shard_map(one, self.mesh, self._P, self._P))
             if int(np.prod(msh)) > 1 else jax.jit(one))
+        return self._diff_step
+
+    def _build_oracle_diff_step(self):
+        import jax
+
+        from .codegen.autodiff import oracle_vjp_sweep
+
+        import jax.numpy as jnp
+
+        fuse = self.fuse
+        fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
+        kern = oracle_vjp_sweep(
+            self.sdefs if self.nfld > 1 else self.sdef, self.dec,
+            self.bdims, self.params, fields=self.fields,
+            dtype=jnp.dtype(self.dtype), **fkw)
+        nfld = self.nfld
+
+        def one(*sv):
+            names = list(self.fields) + list(self.aux_names)
+            vals = dict(zip(names, sv))
+            for _ in range(self.st_iter // fuse):
+                out = kern(*(vals[n] for n in kern.fields))
+                outs = out if nfld > 1 else (out,)
+                vals.update(zip(self.fields, outs))
+            res = tuple(vals[f] for f in self.fields)
+            return res[0] if nfld == 1 else res
+
+        self._diff_step = jax.jit(one)
         return self._diff_step
 
     def owned_mask(self):

@@ -637,3 +637,88 @@ def test_grad_4d_matches_dense_twin():
             dense_steps(d, nsteps) * jnp.asarray(wgt)))(jnp.asarray(x))
         np.testing.assert_allclose(unstage(gb), np.asarray(gd),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_problem_differentiable_step_system_and_aux():
+    """Problem.differentiable_step oracle mode: gradients for a
+    nonlinear two-field system AND for a static aux coefficient field
+    through the user-facing API, vs pure dense AD."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.api import Problem
+
+    # --- nonlinear system (Gray-Scott shape) --------------------------
+    sds = _gray_scott_defs()
+    dims = (16, 16, 32)
+    p = Problem(dims=dims, stencil=sds, field=("u", "v"),
+                bdims=(4, 4, dims[2]), backend="pencil", params={})
+    fn = p.differentiable_step()
+    rng = np.random.default_rng(9)
+    u0 = rng.random(dims, np.float32)
+    v0 = rng.random(dims, np.float32)
+    w = rng.random(dims, np.float32)
+    p.init(array={"u": u0, "v": v0})
+    wmask = p.owned_mask()
+    wp = Problem(dims=dims, stencil=sds, field=("u", "v"),
+                 bdims=(4, 4, dims[2]), backend="pencil", params={})
+    wp.init(array={"u": w, "v": w})
+    wb = jnp.where(wmask, wp._dats[0], 0.0)
+
+    gu, gv = jax.grad(
+        lambda uv: jnp.sum(fn(*uv)[0] * wb))((p._dats[0], p._dats[1]))
+
+    lo, hi = sds[0].radius()
+    pad = tuple((lo[a], hi[a]) for a in range(3))
+
+    def dense_loss(uv):
+        cur = {"u": uv[0], "v": uv[1]}
+        out = dense_apply(sds[0], {n: jnp.pad(cur[n], pad, mode="wrap")
+                                   for n in sds[0].inputs}, {})
+        return jnp.sum(out * jnp.asarray(w))
+
+    from bricklib_tpu.core import from_bricks
+
+    def unst(dec, BD, b):
+        full = from_bricks(np.asarray(b).reshape(dec.nbricks, -1),
+                           dec.grid, BD)
+        return full[BD[0]:BD[0] + dims[0], BD[1]:BD[1] + dims[1], :]
+
+    du, dv = jax.grad(dense_loss)((jnp.asarray(u0), jnp.asarray(v0)))
+    np.testing.assert_allclose(unst(p.dec, p.bdims, gu),
+                               np.asarray(du), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(unst(p.dec, p.bdims, gv),
+                               np.asarray(dv), rtol=2e-5, atol=2e-5)
+
+    # --- aux coefficient gradients ------------------------------------
+    i, j, k = Index(0), Index(1), Index(2)
+    u, c, o = Grid("u", 3), Grid("c", 3), Grid("out", 3)
+    o(i, j, k).assign(u(i, j, k)
+                      + 0.1 * (c(i, j, k) + c(i + 1, j, k))
+                      * (u(i + 1, j, k) - u(i, j, k)))
+    sd = load_stencil_module({"STENCIL": [o]})[0]
+    q = Problem(dims=dims, stencil=sd, field="u",
+                bdims=(4, 4, dims[2]), backend="pencil", params={})
+    qf = q.differentiable_step()
+    c0 = 1.0 + rng.random(dims, np.float32)
+    q.init(array=u0, aux={"c": c0})
+    qmask = q.owned_mask()
+    names = list(q.fields) + list(q.aux_names)
+    args = dict(zip(names, list(q._dats) + list(q._aux)))
+
+    gc = jax.grad(lambda cb: jnp.sum(jnp.where(
+        qmask, qf(args["u"], cb), 0.0) * wb))(args["c"])
+
+    def dense_loss_c(cd):
+        lo2, hi2 = sd.radius()
+        pad2 = tuple((lo2[a], hi2[a]) for a in range(3))
+        out = dense_apply(sd, {"u": jnp.pad(jnp.asarray(u0), pad2,
+                                            mode="wrap"),
+                               "c": jnp.pad(cd, pad2, mode="wrap")},
+                          {})
+        return jnp.sum(out * jnp.asarray(w))
+
+    dc = jax.grad(dense_loss_c)(jnp.asarray(c0))
+    np.testing.assert_allclose(unst(q.dec, q.bdims, gc),
+                               np.asarray(dc), rtol=2e-5, atol=2e-5)
