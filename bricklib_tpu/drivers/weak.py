@@ -496,6 +496,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from bricklib_tpu.bench.roofline import ensure_live_backend
+
+    if ensure_live_backend() is False:
+        import sys as _sys
+
+        print("WARNING: TPU backend init dead/hung; running on CPU "
+              "(virtual devices)", file=_sys.stderr)
     run(tuple(int(x) for x in a.dims.split(",")),
         tuple(int(x) for x in a.bdim.split(",")),
         a.stencil, a.st_iter,
