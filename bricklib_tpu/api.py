@@ -458,10 +458,38 @@ class Problem:
 
         if getattr(self, "_diff_step", None) is not None:
             return self._diff_step
-        if (self._exec_plan["backend"] != "pencil"
-                or len(self.dims) != 3):
-            raise ValueError("differentiable_step needs the 3-D "
-                             "pencil backend")
+        if self._exec_plan["backend"] != "pencil":
+            raise ValueError("differentiable_step needs the pencil "
+                             "backend")
+        nd = len(self.dims)
+        if nd == 4:
+            # 4-D: linear adjoint twin, table-periodic only
+            if int(np.prod(self.mesh_shape)) > 1:
+                raise ValueError("4-D differentiable_step runs on "
+                                 "table-periodic (single-device) "
+                                 "meshes")
+            if self.nfld != 1 or self.aux_names:
+                raise ValueError("4-D differentiable_step takes one "
+                                 "linear evolving field")
+            from .codegen.autodiff import differentiable_pencil_sweep_4d
+            import jax.numpy as jnp
+
+            fuse = self.fuse
+            fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
+            kern = differentiable_pencil_sweep_4d(
+                self.sdef, self.dec.periodic_grid(tuple(range(4))),
+                self.bdims, self.dec.nbricks, self.params,
+                dtype=jnp.dtype(self.dtype), **fkw)
+
+            def one4(d):
+                for _ in range(self.st_iter // fuse):
+                    d = kern(d)
+                return d
+
+            self._diff_step = jax.jit(one4)
+            return self._diff_step
+        if nd != 3:
+            raise ValueError("differentiable_step is 3-D/4-D pencil")
         if self._exec_plan["exchange"] == "fused":
             raise ValueError("the fused-exchange kernel is opaque to "
                              "AD; use exchange='shift'")

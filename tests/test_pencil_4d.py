@@ -177,3 +177,47 @@ def test_problem_4d_rollout_matches_step():
     p.init(array=g).rollout(2)
     q.init(array=g).step(2)
     np.testing.assert_allclose(p.result(), q.result(), rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_problem_4d_differentiable_step():
+    """4-D Problem AD hook: grad through the 4-D pencil kernel (auto-
+    fused mpi9pt, st_iter chaining) vs the dense twin."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import random_array
+
+    dims = (4, 8, 8, 32)
+    p = Problem(dims=dims, stencil="mpi9pt", bdims=(2, 4, 4, 32),
+                backend="pencil", mesh=(1, 1, 1, 1), st_iter=2)
+    fn = p.differentiable_step()
+    wmask = p.owned_mask()
+    g = random_array(dims, np.float32, 11)
+    w = random_array(dims, np.float32, 12)
+    p.init(array=g)
+    wp = Problem(dims=dims, stencil="mpi9pt", bdims=(2, 4, 4, 32),
+                 backend="pencil", mesh=(1, 1, 1, 1), st_iter=2)
+    wp.init(array=w)
+    wb = jnp.where(wmask, wp._dats[0], 0.0)
+
+    gb = jax.grad(lambda d: jnp.sum(fn(d) * wb))(p._dats[0])
+
+    sd = stencil_by_name("mpi9pt")[0]
+    lo, hi = sd.radius()
+    pad = tuple((lo[a], hi[a]) for a in range(4))
+
+    def dense_loss(d):
+        for _ in range(2):
+            d = dense_apply(sd, {next(iter(sd.inputs)):
+                                 jnp.pad(d, pad, mode="wrap")},
+                            p.params)
+        return jnp.sum(d * jnp.asarray(w))
+
+    gd = np.asarray(jax.grad(dense_loss)(jnp.asarray(g)))
+    full = from_bricks(np.asarray(gb).reshape(p.dec.nbricks, -1),
+                       p.dec.grid, p.bdims)
+    # dec.gz counts grid CELLS; element offsets scale by the brick dims
+    own = full[tuple(slice(z * p.bdims[a], z * p.bdims[a] + dims[a])
+                     for a, z in enumerate(p.dec.gz))]
+    np.testing.assert_allclose(own, gd, rtol=2e-5, atol=2e-5)
