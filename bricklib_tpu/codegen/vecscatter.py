@@ -90,6 +90,13 @@ def describe(name_or_path: str, params: dict | None = None,
                     else:
                         fits = ir.dims == 3 and len(sd.taps) <= 7
                     desc["fold"]["auto_fuse"] = top if fits else 1
+                    # describe() has no runtime config, so this is the
+                    # pass-estimate gate only — Problem additionally
+                    # requires fuse*radius <= bdims[:-1] and that fuse
+                    # divide the iteration budget (st_iter, minus 1
+                    # under the fused exchange), so the runtime value
+                    # may be lower
+                    desc["fold"]["auto_fuse_is_upper_bound"] = True
         out.append(desc)
     return out
 

@@ -147,7 +147,7 @@ def main(argv=None):
             if dt < best[k][0]:
                 best[k] = (dt, q)
             print(f"# r{rnd} {k}: {dt*1e3:.3f} ms/iter "
-                  f"(copy {copy_s/R*1e3:.2f} ms, "
+                  f"(copy {copy_s*1e3:.2f} ms, "
                   f"{'quiet' if q else 'contended'})",
                   file=sys.stderr, flush=True)
         rnd += 1
