@@ -167,6 +167,38 @@ def test_pencil_multi_input_fused_smoke():
     assert compare_arrays(got, state["a"], 1e-5)
 
 
+def test_pencil_generic_cond_smoke():
+    """Generic-evaluator branch (cond's If/max predication) numeric
+    check in the fast tier — the one emitter branch the other smokes
+    don't reach (slow-tier covers it at realistic shapes)."""
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_stencil
+
+    grid, info, cores, views = _periodic_data(BD, G, 23)
+    sd = stencil_by_name("cond")[0]
+    fn = pallas_pencil_stencil(sd, grid, BD, (1, 1), info.nbricks,
+                               PARAMS, interpret=True)
+    out = np.asarray(fn(views[0]))
+    want = _dense_want(sd, cores, PARAMS)
+    got = from_bricks(out, grid[1:-1, 1:-1], BD)
+    assert compare_arrays(got, want, 1e-5)
+
+
+def test_pencil_radius2_profile_smoke():
+    """Radius-2 i-profile factorization branch (13pt star) numeric
+    check in the fast tier."""
+    from bricklib_tpu.codegen.pencil_kernel import pallas_pencil_stencil
+
+    bd = (4, 4, 16)
+    grid, info, cores, views = _periodic_data(bd, G, 29)
+    sd = stencil_by_name("mpi13pt")[0]
+    fn = pallas_pencil_stencil(sd, grid, bd, (1, 1), info.nbricks,
+                               PARAMS, interpret=True)
+    out = np.asarray(fn(views[0]))
+    want = _dense_want(sd, cores, PARAMS)
+    got = from_bricks(out, grid[1:-1, 1:-1], bd)
+    assert compare_arrays(got, want, 1e-5)
+
+
 def test_pallas_dense_smoke():
     from bricklib_tpu.codegen.pallas_backend import pallas_dense_stencil
 
