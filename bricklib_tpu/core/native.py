@@ -32,8 +32,13 @@ def load_library():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        # installed wheels carry the prebuilt lib in bricklib_tpu/_native
+        # (setup.py build hook); source trees build csrc/ on demand
+        pkg_so = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "_native", "libbrickplanner.so")
         csrc = os.path.join(_root(), "csrc")
-        so = os.path.join(csrc, "libbrickplanner.so")
+        so = pkg_so if os.path.exists(pkg_so) else os.path.join(
+            csrc, "libbrickplanner.so")
         if not os.path.exists(so):
             try:
                 subprocess.run(["make", "-C", csrc], check=True,
