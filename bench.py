@@ -127,6 +127,15 @@ def main():
     k125 = rep(pallas_pencil_sweep(
         stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params,
         lookahead=2))
+    # MXU k-profile contraction over flat-pencil storage (the round-4
+    # candidate against the 125pt >= 0.90-of-SOL gate, BASELINE.md:32):
+    # the W stage runs as three small matmuls on the otherwise-idle
+    # matrix unit, j-shifts become aligned lane slices
+    if on_tpu:
+        from bricklib_tpu.codegen.mxu_kernel import pallas_pencil_sweep_mxu
+
+        k125mxu = rep(pallas_pencil_sweep_mxu(
+            stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params))
     # bf16 items are TPU-only: on the CPU fallback they triple the
     # interpret-mode compile count for numbers nobody reads
     if on_tpu:
@@ -199,12 +208,16 @@ def main():
     if on_tpu:
         items.update({"7pt_bf16": (k7bf, R),
                       "copy_bf16": (dma_copy_bf16, R),
-                      "honest_bf16": (honest_bf16, ST_ITER)})
+                      "honest_bf16": (honest_bf16, ST_ITER),
+                      "125pt_mxu": (k125mxu, R)})
     times = {k: [] for k in items}
     bufs = {k: fresh(s) for s, k in enumerate(items)}
     for k in ("7pt_bf16", "copy_bf16", "honest_bf16"):
         if k in bufs:
             bufs[k] = bufs[k].astype(jnp.bfloat16)
+    if "125pt_mxu" in bufs:
+        bufs["125pt_mxu"] = bufs["125pt_mxu"].reshape(
+            nb, BD[0], BD[1] * BD[2])
     for _ in range(rounds):
         for k, (fn, per) in items.items():
             dt, bufs[k] = chain(fn, bufs[k], iters)
@@ -253,6 +266,10 @@ def main():
             "125pt_gstencil_s": round(elems / best["125pt"] / 1e9, 3),
             "125pt_step_ms": round(best["125pt"] * 1e3, 3),
             "125pt_vs_sol": round(best["copy"] / best["125pt"], 4),
+            **({"125pt_mxu_step_ms": round(best["125pt_mxu"] * 1e3, 3),
+                "125pt_mxu_vs_sol": round(
+                    best["copy"] / best["125pt_mxu"], 4),
+                } if "125pt_mxu" in best else {}),
             **({"bf16_sweep_gstencil_s": round(
                     elems / best["7pt_bf16"] / 1e9, 3),
                 "bf16_honest": {

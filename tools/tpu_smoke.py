@@ -104,6 +104,16 @@ def main():
             view))
     check("pencil lookahead=2", lambda: jax.jit(pallas_pencil_sweep(
         sd7, grid3, BD, info3.nbricks, params, lookahead=2))(view))
+
+    def mxu_flat_125():
+        from bricklib_tpu.codegen.mxu_kernel import (
+            flatten_bricks, pallas_pencil_sweep_mxu)
+
+        fn = pallas_pencil_sweep_mxu(sd125, grid3, BD, info3.nbricks,
+                                     params)
+        return jax.jit(fn)(flatten_bricks(view))
+
+    check("mxu flat-pencil 125pt", mxu_flat_125)
     check("pencil two-grid fused F=2", lambda: jax.jit(
         pallas_pencil_sweep(sd2, grid3, BD, info3.nbricks,
                             {"alpha": 0.4, "beta": 0.1}, fuse=2,
