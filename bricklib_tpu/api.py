@@ -444,15 +444,21 @@ class Problem:
         pullback — ``fn(state) -> state``; on a distributed mesh the
         step must be ONE UNFUSED sweep per exchange (``st_iter == 1``,
         ghost-inclusive/fused windows clamp, which is not exactly
-        transposed across a real ghost ring).  Systems and
-        multi-input/aux problems get the ORACLE pullback
-        (table-periodic single-device meshes) with signature
-        ``fn(*fields, *aux) -> fields`` — gradients flow wrt the aux
-        coefficient fields too.  3-D pencil backend, shift exchange;
-        the built step is cached on the Problem."""
+        transposed across a real ghost ring).  Single-output
+        POLYNOMIAL problems — variable-coefficient multi-input and
+        polynomial nonlinearities — get exact adjoint PENCIL sweeps
+        too (one per input field, O(1) activations; signature
+        ``fn(field, *aux) -> field``, distributed meshes included:
+        aux-field ghost gradients ride an in-graph aux exchange's
+        transpose home).  Coupled systems and non-polynomial stencils
+        (If/max) fall back to the ORACLE pullback (table-periodic
+        single-device meshes, signature ``fn(*fields, *aux) ->
+        fields``).  3-D pencil backend, shift exchange; the built step
+        is cached on the Problem."""
         import jax
 
         from .codegen.autodiff import differentiable_pencil_sweep
+        from .codegen.ir import linear_decomposition
         from .comm.exchange import exchange_shift
         from .comm.mesh import shard_map
 
@@ -496,17 +502,35 @@ class Problem:
         msh = self.mesh_shape
         table_axes = tuple(a for a in range(3) if msh[a] == 1)
         distributed = len(table_axes) < 3
-        if self.nfld != 1 or self.aux_names:
-            # systems / multi-input: oracle pullback (Pallas forward,
+        if self.nfld != 1:
+            # coupled SYSTEMS: oracle pullback (Pallas forward,
             # dense-twin vjp) — table-periodic configs only, signature
             # fn(*fields, *aux) -> fields so grads flow wrt aux too
             if distributed:
                 raise ValueError(
-                    "multi-field/aux differentiable_step runs on "
-                    "fully table-periodic (single-device) meshes; "
-                    "distributed meshes differentiate the linear "
-                    "single-field configuration")
+                    "system differentiable_step runs on fully "
+                    "table-periodic (single-device) meshes; "
+                    "distributed meshes differentiate single-output "
+                    "configurations (linear or polynomial)")
             return self._build_oracle_diff_step()
+        if self.aux_names or linear_decomposition(self.sdef.rhs) is None:
+            # single output, multi-input (variable-coefficient) or
+            # polynomial-nonlinear: exact adjoint-stencil pullback via
+            # the multi-input pencil path (one sweep per input field,
+            # O(1) activations); non-polynomial (If/max) falls back to
+            # the dense oracle, table-periodic only
+            try:
+                return self._build_poly_diff_step(distributed,
+                                                  table_axes)
+            except ValueError as e:
+                if "polynomial expansion" not in str(e):
+                    raise
+                if distributed:
+                    raise ValueError(
+                        "non-polynomial multi-input differentiable_"
+                        "step (If/max) runs table-periodic only "
+                        f"({e})") from e
+                return self._build_oracle_diff_step()
         if distributed and self.st_iter != 1:
             # one UNFUSED sweep per exchange: deep-ghost chains and the
             # fused adjoint's clamped intermediate levels are not
@@ -542,6 +566,56 @@ class Problem:
 
         self._diff_step = (
             jax.jit(shard_map(one, self.mesh, self._P, self._P))
+            if int(np.prod(msh)) > 1 else jax.jit(one))
+        return self._diff_step
+
+    def _build_poly_diff_step(self, distributed, table_axes):
+        """Exact polynomial pullback (codegen.autodiff.
+        differentiable_poly_sweep): Pallas forward + one adjoint pencil
+        sweep per input field, O(1) activations.  Signature
+        ``fn(field, *aux) -> field``.  Distributed meshes exchange the
+        evolving field per step as usual AND route aux-field ghost
+        gradients home through an idempotent in-graph aux exchange
+        (its transpose is exactly the ghost-to-owner fold)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .codegen.autodiff import differentiable_poly_sweep
+        from .comm.exchange import exchange_shift
+        from .comm.mesh import shard_map
+
+        if distributed and self.st_iter != 1:
+            raise ValueError(
+                f"differentiable distributed step needs st_iter=1 "
+                f"(one unfused sweep per exchange), got st_iter="
+                f"{self.st_iter}, fuse={self.fuse}")
+        msh = self.mesh_shape
+        kern = differentiable_poly_sweep(
+            self.sdef, self.dec.periodic_grid(table_axes), self.bdims,
+            self.dec.nbricks, self.params,
+            exchanged_axes=tuple(a for a in (0, 1)
+                                 if a not in table_axes),
+            dtype=jnp.dtype(self.dtype),
+            forward_fn=(self._plan_kern0 if self.fuse == 1 else None),
+            lookahead=2)
+        names = self.mesh.axis_names
+        allnames = list(self.fields) + list(self.aux_names)
+
+        def one(*sv):
+            vals = dict(zip(allnames, sv))
+            if distributed:
+                vals = {n: exchange_shift(v, self.dec, names, msh,
+                                          table_axes=table_axes)
+                        for n, v in vals.items()}
+                return kern(*(vals[n] for n in kern.fields))
+            for _ in range(self.st_iter):
+                out = kern(*(vals[n] for n in kern.fields))
+                vals[self.fields[0]] = out
+            return vals[self.fields[0]]
+
+        self._diff_step = (
+            jax.jit(shard_map(one, self.mesh,
+                              (self._P,) * len(allnames), self._P))
             if int(np.prod(msh)) > 1 else jax.jit(one))
         return self._diff_step
 

@@ -38,8 +38,17 @@ from typing import Sequence
 
 import numpy as np
 
-from ..st.expr import ConstRef, FloatLiteral, Index
-from ..st.grid import Grid
+from ..st.expr import (
+    BinOp,
+    ConstRef,
+    FloatLiteral,
+    Index,
+    IntLiteral,
+    Op,
+    UnOp,
+    UOp,
+)
+from ..st.grid import Grid, GridRef
 from ..st.loader import StencilDef, load_stencil_module
 from .ir import linear_decomposition
 
@@ -75,6 +84,119 @@ def adjoint_stencil(sdef: StencilDef) -> StencilDef:
             rhs = term if rhs is None else rhs + term
     og(*idx).assign(rhs)
     return load_stencil_module({"STENCIL": [og]})[0]
+
+
+def _expand_monomials(rhs):
+    """Expand ``rhs`` into monomials ``(sign, const_expr|None,
+    [(grid_name, offsets_edsl), ...])`` — a sum of products of grid
+    taps with trace-time-constant scale factors.  Raises ValueError on
+    non-polynomial structure (If/max/Func; grid-valued divisors)."""
+
+    def mul(a, b):
+        sa, ca, ra = a
+        sb, cb, rb = b
+        c = ca if cb is None else (cb if ca is None
+                                   else BinOp(Op.MUL, ca, cb))
+        return (sa * sb, c, ra + rb)
+
+    def go(e):
+        if isinstance(e, (IntLiteral, FloatLiteral)):
+            return [(float(e.val), None, [])]
+        if isinstance(e, ConstRef):
+            return [(1.0, ConstRef(e.name), [])]
+        if isinstance(e, GridRef):
+            return [(1.0, None, [(e.grid.name, tuple(e.offsets))])]
+        if isinstance(e, UnOp) and e.op is UOp.NEG:
+            return [(-s, c, r) for s, c, r in go(e.subexpr)]
+        if isinstance(e, BinOp):
+            if e.op is Op.ADD:
+                return go(e.lhs) + go(e.rhs)
+            if e.op is Op.SUB:
+                return go(e.lhs) + [(-s, c, r) for s, c, r in go(e.rhs)]
+            if e.op is Op.MUL:
+                return [mul(a, b) for a in go(e.lhs) for b in go(e.rhs)]
+            if e.op is Op.DIV:
+                den = go(e.rhs)
+                if len(den) != 1 or den[0][2]:
+                    raise ValueError(
+                        "polynomial expansion: divisor must be a "
+                        "trace-time constant expression")
+                sd_, cd, _ = den[0]
+                out = []
+                for s, c, r in go(e.lhs):
+                    if cd is None:
+                        out.append((s / sd_, c, r))
+                    else:
+                        num = c if c is not None else FloatLiteral(1.0)
+                        out.append((s / sd_, BinOp(Op.DIV, num, cd), r))
+                return out
+        raise ValueError(
+            f"polynomial expansion: unsupported node {type(e).__name__}"
+            " (If/max/opaque calls differentiate via oracle_vjp_sweep)")
+
+    return go(rhs)
+
+
+def polynomial_adjoint_stencils(sdef: StencilDef,
+                                wrt: Sequence[str] | None = None,
+                                ct_name: str | None = None):
+    """Exact pullback stencils for a POLYNOMIAL stencil (any products
+    of grid taps — covers variable-coefficient linear stencils, and
+    polynomial nonlinearities via the product rule).
+
+    For ``y[p] = Σ_m s_m · Π_r g_{m,r}[p + u_{m,r}]`` the cotangent of
+    field ``f`` is ``f̄[q] = Σ_m Σ_{r: g=f} s_m · ȳ[q - u_{m,r}] ·
+    Π_{r'≠r} g_{m,r'}[q - u_{m,r} + u_{m,r'}]`` — one adjoint term per
+    occurrence, every factor shifted by the occurrence's own offset.
+    Each adjoint is again a polynomial stencil reading the cotangent
+    grid (named ``ct_name``, default ``<output>_ct``) plus the ORIGINAL
+    inputs — i.e. it runs on the same multi-input pencil fast path as
+    the forward (ref for the multi-grid codegen surface:
+    codegen/st/codegen/backend/base.py:93-123).
+
+    Returns ``(adjoints, ct_name)`` where ``adjoints[field]`` is the
+    StencilDef of that field's pullback (fields with no occurrence are
+    omitted — their gradient is identically zero)."""
+    monos = _expand_monomials(sdef.rhs)
+    d = sdef.dims
+    if wrt is None:
+        wrt = tuple(sdef.inputs)
+    ct = ct_name or (sdef.output.name + "_ct")
+    if ct in sdef.inputs:
+        raise ValueError(f"cotangent grid name {ct!r} collides with an "
+                         f"input")
+    adjoints: dict[str, StencilDef] = {}
+    for f in wrt:
+        grids = {ct: Grid(ct, d)}
+        for n in sdef.inputs:
+            grids[n] = Grid(n, d)
+        idx = [Index(a) for a in range(d)]
+        og = Grid(f"{sdef.output.name}_adj_{f}", d)
+        rhs = None
+        for s, c, refs in monos:
+            for r, (name, offs) in enumerate(refs):
+                if name != f:
+                    continue
+                shifted = ([(ct, tuple(-o for o in offs))]
+                           + [(n2, tuple(o2 - o for o2, o in
+                                         zip(offs2, offs)))
+                              for r2, (n2, offs2) in enumerate(refs)
+                              if r2 != r])
+                if c is not None:
+                    term = (c if s == 1.0
+                            else BinOp(Op.MUL, FloatLiteral(s), c))
+                else:
+                    term = None if s == 1.0 else FloatLiteral(s)
+                for n2, o2 in shifted:
+                    ref = grids[n2](*[idx[a] + int(o2[a])
+                                      for a in range(d)])
+                    term = ref if term is None else term * ref
+                rhs = term if rhs is None else rhs + term
+        if rhs is None:
+            continue
+        og(*idx).assign(rhs)
+        adjoints[f] = load_stencil_module({"STENCIL": [og]})[0]
+    return adjoints, ct
 
 
 def _check_periodic_table(grid: np.ndarray, k_range, j_range,
@@ -223,15 +345,164 @@ def differentiable_pencil_sweep(stencil, grid: np.ndarray,
     return step
 
 
+def differentiable_poly_sweep(stencil, grid: np.ndarray,
+                              bdims: Sequence[int], nbricks: int,
+                              params: dict | None = None,
+                              wrt: Sequence[str] | None = None,
+                              mask_ghost: bool = True,
+                              exchanged_axes: Sequence[int] = (),
+                              forward_fn=None,
+                              **kw):
+    """Exact Pallas-forward / Pallas-backward sweep for POLYNOMIAL
+    stencils — variable-coefficient linear stencils (the common real
+    case, examples/varcoeff_diffusion.py) and polynomial
+    nonlinearities.  The pullback of every requested input field runs
+    as another multi-input pencil sweep built from
+    :func:`polynomial_adjoint_stencils`; the only residuals are the
+    forward's own input views (O(1) activation memory, like the linear
+    adjoint mode — no dense twin, no materialized domain).
+
+    ``wrt``: input grid names to differentiate (default: all).  The
+    returned ``fn(*views)`` takes views in ``fn.fields`` order (the
+    forward's input order) and its VJP returns one gradient per view
+    (zeros for fields outside ``wrt``).
+
+    ``exchanged_axes`` as in :func:`differentiable_pencil_sweep`, with
+    two additions for the multi-input case: (1) the adjoint stencils
+    read RESIDUAL fields at up to 2x the forward radius, so the ghost
+    ring must be at least that deep — enforced as ``2 * radius <=
+    min(BK, BJ)`` (one ghost brick row); (2) gradients wrt STATIC aux
+    fields accumulate contributions into their ghost bricks — route
+    them home by putting an (idempotent) ``exchange_shift`` of each
+    aux field INSIDE the differentiated graph: its transpose is
+    exactly the ghost-to-owner fold (Problem.differentiable_step does
+    this).  Fuse is rejected: intermediate fused levels would need
+    their own residuals."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel import pallas_pencil_sweep
+
+    for bad in ("evolve", "batch", "i_ghost", "inplace"):
+        if kw.get(bad):
+            raise ValueError(f"differentiable_poly_sweep does not "
+                             f"support {bad}=...")
+    if int(kw.get("fuse") or 1) > 1:
+        raise ValueError("differentiable_poly_sweep is fuse=1 only "
+                         "(fused intermediate levels would need their "
+                         "own residuals)")
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    if len(sdefs) != 1:
+        raise ValueError("differentiable_poly_sweep takes one output "
+                         "(systems differentiate via oracle_vjp_sweep)")
+    sdef = sdefs[0]
+    grid = np.asarray(grid)
+    g2 = grid[:, :, 0] if grid.ndim == 3 else grid
+    if grid.ndim == 3 and grid.shape[2] != 1:
+        raise ValueError("pencil layout only (one brick per (k, j))")
+    GK, GJ = g2.shape
+    k_range = tuple(kw.get("k_range") or (1, GK - 1))
+    j_range = tuple(kw.get("j_range") or (1, GJ - 1))
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0, 1}:
+        raise ValueError("exchanged_axes are numpy-order k/j axes "
+                         "(0 and/or 1); i is always lane-periodic")
+    lo, hi = sdef.radius()
+    rad = max(max(lo), max(hi))
+    BK, BJ = int(bdims[0]), int(bdims[1])
+    if exchanged_axes and 2 * rad > min(BK, BJ):
+        # adjoint coefficient factors read residuals at shifted-by-two
+        # offsets; beyond-table clamps are only provably harmless when
+        # one ghost brick row covers 2x the radius (see module
+        # docstring derivation)
+        raise ValueError(
+            f"exchanged-axes poly adjoint needs 2*radius <= "
+            f"min(BK, BJ) (got radius {rad}, brick {bdims})")
+    for ax, rng, G in ((0, k_range, GK), (1, j_range, GJ)):
+        if ax not in exchanged_axes and (rng[0] < 1 or rng[1] > G - 1):
+            raise ValueError(
+                f"axis {ax}: range {rng} includes the periodic ghost "
+                f"ring (grid extent {G}); table-periodic axes must "
+                f"compute owned cells only (1, {G - 1})")
+    _check_periodic_table(
+        g2, k_range, j_range,
+        axes=tuple(a for a in (0, 1) if a not in exchanged_axes))
+
+    adjoints, ct = polynomial_adjoint_stencils(sdef, wrt=wrt)
+
+    fwd_fn = forward_fn or pallas_pencil_sweep(sdef, grid, bdims,
+                                               nbricks, params, **kw)
+    fieldnames = tuple(getattr(fwd_fn, "fields",
+                               tuple(sdef.inputs)))
+    bkw = dict(kw)
+    bkw["k_range"] = (0, GK) if 0 in exchanged_axes else k_range
+    bkw["j_range"] = (0, GJ) if 1 in exchanged_axes else j_range
+    adj_fns = {}
+    for f, asd in adjoints.items():
+        afn = pallas_pencil_sweep(asd, grid, bdims, nbricks, params,
+                                  **bkw)
+        adj_fns[f] = afn
+
+    # forward-written rows: the only place incoming cotangent is
+    # defined; pullback-written rows: the only defined gradient rows
+    def _written(kr, jr):
+        w = np.zeros(nbricks, np.bool_)
+        w[np.unique(g2[kr[0]:kr[1], jr[0]:jr[1]])] = True
+        return jnp.asarray(w.reshape((nbricks,) + (1,) * len(bdims)))
+
+    ct_mask = _written(k_range, j_range)
+    out_mask = _written(bkw["k_range"], bkw["j_range"])
+
+    def _call_fwd(views):
+        return (fwd_fn(*views) if len(fieldnames) > 1
+                else fwd_fn(views[0]))
+
+    @jax.custom_vjp
+    def step(*views):
+        return _call_fwd(views)
+
+    def step_fwd(*views):
+        return _call_fwd(views), views
+
+    def step_bwd(views, cotan):
+        # undefined (unwritten) output rows hold Pallas garbage; the
+        # exact incoming cotangent there is zero by contract
+        cotan = jnp.where(ct_mask, cotan, jnp.zeros((), cotan.dtype))
+        byname = dict(zip(fieldnames, views))
+        byname[ct] = cotan
+        grads = []
+        for f in fieldnames:
+            afn = adj_fns.get(f)
+            if afn is None:
+                grads.append(jnp.zeros_like(byname[f]))
+                continue
+            order = getattr(afn, "fields", (ct,))
+            g = (afn(*(byname[n] for n in order))
+                 if len(order) > 1 else afn(byname[order[0]]))
+            if mask_ghost:
+                g = jnp.where(out_mask, g, jnp.zeros((), g.dtype))
+            grads.append(g)
+        return tuple(grads)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.adjoints = adj_fns
+    step.fields = fieldnames
+    step.ct_name = ct
+    return step
+
+
 def oracle_vjp_sweep(stencil, dec, bdims: Sequence[int],
                      params: dict | None = None,
                      fields: Sequence[str] | None = None,
                      **kw):
-    """Fast Pallas forward + exact ORACLE pullback, for everything the
-    adjoint-stencil mode cannot serve: nonlinear stencils, coupled
-    multi-output systems, and multi-input (variable-coefficient)
-    problems — including gradients wrt the AUX coefficient fields,
-    the inverse-problem case.
+    """Fast Pallas forward + exact ORACLE pullback, for what neither
+    adjoint-stencil mode serves: coupled multi-output systems and
+    NON-POLYNOMIAL stencils (If/max/opaque calls).  Polynomial
+    single-output problems — linear, variable-coefficient, and
+    polynomial-nonlinear, including aux-field gradients — get the
+    exact Pallas adjoint sweeps of :func:`differentiable_poly_sweep`
+    instead (O(1) activations, no dense twin).
 
     On a fully periodic table the dense twin computes the same
     function as the pencil kernel (the golden equivalence every test

@@ -374,6 +374,201 @@ def test_problem_differentiable_step_rejects_deep_ghost():
         p.differentiable_step()
 
 
+def _varcoeff_stencil():
+    """Flux-form variable-coefficient diffusion slice (asymmetric
+    subset so adjoint sign bugs can't cancel)."""
+    i, j, k = Index(0), Index(1), Index(2)
+    u, c, o = Grid("u", 3), Grid("c", 3), Grid("out", 3)
+    flux = None
+    for args in ([i + 1, j, k], [i, j - 1, k], [i, j, k + 1]):
+        f = (c(i, j, k) + c(*args)) * (u(*args) - u(i, j, k))
+        flux = f if flux is None else flux + f
+    o(i, j, k).assign(u(i, j, k) + ConstRef("dt") * flux)
+    return load_stencil_module({"STENCIL": [o]})[0]
+
+
+_VC_PARAMS = {"dt": 0.05}
+
+
+def _dense_multi(sdef, named, params):
+    import jax.numpy as jnp
+
+    lo, hi = sdef.radius()
+    pad = tuple((lo[a], hi[a]) for a in range(3))
+    return dense_apply(sdef, {n: jnp.pad(v, pad, mode="wrap")
+                              for n, v in named.items()}, params)
+
+
+@pytest.mark.parametrize("which", ["u", "c"])
+def test_poly_adjoint_matches_dense_ad(which):
+    """polynomial_adjoint_stencils: the adjoint stencil evaluated on
+    the dense periodic twin equals jax.grad through the dense forward
+    — for the evolving field AND the variable coefficient."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import polynomial_adjoint_stencils
+
+    sd = _varcoeff_stencil()
+    adjs, ct = polynomial_adjoint_stencils(sd)
+    assert set(adjs) == {"u", "c"}
+    rng = np.random.default_rng(5)
+    u0 = jnp.asarray(rng.random((8, 8, 8), np.float32))
+    c0 = jnp.asarray(1.0 + rng.random((8, 8, 8), np.float32))
+    w = jnp.asarray(rng.random((8, 8, 8), np.float32))
+
+    got = _dense_multi(adjs[which], {ct: w, "u": u0, "c": c0},
+                       _VC_PARAMS)
+
+    def loss(v):
+        named = {"u": u0, "c": c0}
+        named[which] = v
+        return jnp.sum(_dense_multi(sd, named, _VC_PARAMS) * w)
+
+    want = jax.grad(loss)(u0 if which == "u" else c0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_poly_adjoint_nonlinear_product_rule():
+    """Occurrence-wise product rule: d(u_i * u_{i+1}) — the adjoint of
+    a polynomial NONLINEAR stencil is exact given the forward input."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import polynomial_adjoint_stencils
+
+    i, j, k = Index(0), Index(1), Index(2)
+    u, o = Grid("u", 3), Grid("out", 3)
+    o(i, j, k).assign(u(i, j, k) * u(i + 1, j, k)
+                      - 0.5 * u(i, j - 1, k) * u(i, j, k)
+                      + 2.0 * u(i, j, k + 1))
+    sd = load_stencil_module({"STENCIL": [o]})[0]
+    adjs, ct = polynomial_adjoint_stencils(sd)
+    rng = np.random.default_rng(6)
+    u0 = jnp.asarray(rng.random((8, 8, 8), np.float32))
+    w = jnp.asarray(rng.random((8, 8, 8), np.float32))
+    got = _dense_multi(adjs["u"], {ct: w, "u": u0}, {})
+    want = jax.grad(lambda v: jnp.sum(_dense_multi(sd, {"u": v}, {})
+                                      * w))(u0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_poly_expansion_rejects_nonpolynomial():
+    from bricklib_tpu.codegen.autodiff import polynomial_adjoint_stencils
+
+    with pytest.raises(ValueError, match="polynomial expansion"):
+        polynomial_adjoint_stencils(stencil_by_name("cond")[0])
+
+
+@pytest.mark.slow
+def test_poly_sweep_grads_match_dense(interpret=True):
+    """differentiable_poly_sweep: jax.grad through the Pallas forward
+    runs adjoint PENCIL sweeps (no dense twin) — grads wrt u and c
+    match dense AD on the periodic table."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import differentiable_poly_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.core import to_bricks
+
+    N = 16
+    BD = (4, 4, N)
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(4, 4, 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    sd = _varcoeff_stencil()
+    step = differentiable_poly_sweep(
+        sd, dec.periodic_grid((0, 1, 2)), BD, dec.nbricks, _VC_PARAMS,
+        interpret=True)
+
+    def stage(a):
+        idx = [np.arange(-g, N + g) % N for g in (4, 4, 0)]
+        dat = np.zeros((dec.nbricks, int(np.prod(BD))), np.float32)
+        to_bricks(a[np.ix_(*idx)], dec.grid, BD, dat=dat)
+        return jnp.asarray(dat.reshape((dec.nbricks,) + BD))
+
+    rng = np.random.default_rng(8)
+    u0 = rng.random((N, N, N), np.float32)
+    c0 = 1.0 + 0.5 * rng.random((N, N, N), np.float32)
+    w = rng.random((N, N, N), np.float32)
+    wb = np.array(stage(w))
+    wb[dec.sep_pos[1]:] = 0.0
+    wb[0] = 0.0
+    wb = jnp.asarray(wb)
+    byname = {"u": stage(u0), "c": stage(c0)}
+
+    def loss(uv):
+        named = dict(zip(("u", "c"), uv))
+        return jnp.sum(step(*(named[n] for n in step.fields)) * wb)
+
+    gu, gc = jax.grad(loss)((byname["u"], byname["c"]))
+
+    def dense_loss(uv):
+        return jnp.sum(_dense_multi(sd, dict(zip(("u", "c"), uv)),
+                                    _VC_PARAMS) * jnp.asarray(w))
+
+    du, dc = jax.grad(dense_loss)((jnp.asarray(u0), jnp.asarray(c0)))
+    np.testing.assert_allclose(_unstage(dec, BD, gu), np.asarray(du),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(_unstage(dec, BD, gc), np.asarray(dc),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_problem_poly_diff_step_distributed_aux_grads():
+    """Problem.differentiable_step on a variable-coefficient stencil
+    over an 8-device (2, 4, 1) mesh: exact Pallas adjoint sweeps, ghost
+    cotangent riding the exchange transpose, and AUX-field gradients
+    routed home through the in-graph aux exchange — vs global dense AD."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import from_bricks
+
+    mesh = (2, 4, 1)
+    dims = (8, 8, 32)              # per-device owned elements
+    sd = _varcoeff_stencil()
+    p = Problem(dims=dims, mesh=mesh, stencil=sd, field="u",
+                params=_VC_PARAMS, bdims=(4, 4, dims[2]),
+                backend="pencil", st_iter=1)
+    fn = p.differentiable_step()
+    wmask = p.owned_mask()
+
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    rng = np.random.default_rng(12)
+    u0 = rng.random(gshape, np.float32)
+    c0 = 1.0 + 0.5 * rng.random(gshape, np.float32)
+    w = rng.random(gshape, np.float32)
+    p.init(array=u0, aux={"c": c0})
+    wp = Problem(dims=dims, mesh=mesh, stencil=sd, field="u",
+                 params=_VC_PARAMS, bdims=(4, 4, dims[2]),
+                 backend="pencil", st_iter=1)
+    wp.init(array=w, aux={"c": c0})
+    wb = jnp.where(wmask, wp._dats[0], 0.0)
+
+    gu, gc = jax.grad(lambda uc: jnp.sum(fn(uc[0], uc[1]) * wb))(
+        (p._dats[0], p._aux[0]))
+
+    def dense_loss(uc):
+        return jnp.sum(_dense_multi(sd, {"u": uc[0], "c": uc[1]},
+                                    _VC_PARAMS) * jnp.asarray(w))
+
+    du, dc = jax.grad(dense_loss)((jnp.asarray(u0), jnp.asarray(c0)))
+    nb = p.dec.nbricks
+    for got, want in ((gu, np.asarray(du)), (gc, np.asarray(dc))):
+        gn = np.asarray(got)
+        for r, cpos in enumerate(np.ndindex(*mesh)):
+            own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                              p.dec.interior_grid(), p.bdims)
+            sl = tuple(slice(cpos[a] * dims[a], (cpos[a] + 1) * dims[a])
+                       for a in range(3))
+            np.testing.assert_allclose(own, want[sl], rtol=2e-5,
+                                       atol=2e-5)
+
+
 def _gray_scott_defs():
     i, j, k = Index(0), Index(1), Index(2)
     u, v = Grid("u", 3), Grid("v", 3)
