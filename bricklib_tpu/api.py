@@ -39,7 +39,7 @@ class Problem:
     def __init__(self, dims, stencil="mpi7pt", params=None,
                  bdims=None, ghost=None, mesh=(1, 1, 1),
                  backend="auto", dtype=np.float32, st_iter=1,
-                 exchange="shift", field=None):
+                 exchange="shift", field=None, slices=1):
         """``exchange``: "shift" (XLA-level multi-stage ppermutes) or
         "fused" (pencil backend, remote DMAs issued inside the first
         sweep kernel, overlapped with its interior k-stream).
@@ -71,6 +71,18 @@ class Problem:
         self.dims = tuple(int(d) for d in dims)     # per-device, owned
         nd = len(self.dims)
         self.mesh_shape = tuple(int(m) for m in mesh)
+        # multi-slice (DCN) 2-level topology: ``slices`` TPU slices
+        # stacked along the OUTERMOST domain axis, each running the ICI
+        # mesh ``mesh`` (SURVEY §5: Mesh over ICI + DCN for
+        # multi-slice; the reference's arbitrary MPI_Cart topologies,
+        # weak/args.cpp:105-108).  eff_mesh is the per-domain-axis
+        # effective device count every exchange/staging computation
+        # uses; the slice axis composes into axis 0's ppermute name.
+        self.slices = int(slices)
+        if self.slices < 1:
+            raise ValueError("slices must be >= 1")
+        self.eff_mesh = ((self.slices * self.mesh_shape[0],)
+                         + self.mesh_shape[1:])
         if isinstance(stencil, str):
             sdefs = [stencil_by_name(stencil)[0]]
         elif isinstance(stencil, StencilDef):
@@ -179,12 +191,27 @@ class Problem:
         self.dec = BrickDecomp(dims=self.dims, ghost_depth=self.ghost,
                                bdims=self.bdims).initialize(
             skinlist_by_name("good", nd))
-        # the fused exchange addresses peers by linearized logical id
-        # over ONE flat device axis (placement-identical ravel order)
-        self.mesh = (make_flat_mesh(self.mesh_shape)
-                     if exchange == "fused"
-                     else make_domain_mesh(self.mesh_shape))
-        names = self.mesh.axis_names
+        if self.slices > 1:
+            if exchange == "fused":
+                raise ValueError(
+                    "exchange='fused' issues kernel remote DMAs, an "
+                    "ICI-only transport; multi-slice meshes use "
+                    "exchange='shift' (cross-slice stages lower to "
+                    "DCN collective-permutes)")
+            from .comm.mesh import make_multislice_mesh
+
+            self.mesh, self._xnames, _eff = make_multislice_mesh(
+                self.slices, self.mesh_shape)
+            assert _eff == self.eff_mesh
+            names = self.mesh.axis_names
+        else:
+            # the fused exchange addresses peers by linearized logical
+            # id over ONE flat device axis (placement-identical ravel)
+            self.mesh = (make_flat_mesh(self.mesh_shape)
+                         if exchange == "fused"
+                         else make_domain_mesh(self.mesh_shape))
+            names = self.mesh.axis_names
+            self._xnames = names
         # devices stack along the brick axis: shard_map hands each
         # device its [nbricks, step] storage with no reshapes
         self._P = P(tuple(names))
@@ -194,7 +221,7 @@ class Problem:
         self.st_iter = int(st_iter)
         rad = max(max(max(lo_r), max(hi_r))
                   for lo_r, hi_r in (s.radius() for s in sdefs))
-        dec, msh, bd = self.dec, self.mesh_shape, self.bdims
+        dec, msh, bd = self.dec, self.eff_mesh, self.bdims
         if backend == "pencil":
             from .codegen.pencil_kernel import pallas_pencil_sweep
             from .codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
@@ -330,7 +357,8 @@ class Problem:
                     states = [d]
                     nsweeps = (self.st_iter - 1) // fuse
                 elif distributed:
-                    states = [exchange_shift(s_, dec, names, msh,
+                    states = [exchange_shift(s_, dec, self._xnames,
+                                              msh,
                                              table_axes=table_axes)
                               for s_ in states]
                     nsweeps = self.st_iter // fuse
@@ -374,7 +402,7 @@ class Problem:
                 np.arange(1, dec.sep_pos[1], dtype=np.int32))
 
             def one(*sv):
-                states = [exchange_shift(s_, dec, names, msh)
+                states = [exchange_shift(s_, dec, self._xnames, msh)
                           for s_ in sv[:nfld]]
                 shp = states[0].shape
                 views = [s_.reshape((-1,) + bd) for s_ in states]
@@ -413,7 +441,7 @@ class Problem:
         don = dict(donate_argnums=tuple(range(nfld))) if moves else {}
         nin = nfld + len(self.aux_names)
         out_specs = self._P if nfld == 1 else (self._P,) * nfld
-        if int(np.prod(self.mesh_shape)) > 1:
+        if int(np.prod(self.eff_mesh)) > 1:
             self._step = jax.jit(shard_map(one, self.mesh,
                                            (self._P,) * nin, out_specs),
                                  **don)
@@ -470,7 +498,7 @@ class Problem:
         nd = len(self.dims)
         if nd == 4:
             # 4-D: linear adjoint twin, table-periodic only
-            if int(np.prod(self.mesh_shape)) > 1:
+            if int(np.prod(self.eff_mesh)) > 1:
                 raise ValueError("4-D differentiable_step runs on "
                                  "table-periodic (single-device) "
                                  "meshes")
@@ -499,7 +527,7 @@ class Problem:
         if self._exec_plan["exchange"] == "fused":
             raise ValueError("the fused-exchange kernel is opaque to "
                              "AD; use exchange='shift'")
-        msh = self.mesh_shape
+        msh = self.eff_mesh
         table_axes = tuple(a for a in range(3) if msh[a] == 1)
         distributed = len(table_axes) < 3
         if self.nfld != 1:
@@ -553,7 +581,7 @@ class Problem:
             # (identical stencil/grid/ranges/dtype/lookahead)
             forward_fn=(self._plan_kern0 if fuse == self.fuse
                         else None), **fkw)
-        names = self.mesh.axis_names
+        names = self._xnames
 
         def one(d):
             if distributed:
@@ -589,7 +617,7 @@ class Problem:
                 f"differentiable distributed step needs st_iter=1 "
                 f"(one unfused sweep per exchange), got st_iter="
                 f"{self.st_iter}, fuse={self.fuse}")
-        msh = self.mesh_shape
+        msh = self.eff_mesh
         kern = differentiable_poly_sweep(
             self.sdef, self.dec.periodic_grid(table_axes), self.bdims,
             self.dec.nbricks, self.params,
@@ -598,7 +626,7 @@ class Problem:
             dtype=jnp.dtype(self.dtype),
             forward_fn=(self._plan_kern0 if self.fuse == 1 else None),
             lookahead=2)
-        names = self.mesh.axis_names
+        names = self._xnames
         allnames = list(self.fields) + list(self.aux_names)
 
         def one(*sv):
@@ -655,7 +683,7 @@ class Problem:
         import jax
         import jax.numpy as jnp
 
-        ndev = int(np.prod(self.mesh_shape))
+        ndev = int(np.prod(self.eff_mesh))
         m = np.tile(self.dec.owned_mask(), ndev)
         m = m.reshape((-1,) + (1,) * len(self.bdims))
         return jax.device_put(jnp.asarray(m), self._sharding)
@@ -663,12 +691,30 @@ class Problem:
     def describe(self) -> dict:
         """The chosen execution plan (the runtime analog of the
         vecscatter CLI's factorization report): backend, temporal-fuse
-        factor, exchange form, and per-kernel j-tile / VMEM budget."""
+        factor, exchange form (per domain axis, incl. the multi-slice
+        DCN composition), and per-kernel j-tile / VMEM budget."""
+        nd = len(self.dims)
+        form = self._exec_plan.get("exchange", "shift")
+        per_axis = {}
+        for a in range(nd):
+            if self.eff_mesh[a] == 1:
+                per_axis[a] = ("table-periodic"
+                               if self._exec_plan.get("backend")
+                               == "pencil" else "local ghost copy")
+            elif a == 0 and self.slices > 1:
+                per_axis[a] = (f"{form} ppermute over (slice x ici): "
+                               f"{self.slices} DCN slices x "
+                               f"{self.mesh_shape[0]} ICI")
+            else:
+                per_axis[a] = f"{form} ppermute over ICI"
         return {
             "dims": list(self.dims), "bdims": list(self.bdims),
-            "mesh": list(self.mesh_shape), "st_iter": self.st_iter,
+            "mesh": list(self.mesh_shape), "slices": self.slices,
+            "eff_mesh": list(self.eff_mesh),
+            "st_iter": self.st_iter,
             "dtype": np.dtype(self.dtype).name,
             "fields": list(self.fields), "aux": list(self.aux_names),
+            "exchange_axes": per_axis,
             **self._exec_plan,
         }
 
@@ -712,15 +758,15 @@ class Problem:
         reshapes around pallas custom calls, they materialize copies)."""
         from .core import to_bricks
 
-        gshape = tuple(m * d for m, d in zip(self.mesh_shape, self.dims))
+        gshape = tuple(m * d for m, d in zip(self.eff_mesh, self.dims))
         array = np.asarray(array, dtype=self.dtype)
         if array.shape != gshape:
             raise ValueError(f"global array must be {gshape}")
         nd = len(self.dims)
-        ndev = int(np.prod(self.mesh_shape))
+        ndev = int(np.prod(self.eff_mesh))
         nb = self.dec.nbricks
         stacked = np.zeros((ndev * nb,) + self.bdims, self.dtype)
-        for r, c in enumerate(np.ndindex(*self.mesh_shape)):
+        for r, c in enumerate(np.ndindex(*self.eff_mesh)):
             idx = [(np.arange(c[a] * self.dims[a] - self.ghost[a],
                               c[a] * self.dims[a] + self.dims[a]
                               + self.ghost[a]) % gshape[a])
@@ -750,7 +796,7 @@ class Problem:
         from .core import random_array
 
         gshape = tuple(m * d for m, d in
-                       zip(self.mesh_shape, self.dims))
+                       zip(self.eff_mesh, self.dims))
         if self.nfld == 1 and not isinstance(array, dict):
             array = {self.gname: array}
         elif array is not None and not isinstance(array, dict):
@@ -836,7 +882,7 @@ class Problem:
             out = lax.fori_loop(0, n, body, tuple(sv[:nfld]))
             return out[0] if nfld == 1 else tuple(out)
 
-        if int(np.prod(self.mesh_shape)) > 1:
+        if int(np.prod(self.eff_mesh)) > 1:
             fn = jax.jit(shard_map(many, self.mesh,
                                    (self._P,) * nin, out_specs), **don)
         else:
@@ -857,6 +903,7 @@ class Problem:
             dat=np.asarray(self._dats[0]),
             dims=np.asarray(self.dims),
             mesh=np.asarray(self.mesh_shape),
+            slices=np.asarray(self.slices),
             bdims=np.asarray(self.bdims),
             ghost=np.asarray(self.ghost),
             **{f"dat_{n}": np.asarray(a)
@@ -873,10 +920,15 @@ class Problem:
 
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         for name, mine in (("dims", self.dims), ("mesh", self.mesh_shape),
+                           ("slices", (self.slices,)),
                            ("bdims", self.bdims), ("ghost", self.ghost)):
-            if tuple(z[name]) != tuple(mine):
+            if name == "slices" and name not in z:
+                got = (1,)      # pre-multislice checkpoints
+            else:
+                got = tuple(np.atleast_1d(z[name]))
+            if got != tuple(mine):
                 raise ValueError(
-                    f"checkpoint {name} {tuple(z[name])} != {tuple(mine)}")
+                    f"checkpoint {name} {got} != {tuple(mine)}")
         keys = ["dat"] + [f"dat_{n}" for n in self.fields[1:]]
         missing = ([k for k in keys[1:] if k not in z]
                    + [n for n in self.aux_names if f"aux_{n}" not in z])
@@ -896,9 +948,9 @@ class Problem:
         out = np.asarray(dat)
         nd = len(self.dims)
         nb = self.dec.nbricks
-        gshape = tuple(m * d for m, d in zip(self.mesh_shape, self.dims))
+        gshape = tuple(m * d for m, d in zip(self.eff_mesh, self.dims))
         full = np.zeros(gshape, self.dtype)
-        for r, c in enumerate(np.ndindex(*self.mesh_shape)):
+        for r, c in enumerate(np.ndindex(*self.eff_mesh)):
             own = from_bricks(out[r * nb:(r + 1) * nb].reshape(nb, -1),
                               self.dec.interior_grid(), self.bdims)
             sl = tuple(slice(c[a] * self.dims[a],

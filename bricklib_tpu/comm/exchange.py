@@ -59,6 +59,20 @@ def neighbor_perm(neighbor: BitSet, mesh_shape: tuple[int, ...]):
     return pairs
 
 
+def _flat_names(axis_names):
+    """Flatten per-domain-axis ppermute names (entries may be COMPOSITE
+    tuples — the multi-slice mesh's ``(slice, ici)`` axis pair,
+    :func:`..mesh.make_multislice_mesh`) into one mesh-axis-name tuple
+    for whole-mesh collectives."""
+    out = []
+    for n in axis_names:
+        if isinstance(n, tuple):
+            out.extend(n)
+        else:
+            out.append(n)
+    return tuple(out)
+
+
 def _rows(runs) -> np.ndarray:
     """Concatenate (pos, len) runs into one row-index array (static)."""
     return np.concatenate([np.arange(r.pos, r.pos + r.len)
@@ -111,7 +125,7 @@ def exchange_put(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
         if any(d and mesh_shape[a] > 1 for a, d in enumerate(delta)):
             val = dat[sr.pos:sr.pos + sr.len]
             perm = neighbor_perm(gr.neighbor, mesh_shape)
-            val = lax.ppermute(val, axis_names, perm)
+            val = lax.ppermute(val, _flat_names(axis_names), perm)
             dat = dat.at[gr.pos:gr.pos + gr.len].set(val)
         else:
             local_ivs.append((gr.pos, gr.pos + gr.len,
@@ -187,7 +201,14 @@ def exchange_shift(dat, decomp: BrickDecomp, axis_names: tuple[str, ...],
     whose mesh axis has one device are periodic self-copies, fused into
     a single in-place Pallas DMA kernel — or skipped entirely for axes
     in ``table_axes``, where the kernel reads through a
-    ``decomp.periodic_grid`` table instead (zero-copy periodicity)."""
+    ``decomp.periodic_grid`` table instead (zero-copy periodicity).
+
+    ``axis_names`` entries may be COMPOSITE tuples (the multi-slice
+    2-level mesh: axis 0 = ``("slice", "z")`` with ``mesh_shape[0]``
+    the slices x ici PRODUCT, :func:`..mesh.make_multislice_mesh`):
+    the shift then runs over the flattened slice-major device line,
+    and the one pair per shift that crosses a slice boundary lowers to
+    a DCN collective-permute while every other pair stays on ICI."""
     import jax
     import jax.numpy as jnp
 

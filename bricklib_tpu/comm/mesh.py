@@ -36,6 +36,43 @@ def make_domain_mesh(mesh_shape, names=None, devices=None):
     return jax.sharding.Mesh(devices, names)
 
 
+def make_multislice_mesh(slices: int, mesh_shape, names=None,
+                         devices=None, slice_name="slice"):
+    """A TWO-LEVEL mesh: ``slices`` TPU slices (DCN-connected) x an ICI
+    mesh of ``mesh_shape`` per slice — the Mesh-over-ICI(+DCN) mapping
+    of SURVEY §5's distributed backend (the reference runs on arbitrary
+    rank topologies via MPI_Cart_create, weak/args.cpp:105-108).
+
+    The slice axis composes with the OUTERMOST domain axis: domain axis
+    0 is distributed over ``slices * mesh_shape[0]`` devices,
+    slice-major, so exchanges along it cross the slice boundary exactly
+    once per shift — that one hop lowers to a DCN collective-permute
+    while every other pair stays on ICI (XLA picks the transport from
+    device placement; the exchange code just names the composite axis).
+
+    Returns ``(mesh, xnames, eff_shape)``: the Mesh (axes
+    ``(slice_name,) + domain names``), the per-DOMAIN-axis ppermute
+    axis names (axis 0 is the composite ``(slice_name, name0)`` tuple),
+    and the per-domain-axis effective device counts."""
+    slices = int(slices)
+    mesh_shape = tuple(int(s) for s in mesh_shape)
+    if names is None:
+        names = domain_axis_names(len(mesh_shape))
+    full_shape = (slices,) + mesh_shape
+    if devices is None:
+        n = int(np.prod(full_shape))
+        devs = jax.devices()
+        if len(devs) < n:
+            devs = jax.devices("cpu")
+        if len(devs) < n:
+            raise ValueError(f"need {n} devices, have {len(devs)}")
+        devices = np.asarray(devs[:n]).reshape(full_shape)
+    mesh = jax.sharding.Mesh(devices, (slice_name,) + tuple(names))
+    xnames = ((slice_name, names[0]),) + tuple(names[1:])
+    eff = (slices * mesh_shape[0],) + mesh_shape[1:]
+    return mesh, xnames, eff
+
+
 def make_flat_mesh(mesh_shape, name="dev", devices=None):
     """A 1-axis Mesh over the same devices in ``mesh_shape`` ravel
     order — placement-identical to :func:`make_domain_mesh`, for
