@@ -191,6 +191,49 @@ def main():
 
         honest_bf16 = jax.jit(honest_step_bf16, donate_argnums=0)
 
+    # strong-scaling leg (TPU only): the reference's canonical strong
+    # config 512^3 -> 128^3-class subdomains (strong/args.cpp:32) in
+    # pencil form (128, 128, 512) x 16 per chip, batched sweeps over
+    # the subdomain stack + the one-kernel remote-DMA exchange
+    # (self-targeted on one chip) under a flat 1-device mesh
+    if on_tpu:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from bricklib_tpu.comm.mesh import make_flat_mesh, shard_map
+        from bricklib_tpu.comm.strong import (StrongDecomp,
+                                              exchange_strong_remote)
+
+        SDOM = (N // 4, N // 4, N)
+        splan = StrongDecomp(dom=(N, N, N), sdom=SDOM,
+                             mesh_shape=(1, 1, 1), bdims=BD,
+                             ghost_depth=(BD[0], BD[1], 0)).initialize(
+                                 skinlist_by_name("good", 3))
+        snb = splan.sdec.nbricks
+        nloc = splan.nsub_local
+        skg = splan.sdec.periodic_grid((2,))
+        GKs, GJs = skg.shape[0], skg.shape[1]
+        s_skip = pallas_pencil_sweep(
+            stencil_by_name("s7pt")[0], skg, BD, nloc * snb, params,
+            batch=nloc, batch_stride=snb, fuse=FUSE)
+        s_ghost = pallas_pencil_sweep(
+            stencil_by_name("s7pt")[0], skg, BD, nloc * snb, params,
+            batch=nloc, batch_stride=snb, fuse=FUSE,
+            k_range=(0, GKs), j_range=(0, GJs))
+        smesh = make_flat_mesh((1, 1, 1))
+
+        def strong_step(b):
+            x = b[0]
+            x = exchange_strong_remote(x, splan, smesh.axis_names)
+            flat = x.reshape((nloc * snb,) + BD)
+            for _ in range(ST_ITER // FUSE - 1):
+                flat = s_ghost(flat)
+            flat = s_skip(flat)
+            return flat.reshape(x.shape)[None]
+
+        strong = jax.jit(shard_map(
+            strong_step, smesh, P(smesh.axis_names[0]),
+            P(smesh.axis_names[0])), donate_argnums=0)
+
     # composition-immune roofline: Pallas DMA copy of the same storage
     # (shared machinery: bricklib_tpu.bench.roofline)
     dma_copy = rep(make_dma_copy(nb, BD, jnp.float32,
@@ -209,7 +252,8 @@ def main():
         items.update({"7pt_bf16": (k7bf, R),
                       "copy_bf16": (dma_copy_bf16, R),
                       "honest_bf16": (honest_bf16, ST_ITER),
-                      "125pt_mxu": (k125mxu, R)})
+                      "125pt_mxu": (k125mxu, R),
+                      "strong": (strong, ST_ITER)})
     times = {k: [] for k in items}
     bufs = {k: fresh(s) for s, k in enumerate(items)}
     for k in ("7pt_bf16", "copy_bf16", "honest_bf16"):
@@ -218,6 +262,11 @@ def main():
     if "125pt_mxu" in bufs:
         bufs["125pt_mxu"] = bufs["125pt_mxu"].reshape(
             nb, BD[0], BD[1] * BD[2])
+    if "strong" in bufs:
+        bufs["strong"] = jax.device_put(
+            jax.random.uniform(jax.random.PRNGKey(99),
+                               (1, nloc, snb) + BD, jnp.float32),
+            NamedSharding(smesh, P(smesh.axis_names[0])))
     for _ in range(rounds):
         for k, (fn, per) in items.items():
             dt, bufs[k] = chain(fn, bufs[k], iters)
@@ -270,6 +319,17 @@ def main():
                 "125pt_mxu_vs_sol": round(
                     best["copy"] / best["125pt_mxu"], 4),
                 } if "125pt_mxu" in best else {}),
+            # strong vs_sol is judged against the WEAK-storage ideal
+            # stencil rate, so ghost-shell read amplification counts
+            # as real strong-decomposition overhead
+            **({"strong": {
+                    "config": (f"{N}^3 -> {N // 4}x{N // 4}x{N} x "
+                               f"16/chip, remote exchange, ST_ITER="
+                               f"{ST_ITER} fused {FUSE}"),
+                    "gstencil_s": round(elems / best["strong"] / 1e9, 3),
+                    "per_iter_ms": round(best["strong"] * 1e3, 3),
+                    "vs_sol": round(best["copy"] / best["strong"], 4),
+                }} if "strong" in best else {}),
             **({"bf16_sweep_gstencil_s": round(
                     elems / best["7pt_bf16"] / 1e9, 3),
                 "bf16_honest": {
