@@ -271,6 +271,16 @@ class Problem:
             if nd in (3, 4):
                 np_ = (_passes(sdefs[0], self.params)
                        if nfld == 1 and not self.aux_names else None)
+                if np_ is None and nfld == 1 and not self.aux_names:
+                    # nonlinear single-input: the generic evaluator
+                    # memoizes reads and groups additive coefficients,
+                    # so its row passes follow the SAME contention
+                    # model — gate fusion on the generic estimate
+                    # (cond: 8 taps, fuses; fused generic is bit-exact
+                    # vs composed sweeps, tests/test_pallas_smoke.py)
+                    from .codegen.ir import generic_pass_estimate
+
+                    np_ = generic_pass_estimate(sdefs[0])
                 # 4-D caps at F=2: the w axis is a pallas grid dim, so
                 # each fused level recomputes (F-f)*2r extra w slices
                 # per plane — at BW=4 F=4 that is 2.5x VPU

@@ -56,13 +56,33 @@ def resolve_const_from_params(params: dict):
     return resolve
 
 
-def evaluate(expr: Expr, read_tap, resolve_const, xp):
-    """Evaluate an AST to an array (or scalar) in namespace ``xp``."""
+def evaluate(expr: Expr, read_tap, resolve_const, xp, cache=None):
+    """Evaluate an AST to an array (or scalar) in namespace ``xp``.
+
+    Repeated tap reads and SHARED subtree nodes are memoized (``cache``
+    may be passed in to share the memo across several evaluations of
+    one kernel row) — the evaluation-time analog of the reference
+    codegen's CSE indexing (codegen/st/codegen/base.py:108-170): each
+    distinct read/sub-DAG costs one VPU row value no matter how many
+    expressions reference it."""
     funcs = _make_func_map(xp)
+    if cache is None:
+        cache = {}
 
     def ev(e):
+        key = id(e)
+        if key in cache:
+            return cache[key]
+        v = _ev(e)
+        cache[key] = v
+        return v
+
+    def _ev(e):
         if isinstance(e, GridRef):
-            return read_tap(e.grid.name, tuple(e.offsets))
+            tkey = (e.grid.name, tuple(e.offsets))
+            if tkey not in cache:
+                cache[tkey] = read_tap(e.grid.name, tuple(e.offsets))
+            return cache[tkey]
         if isinstance(e, ConstRef):
             return resolve_const(e.name)
         if isinstance(e, IntLiteral):

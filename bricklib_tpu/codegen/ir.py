@@ -140,6 +140,76 @@ def fold_linear(ir: "StencilIR", resolve, fields: dict | None = None):
             jneed)
 
 
+def additive_groups(rhs: Expr):
+    """Coefficient grouping for the GENERIC (nonlinear) path: flatten
+    the top-level +/- chain and group terms of the form ``coeff *
+    subexpr`` by coefficient — the nonlinear generalization of
+    :func:`linear_decomposition` (the reference groups arbitrary
+    summands into Reduction nodes the same way,
+    codegen/st/codegen/base.py:conv_reduction).  A stencil like
+    ``Σ c_g · f(tap_t)`` with repeated symmetry coefficients then
+    costs one multiply per GROUP instead of one per term.
+
+    Returns ``[(coeff_expr, [(sign, subexpr), ...]), ...]`` or None
+    when grouping saves nothing (fewer than 2 terms, or every group
+    is a singleton)."""
+    terms: list[tuple[int, Expr]] = []
+    _flatten_add(rhs, 1, terms)
+    if len(terms) < 2:
+        return None
+    groups: dict = {}
+    order: list = []
+    for i, (sign, t) in enumerate(terms):
+        if isinstance(t, BinOp) and t.op is Op.MUL:
+            a, b = t.lhs, t.rhs
+            if _coeff_key(a) is not None:
+                key, cexpr, sub = _coeff_key(a), a, b
+            elif _coeff_key(b) is not None:
+                key, cexpr, sub = _coeff_key(b), b, a
+            else:
+                key, cexpr, sub = ("u", i), FloatLiteral(1.0), t
+        else:
+            key, cexpr, sub = ("lit", 1.0), FloatLiteral(1.0), t
+        if key not in groups:
+            groups[key] = (cexpr, [])
+            order.append(key)
+        groups[key][1].append((sign, sub))
+    if all(len(groups[k][1]) == 1 for k in order):
+        return None
+    return [(groups[k][0], groups[k][1]) for k in order]
+
+
+def generic_pass_estimate(sdef: StencilDef) -> int:
+    """VPU row-pass estimate for a NONLINEAR stencil on the generic
+    evaluator path (the x-axis of the same measured VMEM-contention
+    model :func:`vpu_pass_estimate` feeds for linear stencils): one
+    pass per DISTINCT tap read (evaluation memoizes repeats) plus one
+    per arithmetic/select/call node, minus the multiplies
+    :func:`additive_groups` folds into per-group MACs."""
+    from ..st.expr import If
+    from ..st.func import CallExpr
+
+    taps = set()
+    ops = 0
+    seen: set = set()    # shared sub-DAGs evaluate once (id-memoized)
+    stack = [sdef.rhs]
+    while stack:
+        node = stack.pop()
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        if isinstance(node, GridRef):
+            taps.add((node.grid.name, tuple(node.offsets)))
+        elif isinstance(node, (BinOp, UnOp, If, CallExpr)):
+            ops += 1
+            stack.extend(node.children)
+    g = additive_groups(sdef.rhs)
+    if g is not None:
+        saved = sum(len(ts) - 1 for _c, ts in g)
+        ops = max(0, ops - saved)
+    return len(taps) + ops
+
+
 # fuse only while DMA-bound: the measured VMEM-contention knee is ~40
 # passes/row (docs/DESIGN.md); 30 leaves margin for the fused rings'
 # own extension-row overhead (7pt 18 and 13pt 26 fuse; 27pt 46,

@@ -30,7 +30,10 @@ def _as_ir(s) -> StencilIR:
 
 def _run(ir: StencilIR, read_tap, resolve, xp):
     """Shared execution: coefficient-grouped linear path when possible
-    (one multiply per coefficient group), generic evaluator otherwise."""
+    (one multiply per coefficient group); otherwise the generic
+    evaluator with memoized reads/shared subtrees and the nonlinear
+    coefficient grouping of :func:`.ir.additive_groups` (the analog of
+    the reference's Reduction grouping for non-linear summands)."""
     if ir.linear is not None:
         out = None
         for _key, cexpr, taps in ir.linear:
@@ -43,7 +46,24 @@ def _run(ir: StencilIR, read_tap, resolve, xp):
             term = coeff * acc
             out = term if out is None else out + term
         return out
-    return evaluate(ir.sdef.rhs, read_tap, resolve, xp)
+    from .ir import additive_groups
+
+    groups = additive_groups(ir.sdef.rhs)
+    if groups is None:
+        return evaluate(ir.sdef.rhs, read_tap, resolve, xp)
+    cache: dict = {}      # taps + shared subtrees memoized ACROSS groups
+    out = None
+    for cexpr, subs in groups:
+        coeff = evaluate(cexpr, read_tap, resolve, xp, cache=cache)
+        acc = None
+        for sign, sub in subs:
+            v = evaluate(sub, read_tap, resolve, xp, cache=cache)
+            v = -v if sign < 0 else v
+            acc = v if acc is None else acc + v
+        term = acc if (isinstance(coeff, float) and coeff == 1.0) \
+            else coeff * acc
+        out = term if out is None else out + term
+    return out
 
 
 def _np_offsets(offsets_edsl, dims):
