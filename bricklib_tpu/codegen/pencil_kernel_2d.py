@@ -1,0 +1,253 @@
+"""2-D streaming pencil kernel — dimension generality for the fast path.
+
+The reference's templates are dim-generic (Brick<Dim<BDims...>> works
+for any rank, include/brick.h:96-127); until round 4 the rebuild's fast
+path was 3-D/4-D only, with 2-D served by the jnp oracle.  This emitter
+is the natural TPU form of a 2-D stencil:
+
+- storage ``(nbricks, BY, X)`` — a brick is BY whole domain rows; the x
+  axis IS the lane axis, undistributed, periodic by lane rolls (the
+  dev_shl analog, include/dev_shl.h:11-64), so each window k-slice is
+  natively 2-D;
+- the y-contraction runs on the MXU: all distinct y-profiles for all
+  BY output rows compute as three small matmuls ``A_slot (nW*BY, BY) @
+  slot (BY, X)`` accumulated in f32 (precision=HIGHEST) — the same
+  k-profile-contraction form as :mod:`.mxu_kernel`, with no j stage at
+  all (2-D has no sublane-block axis, so rolls need no wrap fix);
+- nonlinear stencils run the generic evaluator over a 3-slot banded
+  slab with memoized tap reads (see :mod:`.evaluate`).
+
+Rows stream with the standard double-buffered window (one HBM read per
+row per sweep); ghost rows clamp at the table edge like every other
+emitter.  Fully periodic configs use a redirection table
+(``BrickDecomp.periodic_grid`` over both axes, or any 1-D id table).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .evaluate import evaluate, resolve_const_from_params
+from .ir import linear_decomposition
+from .jnp_backend import _as_ir
+
+
+def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
+                           bdims: Sequence[int],
+                           nbricks: int,
+                           params: dict | None = None,
+                           y_range: tuple[int, int] | None = None,
+                           dtype=jnp.float32,
+                           interpret: bool | None = None,
+                           lookahead: int = 2,
+                           vmem_limit_bytes: int = 110 * 2 ** 20):
+    """Build ``fn(view) -> view`` over ``(nbricks, BY, X)`` storage for
+    a 2-D stencil.  ``grid`` is the 1-D brick-row id table (shape
+    ``(GY,)`` or ``(GY, 1)``); ``bdims = (BY, X)`` with X the full
+    domain width (lane-periodic)."""
+    ir = _as_ir(stencil)
+    params = dict(params or {})
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if ir.dims != 2:
+        raise NotImplementedError("pallas_pencil_sweep_2d is 2-D")
+    if len(ir.sdef.inputs) != 1:
+        raise NotImplementedError("2-D path is single-input")
+    BY, X = (int(b) for b in bdims)
+    if not interpret and (X % 128 or BY % 8):
+        raise ValueError("2-D pencil bricks need X % 128 == 0 and "
+                         "BY % 8 == 0 on hardware")
+    lo, hi = ir.radius()          # numpy order: (y, x)
+    lo0, hi0 = lo[0], hi[0]
+    if lo0 > BY or hi0 > BY:
+        raise ValueError("y radius exceeds brick depth")
+    if lo[1] >= X or hi[1] >= X:
+        raise ValueError("x radius exceeds domain width")
+    grid = np.asarray(grid)
+    if grid.ndim == 2:
+        if grid.shape[1] != 1:
+            raise ValueError("2-D pencil table is one brick per y row")
+        grid = grid[:, 0]
+    GY = grid.shape[0]
+    if y_range is None:
+        y_range = (1, GY - 1)
+    Y0, Y1 = (int(y) for y in y_range)
+    if not (0 <= Y0 < Y1 <= GY):
+        raise ValueError("y_range outside table")
+    KC = Y1 - Y0
+    resolve = resolve_const_from_params(params)
+    lin = linear_decomposition(ir.sdef.rhs)
+
+    D = int(lookahead)
+    NW = 3 + D
+
+    mats = None
+    xmap = None
+    if lin is not None:
+        # y-profile factorization: C[(dy, dx)] -> shared profiles
+        C: dict = {}
+        for _key, cexpr, taps in lin:
+            c = float(resolve(cexpr.name)) if hasattr(cexpr, "name") \
+                else float(cexpr.val)
+            for sign, _g, offs in taps:
+                dx, dy = int(offs[0]), int(offs[1])
+                C[(dy, dx)] = C.get((dy, dx), 0.0) + (c if sign > 0
+                                                      else -c)
+        prof: dict = {}
+        for (dy, dx), c in C.items():
+            prof.setdefault(dx, {})[dy] = c
+        wkeys: dict = {}
+        profiles: list = []
+        xmap = {}
+        for dx, p in sorted(prof.items()):
+            key = tuple(sorted(p.items()))
+            if key not in wkeys:
+                wkeys[key] = len(profiles)
+                profiles.append(p)
+            xmap[dx] = wkeys[key]
+        nW = len(profiles)
+        Ap = np.zeros((nW * BY, BY), np.float32)
+        Ac = np.zeros((nW * BY, BY), np.float32)
+        An = np.zeros((nW * BY, BY), np.float32)
+        for w, p in enumerate(profiles):
+            for dy, c in p.items():
+                for r in range(BY):
+                    a = r + dy
+                    if a < 0:
+                        Ap[w * BY + r, BY + a] += c
+                    elif a < BY:
+                        Ac[w * BY + r, a] += c
+                    else:
+                        An[w * BY + r, a - BY] += c
+        mats = (jnp.asarray(Ap), jnp.asarray(Ac), jnp.asarray(An),
+                bool(Ap.any()), bool(An.any()))
+
+    def _clip(x, n):
+        return jnp.clip(x, 0, n - 1)
+
+    def kernel(ids_ref, dat_ref, ap_ref, ac_ref, an_ref, out_ref, win,
+               tout, sem, osem):
+        t = pl.program_id(0)
+
+        def row_copy(w, slot):
+            yrow = _clip(Y0 - 1 + w, GY)
+            return pltpu.make_async_copy(
+                dat_ref.at[ids_ref[yrow]], win.at[slot], sem.at[slot])
+
+        @pl.when(t == 0)
+        def _():
+            for w in range(min(NW, KC + 2)):
+                row_copy(w, w % NW).start()
+
+        @pl.when(jnp.logical_and(t > 0, t + 2 + D <= KC + 1))
+        def _():
+            row_copy(t + 2 + D, (t + 2 + D) % NW).start()
+
+        @pl.when(t == 0)
+        def _():
+            for w in range(min(2, KC + 1)):
+                row_copy(w, w % NW).wait()
+
+        row_copy(t + 2, (t + 2) % NW).wait()
+
+        prev = win[(t + 0) % NW]
+        cur = win[(t + 1) % NW]
+        nxt = win[(t + 2) % NW]
+
+        def roll_x(v, dx):
+            return pltpu.roll(v, (-dx) % X, 1) if dx else v
+
+        if lin is not None:
+            W2 = jax.lax.dot_general(
+                ac_ref[:], cur, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            if mats[3]:
+                W2 = W2 + jax.lax.dot_general(
+                    ap_ref[:], prev, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            if mats[4]:
+                W2 = W2 + jax.lax.dot_general(
+                    an_ref[:], nxt, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            out = None
+            for dx, wid in sorted(xmap.items()):
+                v = roll_x(W2[wid * BY:(wid + 1) * BY], dx)
+                out = v if out is None else out + v
+        else:
+            slab = jnp.concatenate(
+                [prev[BY - lo0:], cur, nxt[:hi0]], axis=0) \
+                if (lo0 or hi0) else cur
+
+            def read_tap(_name, offs):
+                dx, dy = int(offs[0]), int(offs[1])
+                return roll_x(slab[lo0 + dy:lo0 + dy + BY], dx)
+
+            out = evaluate(ir.sdef.rhs, read_tap,
+                           lambda n: float(resolve(n)), jnp)
+
+        @pl.when(t >= 2)
+        def _():
+            pltpu.make_async_copy(tout.at[t % 2],
+                                  out_ref.at[ids_ref[Y0 + t - 2]],
+                                  osem.at[t % 2]).wait()
+
+        tout[t % 2] = out
+        pltpu.make_async_copy(tout.at[t % 2],
+                              out_ref.at[ids_ref[Y0 + t]],
+                              osem.at[t % 2]).start()
+
+        @pl.when(t == KC - 1)
+        def _():
+            for tt in range(max(KC - 2, 0), KC):
+                pltpu.make_async_copy(tout.at[tt % 2],
+                                      out_ref.at[ids_ref[Y0 + tt]],
+                                      osem.at[tt % 2]).wait()
+
+    nelems = KC * BY * X
+    cost = pl.CostEstimate(flops=2 * len(ir.sdef.taps) * nelems,
+                           bytes_accessed=2 * nelems * 4,
+                           transcendentals=0)
+    if mats is None:
+        z = np.zeros((BY, BY), np.float32)
+        mats = (jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+                False, False)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(KC,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NW, BY, X), jnp.float32),
+            pltpu.VMEM((2, BY, X), jnp.float32),
+            pltpu.SemaphoreType.DMA((NW,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbricks, BY, X), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    ids = jnp.asarray(grid.astype(np.int32))
+
+    def fn(view):
+        return call(ids, view, mats[0], mats[1], mats[2])
+
+    fn.n_wprofiles = 0 if xmap is None else len(set(xmap.values()))
+    return fn

@@ -105,6 +105,26 @@ def main():
     check("pencil lookahead=2", lambda: jax.jit(pallas_pencil_sweep(
         sd7, grid3, BD, info3.nbricks, params, lookahead=2))(view))
 
+    def pencil_2d():
+        from bricklib_tpu.codegen.pencil_kernel_2d import (
+            pallas_pencil_sweep_2d)
+        from bricklib_tpu.st import ConstRef, Grid, Index
+        from bricklib_tpu.st.loader import load_stencil_module
+
+        i2, j2 = Index(0), Index(1)
+        g2d, o2d = Grid("in", 2), Grid("out", 2)
+        o2d(i2, j2).assign(ConstRef("0.4") * g2d(i2, j2)
+                           + ConstRef("0.1") * (g2d(i2 + 1, j2)
+                                                + g2d(i2, j2 - 1)))
+        sd2d = load_stencil_module({"STENCIL": [o2d]})[0]
+        g1, info1 = init_grid((4, 1))
+        fn = pallas_pencil_sweep_2d(sd2d, g1, (8, 256), info1.nbricks,
+                                    {})
+        return jax.jit(fn)(jnp.zeros((info1.nbricks, 8, 256),
+                                     jnp.float32))
+
+    check("pencil 2-D (MXU y-contraction)", pencil_2d)
+
     def mxu_flat_125():
         from bricklib_tpu.codegen.mxu_kernel import (
             flatten_bricks, pallas_pencil_sweep_mxu)
