@@ -30,9 +30,20 @@ def describe(name_or_path: str, params: dict | None = None,
         from ..stencils import stencil_by_name
         sdefs = stencil_by_name(name_or_path)
     if adjoint:
-        from .autodiff import adjoint_stencil
+        from .autodiff import adjoint_stencil, polynomial_adjoint_stencils
+        from .ir import linear_decomposition as _lin
 
-        sdefs = [adjoint_stencil(sd) for sd in sdefs]
+        out_defs = []
+        for sd in sdefs:
+            if len(sd.inputs) == 1 and _lin(sd.rhs) is not None:
+                out_defs.append(adjoint_stencil(sd))
+            else:
+                # variable-coefficient / polynomial stencils: one
+                # pullback stencil per input field (reads the
+                # cotangent grid + the original inputs)
+                adjs, _ct = polynomial_adjoint_stencils(sd)
+                out_defs.extend(adjs.values())
+        sdefs = out_defs
     out = []
     for sd in sdefs:
         ir = StencilIR.from_def(sd)

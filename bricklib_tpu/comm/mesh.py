@@ -12,7 +12,12 @@ DEFAULT_AXIS_NAMES = ("w", "z", "y", "x")  # outermost-first domain axes
 
 
 def domain_axis_names(ndim: int) -> tuple[str, ...]:
-    return DEFAULT_AXIS_NAMES[-ndim:]
+    if ndim <= len(DEFAULT_AXIS_NAMES):
+        return DEFAULT_AXIS_NAMES[-ndim:]
+    # rank > 4 (the layout/oracle path is dim-generic like the
+    # reference's templates): extra leading axes get generated names
+    extra = tuple(f"d{a}" for a in range(ndim - len(DEFAULT_AXIS_NAMES)))
+    return extra + DEFAULT_AXIS_NAMES
 
 
 def make_domain_mesh(mesh_shape, names=None, devices=None):

@@ -66,3 +66,17 @@ def test_vecscatter_describe_adjoint():
     assert d["taps"] == s["taps"] == 13
     assert d["radius_lo"] == s["radius_hi"]
     assert d["output"].endswith("_adj")
+
+
+def test_vecscatter_describe_adjoint_polynomial():
+    # variable-coefficient / polynomial stencils: one pullback
+    # stencil per input field (reads the cotangent + the originals)
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "examples", "varcoeff_diffusion.py")
+    ds = describe(path, {"dt": 0.05}, adjoint=True)
+    outs = {d["output"]: d for d in ds}
+    assert set(outs) == {"out_adj_u", "out_adj_c"}
+    assert "out_ct" in outs["out_adj_u"]["inputs"]
+    assert "u" in outs["out_adj_c"]["inputs"]
