@@ -132,9 +132,10 @@ def pallas_pencil_sweep_mxu(stencil, grid: np.ndarray,
         raise ValueError("j radius exceeds one pencil column")
     if lo[2] >= BI or hi[2] >= BI:
         raise ValueError("i radius exceeds brick i width")
-    if np.dtype(dtype) != np.float32:
-        raise NotImplementedError("mxu path accumulates f32 on-MXU; "
-                                  "bf16 storage is not wired yet")
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise NotImplementedError("mxu path stores f32 or bf16")
+    bf16 = dtype == jnp.dtype(jnp.bfloat16)
     grid = np.asarray(grid)
     if grid.ndim == 3:
         if grid.shape[2] != 1:
@@ -183,11 +184,15 @@ def pallas_pencil_sweep_mxu(stencil, grid: np.ndarray,
     LO = TJ * LB                 # flat output lanes
     L_I = LO                     # roll width (i wrap fixed per block)
 
-    mAp = jnp.asarray(Ap)
-    mAc = jnp.asarray(Ac)
-    mAn = jnp.asarray(An)
+    # bf16 storage: operands enter the MXU in bf16 (storage is already
+    # bf16-quantized, so bf16 x bf16 -> f32 products lose nothing the
+    # storage hasn't); the A coefficients round to bf16 accordingly
+    mAp = jnp.asarray(Ap).astype(dtype)
+    mAc = jnp.asarray(Ac).astype(dtype)
+    mAn = jnp.asarray(An).astype(dtype)
     use_p = bool(Ap.any())
     use_n = bool(An.any())
+    mxu_prec = None if bf16 else jax.lax.Precision.HIGHEST
 
     def _clip(x, n):
         return jnp.clip(x, 0, n - 1)
@@ -236,17 +241,17 @@ def pallas_pencil_sweep_mxu(stencil, grid: np.ndarray,
         nxt = win[(t + 2) % NW]
         W2 = jax.lax.dot_general(
             ac_ref[:], cur, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=mxu_prec,
             preferred_element_type=jnp.float32)
         if use_p:
             W2 = W2 + jax.lax.dot_general(
                 ap_ref[:], prev, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=mxu_prec,
                 preferred_element_type=jnp.float32)
         if use_n:
             W2 = W2 + jax.lax.dot_general(
                 an_ref[:], nxt, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=mxu_prec,
                 preferred_element_type=jnp.float32)
 
         # V stage: lane slices at BI multiples (aligned for BI % 128
@@ -291,7 +296,7 @@ def pallas_pencil_sweep_mxu(stencil, grid: np.ndarray,
             for cp in out_copies(t - 2, t % 2):
                 cp.wait()
 
-        tout[t % 2] = out
+        tout[t % 2] = out.astype(dtype) if bf16 else out
         for cp in out_copies(t, t % 2):
             cp.start()
 
@@ -315,8 +320,8 @@ def pallas_pencil_sweep_mxu(stencil, grid: np.ndarray,
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NW, BK, LW), jnp.float32),
-            pltpu.VMEM((2, BK, LO), jnp.float32),
+            pltpu.VMEM((NW, BK, LW), dtype),
+            pltpu.VMEM((2, BK, LO), dtype),
             pltpu.SemaphoreType.DMA((NW,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -324,7 +329,7 @@ def pallas_pencil_sweep_mxu(stencil, grid: np.ndarray,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbricks, BK, LB), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbricks, BK, LB), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem_limit_bytes,

@@ -59,6 +59,26 @@ def test_mxu_matches_dense(name, bd):
     assert compare_arrays(got, want, 1e-5)
 
 
+def test_mxu_bf16_storage():
+    """bf16 storage: operands enter the MXU in bf16; tolerance is
+    bf16-level (the storage itself quantizes to ~3 digits)."""
+    g = (5, 4, 1)
+    bd = (4, 4, 8)
+    grid, info, core, view = _periodic(bd, g, 41)
+    sd = stencil_by_name("mpi125pt")[0]
+    fn = pallas_pencil_sweep_mxu(sd, grid, bd, info.nbricks, PARAMS,
+                                 dtype=jnp.bfloat16, interpret=True)
+    flat = flatten_bricks(view).astype(jnp.bfloat16)
+    out = unflatten_bricks(
+        np.asarray(fn(flat).astype(jnp.float32)), bd)
+    lo, hi = sd.radius()
+    corep = np.pad(core, [(l, h) for l, h in zip(lo, hi)], mode="wrap")
+    want = dense_apply(sd, {next(iter(sd.inputs)): corep}, PARAMS,
+                       xp=np)
+    got = from_bricks(out, np.asarray(grid)[1:-1, 1:-1], bd)
+    assert compare_arrays(got, want, 3e-2)
+
+
 def test_mxu_matches_classic_sweep_chained():
     """Two chained MXU sweeps == two chained classic sweeps on the same
     periodic table (the bench's rep-chain usage)."""
