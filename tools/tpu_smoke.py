@@ -321,6 +321,38 @@ def main():
 
     check("autodiff grads (adjoint + oracle)", autodiff_grads)
 
+    def poly_adjoint_grads():
+        # variable-coefficient EXACT pullback: Pallas forward + one
+        # adjoint pencil sweep per field (multi-input generic path at
+        # up to 2x the forward radius — a distinct DMA/alignment
+        # surface from the linear adjoint)
+        from bricklib_tpu.codegen.autodiff import differentiable_poly_sweep
+        from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+        iu, ju, ku = Index(0), Index(1), Index(2)
+        gu_, gc_, go_ = Grid("u", 3), Grid("c", 3), Grid("out", 3)
+        go_(iu, ju, ku).assign(
+            gu_(iu, ju, ku) + ConstRef("dt")
+            * (gc_(iu, ju, ku) + gc_(iu + 1, ju, ku))
+            * (gu_(iu + 1, ju, ku) - gu_(iu, ju, ku)))
+        sdp = load_stencil_module({"STENCIL": [go_]})[0]
+        pdec = BrickDecomp(dims=(16, 16, 128), ghost_depth=(8, 8, 0),
+                           bdims=BD).initialize(
+                               skinlist_by_name("good", 3))
+        step = differentiable_poly_sweep(
+            sdp, pdec.periodic_grid((0, 1, 2)), BD, pdec.nbricks,
+            {"dt": 0.05})
+        msk = jnp.asarray(pdec.owned_mask().reshape((-1, 1, 1, 1)))
+        uv = jnp.ones((pdec.nbricks,) + BD, jnp.float32)
+        cv = jnp.full((pdec.nbricks,) + BD, 1.2, jnp.float32)
+        args = tuple(uv if n == "u" else cv for n in step.fields)
+        gu_g, gc_g = jax.jit(jax.grad(
+            lambda a, b: jnp.sum(jnp.where(msk, step(a, b), 0.0)),
+            argnums=(0, 1)))(*args)
+        return gu_g + gc_g
+
+    check("poly adjoint grads (varcoeff)", poly_adjoint_grads)
+
     check("AOT export roundtrip", aot_roundtrip)
 
     width = max(len(k) for k in results)
