@@ -1,8 +1,10 @@
 from .autodiff import (adjoint_stencil, differentiable_pencil_sweep,
                        differentiable_pencil_sweep_4d,
-                       oracle_vjp_sweep)
+                       differentiable_poly_sweep,
+                       oracle_vjp_sweep, polynomial_adjoint_stencils)
 from .evaluate import evaluate, resolve_const_from_params
-from .ir import StencilIR, linear_decomposition
+from .ir import (StencilIR, additive_groups, generic_pass_estimate,
+                 linear_decomposition)
 from .jnp_backend import dense_apply, brick_apply
 
 __all__ = [
@@ -10,10 +12,14 @@ __all__ = [
     "resolve_const_from_params",
     "StencilIR",
     "linear_decomposition",
+    "additive_groups",
+    "generic_pass_estimate",
     "dense_apply",
     "brick_apply",
     "adjoint_stencil",
     "differentiable_pencil_sweep",
     "differentiable_pencil_sweep_4d",
+    "differentiable_poly_sweep",
+    "polynomial_adjoint_stencils",
     "oracle_vjp_sweep",
 ]
