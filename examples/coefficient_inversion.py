@@ -2,10 +2,11 @@
 recover a spatially varying diffusion coefficient c(x) from observed
 states, with the Pallas kernel as the forward model.
 
-``codegen.oracle_vjp_sweep`` registers an exact pullback for
-multi-input stencils — including gradients wrt the STATIC aux
-coefficient field — so plain gradient descent fits c(x) while every
-forward evaluation runs at stencil speed:
+``codegen.differentiable_poly_sweep`` registers the EXACT pullback for
+variable-coefficient stencils — one adjoint PENCIL sweep per field,
+Pallas forward AND backward, O(1) activation memory — so plain
+gradient descent fits c(x) with both directions at stencil speed
+(round 4; the dense-twin oracle now serves only systems and If/max):
 
     y_obs = M(u0; c_true)   (flux-form variable-coefficient diffusion)
     minimize ||M(u0; c) - y_obs||^2 over the field c
@@ -21,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))   # repo root, for uninstalled checkouts
 
-from bricklib_tpu.codegen import oracle_vjp_sweep
+from bricklib_tpu.codegen import differentiable_poly_sweep
 from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
 from bricklib_tpu.core import to_bricks
 from bricklib_tpu.st import Grid, Index, load_stencil_module
@@ -49,7 +50,8 @@ def main():
     BD = (8, 8, n) if n % 128 == 0 else (4, 4, n)
     dec = BrickDecomp(dims=(n, n, n), ghost_depth=(BD[0], BD[1], 0),
                       bdims=BD).initialize(skinlist_by_name("good", 3))
-    step = oracle_vjp_sweep(sdef, dec, BD, {}, fields=("u",))
+    step = differentiable_poly_sweep(
+        sdef, dec.periodic_grid((0, 1, 2)), BD, dec.nbricks, {})
 
     def stage(a):
         idx = [np.arange(-z, n + z) % n for z in (BD[0], BD[1], 0)]
