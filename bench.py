@@ -42,13 +42,32 @@ def _supervise() -> int:
     from bricklib_tpu.bench.roofline import run_bounded
 
     env = dict(os.environ, BRICK_BENCH_INNER="1")
-    budget = int(os.environ.get("BRICK_BENCH_TPU_TIMEOUT_S", "1500"))
+    # budget covers ~15 Mosaic first-compiles (round 4 added the
+    # 125pt-MXU and strong legs) + 4 interleaved measurement rounds
+    budget = int(os.environ.get("BRICK_BENCH_TPU_TIMEOUT_S", "2100"))
     rc, out, err = run_bounded([sys.executable, os.path.abspath(__file__)],
                                budget, env=env)
     if rc == 0 and out.strip():
         sys.stdout.write(out)
         return 0
     note = f"timeout>{budget}s" if rc is None else f"rc={rc}"
+    # the round-4 legs (125pt-MXU, strong) have never first-compiled
+    # on real hardware; if the full run died, retry once on TPU with
+    # only the round-3-proven legs so a single bad Mosaic compile
+    # cannot cost the round its on-chip artifact
+    if os.environ.get("BRICK_BENCH_MINIMAL") != "1":
+        print(f"WARNING: TPU bench attempt failed ({note}); retrying "
+              f"on TPU with the round-3-proven legs only",
+              file=sys.stderr)
+        sys.stderr.write(err[-2000:])
+        env_min = dict(env, BRICK_BENCH_MINIMAL="1")
+        rc, out, err = run_bounded(
+            [sys.executable, os.path.abspath(__file__)], budget,
+            env=env_min)
+        if rc == 0 and out.strip():
+            sys.stdout.write(out)
+            return 0
+        note = f"timeout>{budget}s" if rc is None else f"rc={rc}"
     print(f"WARNING: TPU bench attempt failed ({note}); "
           f"rerunning on CPU", file=sys.stderr)
     sys.stderr.write(err[-2000:])
@@ -131,7 +150,10 @@ def main():
     # candidate against the 125pt >= 0.90-of-SOL gate, BASELINE.md:32):
     # the W stage runs as three small matmuls on the otherwise-idle
     # matrix unit, j-shifts become aligned lane slices
-    if on_tpu:
+    # BRICK_BENCH_MINIMAL: round-3-proven legs only (the supervised
+    # retry path when a new leg's first hardware compile kills the run)
+    minimal = os.environ.get("BRICK_BENCH_MINIMAL") == "1"
+    if on_tpu and not minimal:
         from bricklib_tpu.codegen.mxu_kernel import pallas_pencil_sweep_mxu
 
         k125mxu = rep(pallas_pencil_sweep_mxu(
@@ -196,7 +218,7 @@ def main():
     # pencil form (128, 128, 512) x 16 per chip, batched sweeps over
     # the subdomain stack + the one-kernel remote-DMA exchange
     # (self-targeted on one chip) under a flat 1-device mesh
-    if on_tpu:
+    if on_tpu and not minimal:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from bricklib_tpu.comm.mesh import make_flat_mesh, shard_map
@@ -251,9 +273,10 @@ def main():
     if on_tpu:
         items.update({"7pt_bf16": (k7bf, R),
                       "copy_bf16": (dma_copy_bf16, R),
-                      "honest_bf16": (honest_bf16, ST_ITER),
-                      "125pt_mxu": (k125mxu, R),
-                      "strong": (strong, ST_ITER)})
+                      "honest_bf16": (honest_bf16, ST_ITER)})
+        if not minimal:
+            items.update({"125pt_mxu": (k125mxu, R),
+                          "strong": (strong, ST_ITER)})
     times = {k: [] for k in items}
     bufs = {k: fresh(s) for s, k in enumerate(items)}
     for k in ("7pt_bf16", "copy_bf16", "honest_bf16"):
