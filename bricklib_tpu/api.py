@@ -147,7 +147,7 @@ class Problem:
                        and self.mesh_shape[-1] == 1 and fold_ok
                        and not (nd == 4 and multi_in)
                        else "jnp")
-        if backend == "pencil" and self.mesh_shape[-1] != 1:
+        if backend in ("pencil", "mxu") and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
             # silently computing per-device-periodic results
             raise ValueError(
@@ -163,8 +163,16 @@ class Problem:
                              "stencil; use backend='jnp' for 4-D "
                              "multi-input")
         self.backend = backend
+        if backend == "mxu":
+            # flat-pencil MXU sweep (codegen.mxu_kernel): single
+            # linear evolving field, 3-D, fuse=1, shift exchange
+            if nd != 3 or nfld != 1 or self.aux_names:
+                raise ValueError("backend='mxu' runs single-field "
+                                 "single-input 3-D stencils")
+            if exchange != "shift":
+                raise ValueError("backend='mxu' uses exchange='shift'")
         if bdims is None:
-            if backend == "pencil":
+            if backend in ("pencil", "mxu"):
                 bdims = ((8, 8, self.dims[2]) if nd == 3
                          else (2, 8, 8, self.dims[3]))
             else:
@@ -172,7 +180,8 @@ class Problem:
                     min(128, self.dims[-1]),)
         self.bdims = tuple(int(b) for b in bdims)
         if ghost is None:
-            ghost = (self.bdims[:-1] + (0,) if backend == "pencil"
+            ghost = (self.bdims[:-1] + (0,)
+                     if backend in ("pencil", "mxu")
                      else self.bdims)
         self.ghost = tuple(int(g) for g in ghost)
 
@@ -397,6 +406,57 @@ class Problem:
                              "vmem_bytes": k.vmem_bytes}
                             for k in kerns],
             }
+        elif backend == "mxu":
+            # flat-pencil MXU backend (codegen.mxu_kernel): storage
+            # (nbricks, BK, BJ*BI); the k-profile contraction runs on
+            # the matrix unit, j-shifts are aligned lane slices.
+            # Exchange machinery is shape-agnostic along the brick
+            # axis, so shift exchanges and table periodicity compose
+            # unchanged.  fuse=1 (the MXU form IS the amortization).
+            from .codegen.mxu_kernel import pallas_pencil_sweep_mxu
+
+            table_axes = tuple(a for a in range(nd) if msh[a] == 1)
+            distributed = len(table_axes) < nd
+            if distributed and self.st_iter * rad > min(bd[:-1]):
+                raise ValueError(
+                    f"st_iter {self.st_iter} x radius {rad} exceeds "
+                    f"ghost depth {min(bd[:-1])}")
+            kgrid = dec.periodic_grid(table_axes)
+            self.fuse = 1
+
+            def _r(skip, a):
+                G_ = kgrid.shape[a]
+                return (1, G_ - 1) if a in table_axes else (skip,
+                                                            G_ - skip)
+
+            mk = pallas_pencil_sweep_mxu(
+                self.sdef, kgrid, bd, dec.nbricks, self.params,
+                k_range=_r(1, 0), j_range=_r(1, 1),
+                dtype=jnp.dtype(self.dtype))
+            mk_ghost = None
+            if self.st_iter > 1 and distributed:
+                mk_ghost = pallas_pencil_sweep_mxu(
+                    self.sdef, kgrid, bd, dec.nbricks, self.params,
+                    k_range=_r(0, 0), j_range=_r(0, 1),
+                    dtype=jnp.dtype(self.dtype))
+
+            def one(d):
+                if distributed:
+                    d = exchange_shift(d, dec, self._xnames, msh,
+                                       table_axes=table_axes)
+                for it in range(self.st_iter):
+                    last = it == self.st_iter - 1
+                    d = (mk if (last or mk_ghost is None)
+                         else mk_ghost)(d)
+                return d
+
+            self._exec_plan = {
+                "backend": "mxu", "fuse": 1,
+                "exchange": exchange if distributed else "table",
+                "table_axes": list(table_axes),
+                "kernels": [{"tile_j": mk.tile_j,
+                             "vmem_bytes": mk.vmem_bytes}],
+            }
         else:
             from .codegen import brick_apply
 
@@ -446,7 +506,7 @@ class Problem:
 
         # donate only when the step moves ghost data in place; donating
         # to a pure-output kernel costs an extra copy on this runtime
-        moves = not (backend == "pencil"
+        moves = not (backend in ("pencil", "mxu")
                      and int(np.prod(msh)) == 1)
         don = dict(donate_argnums=tuple(range(nfld))) if moves else {}
         nin = nfld + len(self.aux_names)
@@ -695,7 +755,8 @@ class Problem:
 
         ndev = int(np.prod(self.eff_mesh))
         m = np.tile(self.dec.owned_mask(), ndev)
-        m = m.reshape((-1,) + (1,) * len(self.bdims))
+        srank = 3 if self.backend == "mxu" else 1 + len(self.bdims)
+        m = m.reshape((-1,) + (1,) * (srank - 1))
         return jax.device_put(jnp.asarray(m), self._sharding)
 
     def describe(self) -> dict:
@@ -834,6 +895,9 @@ class Problem:
         # device_put so a raise leaves the Problem fully uninitialized
         aux_stk = [self._stack_global(aux[n]) for n in self.aux_names]
         dat_stk = [self._stack_global(array[f_]) for f_ in self.fields]
+        if self.backend == "mxu":   # flat-pencil storage (host reshape)
+            dat_stk = [d.reshape(d.shape[0], self.bdims[0], -1)
+                       for d in dat_stk]
         self._aux = tuple(
             jax.device_put(jnp.asarray(s), self._sharding)
             for s in aux_stk)
