@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--mesh", default=None,
                     help="mesh shape mz,my,mx (default: all devices "
                          "along the outermost axis)")
+    ap.add_argument("--slices", type=int, default=1,
+                    help="multi-slice (DCN) topology: slices x ICI "
+                         "mesh, slice axis composed with domain axis 0")
     ap.add_argument("--domain", default=None,
                     help="PER-DEVICE owned elements kz,ky,kx (default "
                          "64,64,512 on TPU / 16,16,32 on CPU — the "
@@ -102,10 +105,12 @@ def main(argv=None):
         mesh_shape = tuple(int(x) for x in args.mesh.split(","))
     else:
         mesh_shape = (ndev, 1, 1)
-    n = int(np.prod(mesh_shape))
+    slices = max(1, int(args.slices))
+    eff_shape = (slices * mesh_shape[0],) + mesh_shape[1:]
+    n = int(np.prod(eff_shape))
     if n > ndev:
-        print(f"ERROR: mesh {mesh_shape} needs {n} devices, have "
-              f"{ndev}", file=sys.stderr)
+        print(f"ERROR: {slices} slices x mesh {mesh_shape} needs {n} "
+              f"devices, have {ndev}", file=sys.stderr)
         return 2
     if args.domain:
         dims = tuple(int(x) for x in args.domain.split(","))
@@ -121,9 +126,15 @@ def main(argv=None):
                       bdims=BD).initialize(skinlist_by_name("good", 3))
     nb = dec.nbricks
     GK, GJ = dec.grid.shape[0], dec.grid.shape[1]
-    table_axes = tuple(a for a in range(3) if mesh_shape[a] == 1)
+    table_axes = tuple(a for a in range(3) if eff_shape[a] == 1)
     kgrid = dec.periodic_grid(table_axes)
-    mesh = make_domain_mesh(mesh_shape)
+    if slices > 1:
+        from bricklib_tpu.comm.mesh import make_multislice_mesh
+
+        mesh, xnames, _eff = make_multislice_mesh(slices, mesh_shape)
+    else:
+        mesh = make_domain_mesh(mesh_shape)
+        xnames = mesh.axis_names
     names = mesh.axis_names
     from jax.sharding import NamedSharding, PartitionSpec as P
     P_ = P(tuple(names))
@@ -140,7 +151,7 @@ def main(argv=None):
                                   interpret=interp, **rng(0))
 
     def honest(d):
-        d = exchange_shift(d, dec, names, mesh_shape,
+        d = exchange_shift(d, dec, xnames, eff_shape,
                            table_axes=table_axes, interpret=interp)
         for _ in range(ST - 1):
             d = k_ghost(d)
@@ -152,7 +163,7 @@ def main(argv=None):
         return k_skip(d)
 
     def exch_only(d):
-        return exchange_shift(d, dec, names, mesh_shape,
+        return exchange_shift(d, dec, xnames, eff_shape,
                               table_axes=table_axes, interpret=interp)
 
     def wrap(f, donate=False):
@@ -174,7 +185,7 @@ def main(argv=None):
 
     # fused exchange-in-sweep (overlap form): ICI single-level meshes,
     # distributed, single linear input
-    fused_ok = len(table_axes) < 3 and not args.no_fused
+    fused_ok = len(table_axes) < 3 and not args.no_fused and slices == 1
     if fused_ok:
         try:
             from bricklib_tpu.codegen.fused_exchange import (
@@ -221,7 +232,7 @@ def main(argv=None):
     honest_it = res_legs["honest"]
     share = max(0.0, (honest_it - res_legs["noex"]) / honest_it)
     out = {
-        "devices": n, "mesh": list(mesh_shape),
+        "devices": n, "mesh": list(mesh_shape), "slices": slices,
         "backend": jax.default_backend(),
         "domain_per_device": list(dims), "brick": list(BD),
         "stencil": args.stencil, "st_iter": ST, "iters": args.iters,
