@@ -548,11 +548,14 @@ class Problem:
         too (one per input field, O(1) activations; signature
         ``fn(field, *aux) -> field``, distributed meshes included:
         aux-field ghost gradients ride an in-graph aux exchange's
-        transpose home).  Coupled systems and non-polynomial stencils
-        (If/max) fall back to the ORACLE pullback (table-periodic
-        single-device meshes, signature ``fn(*fields, *aux) ->
-        fields``).  3-D pencil backend, shift exchange; the built step
-        is cached on the Problem."""
+        transpose home).  Coupled POLYNOMIAL systems get the exact
+        adjoint-SYSTEM pullback (one multi-output Pallas forward, one
+        adjoint pencil sweep per input field, distributed included;
+        signature ``fn(*fields, *aux) -> fields``).  Only
+        non-polynomial stencils (If/max) fall back to the ORACLE
+        pullback (table-periodic single-device meshes, same
+        signature).  3-D pencil backend, shift exchange; the built
+        step is cached on the Problem."""
         import jax
 
         from .codegen.autodiff import differentiable_pencil_sweep
@@ -601,16 +604,24 @@ class Problem:
         table_axes = tuple(a for a in range(3) if msh[a] == 1)
         distributed = len(table_axes) < 3
         if self.nfld != 1:
-            # coupled SYSTEMS: oracle pullback (Pallas forward,
-            # dense-twin vjp) — table-periodic configs only, signature
-            # fn(*fields, *aux) -> fields so grads flow wrt aux too
-            if distributed:
-                raise ValueError(
-                    "system differentiable_step runs on fully "
-                    "table-periodic (single-device) meshes; "
-                    "distributed meshes differentiate single-output "
-                    "configurations (linear or polynomial)")
-            return self._build_oracle_diff_step()
+            # coupled SYSTEMS: polynomial systems get the exact
+            # adjoint-system pullback (Pallas fwd+bwd, distributed
+            # included); non-polynomial (If/max) systems fall back to
+            # the oracle pullback (dense-twin vjp, table-periodic
+            # only).  Signature fn(*fields, *aux) -> fields either
+            # way, so grads flow wrt aux too.
+            try:
+                return self._build_poly_system_diff_step(distributed,
+                                                         table_axes)
+            except ValueError as e:
+                if "polynomial expansion" not in str(e):
+                    raise
+                if distributed:
+                    raise ValueError(
+                        "non-polynomial system differentiable_step "
+                        "(If/max) runs on fully table-periodic "
+                        f"(single-device) meshes ({e})") from e
+                return self._build_oracle_diff_step()
         if self.aux_names or linear_decomposition(self.sdef.rhs) is None:
             # single output, multi-input (variable-coefficient) or
             # polynomial-nonlinear: exact adjoint-stencil pullback via
@@ -714,6 +725,58 @@ class Problem:
         self._diff_step = (
             jax.jit(shard_map(one, self.mesh,
                               (self._P,) * len(allnames), self._P))
+            if int(np.prod(msh)) > 1 else jax.jit(one))
+        return self._diff_step
+
+    def _build_poly_system_diff_step(self, distributed, table_axes):
+        """Exact polynomial SYSTEM pullback (codegen.autodiff.
+        differentiable_poly_system_sweep): ONE multi-output Pallas
+        forward per step + one adjoint pencil sweep per input field
+        reading the output cotangents, O(1) activations.  Signature
+        ``fn(*fields, *aux) -> fields``.  Distributed meshes exchange
+        every field per step; aux/field ghost gradients route home
+        through the exchanges' own transposes."""
+        import jax
+        import jax.numpy as jnp
+
+        from .codegen.autodiff import differentiable_poly_system_sweep
+        from .comm.exchange import exchange_shift
+        from .comm.mesh import shard_map
+
+        if distributed and self.st_iter != 1:
+            raise ValueError(
+                f"differentiable distributed step needs st_iter=1 "
+                f"(one unfused sweep per exchange), got st_iter="
+                f"{self.st_iter}, fuse={self.fuse}")
+        msh = self.eff_mesh
+        kern = differentiable_poly_system_sweep(
+            self.sdefs, self.dec.periodic_grid(table_axes), self.bdims,
+            self.dec.nbricks, self.fields, self.params,
+            exchanged_axes=tuple(a for a in (0, 1)
+                                 if a not in table_axes),
+            dtype=jnp.dtype(self.dtype),
+            forward_fn=(self._plan_kern0 if self.fuse == 1 else None),
+            lookahead=2)
+        names = self._xnames
+        allnames = list(self.fields) + list(self.aux_names)
+        nfld = self.nfld
+
+        def one(*sv):
+            vals = dict(zip(allnames, sv))
+            if distributed:
+                vals = {n: exchange_shift(v, self.dec, names, msh,
+                                          table_axes=table_axes)
+                        for n, v in vals.items()}
+                return kern(*(vals[n] for n in kern.fields))
+            for _ in range(self.st_iter):
+                outs = kern(*(vals[n] for n in kern.fields))
+                vals.update(zip(self.fields, outs))
+            return tuple(vals[f] for f in self.fields)
+
+        self._diff_step = (
+            jax.jit(shard_map(one, self.mesh,
+                              (self._P,) * len(allnames),
+                              (self._P,) * nfld))
             if int(np.prod(msh)) > 1 else jax.jit(one))
         return self._diff_step
 

@@ -1,7 +1,9 @@
 from .autodiff import (adjoint_stencil, differentiable_pencil_sweep,
                        differentiable_pencil_sweep_4d,
                        differentiable_poly_sweep,
-                       oracle_vjp_sweep, polynomial_adjoint_stencils)
+                       differentiable_poly_system_sweep,
+                       oracle_vjp_sweep, polynomial_adjoint_stencils,
+                       polynomial_system_adjoints)
 from .evaluate import evaluate, resolve_const_from_params
 from .ir import (StencilIR, additive_groups, generic_pass_estimate,
                  linear_decomposition)
@@ -20,6 +22,8 @@ __all__ = [
     "differentiable_pencil_sweep",
     "differentiable_pencil_sweep_4d",
     "differentiable_poly_sweep",
+    "differentiable_poly_system_sweep",
     "polynomial_adjoint_stencils",
+    "polynomial_system_adjoints",
     "oracle_vjp_sweep",
 ]

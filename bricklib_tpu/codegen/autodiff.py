@@ -157,46 +157,84 @@ def polynomial_adjoint_stencils(sdef: StencilDef,
     Returns ``(adjoints, ct_name)`` where ``adjoints[field]`` is the
     StencilDef of that field's pullback (fields with no occurrence are
     omitted — their gradient is identically zero)."""
-    monos = _expand_monomials(sdef.rhs)
-    d = sdef.dims
+    adjs, cts = polynomial_system_adjoints(
+        [sdef], wrt=wrt, ct_names=(ct_name,) if ct_name else None)
+    return adjs, cts[0]
+
+
+def polynomial_system_adjoints(sdefs: Sequence[StencilDef],
+                               wrt: Sequence[str] | None = None,
+                               ct_names: Sequence[str] | None = None):
+    """Exact pullback stencils for a coupled POLYNOMIAL stencil SYSTEM
+    (the reference's multi-output ``STENCIL = [out1, out2]`` contract,
+    codegen/vecscatter:165-168).
+
+    The system is one map ``(x_1..x_n) -> (y_1..y_m)`` with every
+    ``y_o`` a polynomial in the shared inputs; the cotangent of input
+    field ``f`` sums the single-output product-rule terms over ALL
+    outputs: ``f̄[q] = Σ_o Σ_m Σ_{r: g=f} s_{o,m} · ȳ_o[q - u] ·
+    Π_{r'≠r} g[q - u + u']``.  Each adjoint is one single-output
+    multi-input polynomial stencil reading the cotangent grids
+    (``<out>_ct``) plus the ORIGINAL inputs — i.e. it runs on the same
+    multi-input pencil fast path as the forward system.
+
+    Returns ``(adjoints, ct_names)``: ``adjoints[field]`` is that
+    field's pullback StencilDef (fields with no occurrence anywhere
+    are omitted — gradient identically zero); ``ct_names`` the
+    cotangent grid names in STENCIL output order."""
+    sdefs = list(sdefs)
+    d = sdefs[0].dims
+    if any(s.dims != d for s in sdefs):
+        raise ValueError("system outputs must share dimensionality")
+    union: list[str] = []
+    for s in sdefs:
+        for n in s.inputs:
+            if n not in union:
+                union.append(n)
+    if ct_names is None:
+        ct_names = tuple(s.output.name + "_ct" for s in sdefs)
+    ct_names = tuple(ct_names)
+    if len(ct_names) != len(sdefs):
+        raise ValueError("one cotangent grid name per STENCIL output")
+    if len(set(ct_names)) != len(ct_names) or set(ct_names) & set(union):
+        raise ValueError(f"cotangent grid names {ct_names} must be "
+                         f"distinct and disjoint from inputs {union}")
+    monos = [_expand_monomials(s.rhs) for s in sdefs]
     if wrt is None:
-        wrt = tuple(sdef.inputs)
-    ct = ct_name or (sdef.output.name + "_ct")
-    if ct in sdef.inputs:
-        raise ValueError(f"cotangent grid name {ct!r} collides with an "
-                         f"input")
+        wrt = tuple(union)
     adjoints: dict[str, StencilDef] = {}
     for f in wrt:
-        grids = {ct: Grid(ct, d)}
-        for n in sdef.inputs:
+        grids = {ct: Grid(ct, d) for ct in ct_names}
+        for n in union:
             grids[n] = Grid(n, d)
         idx = [Index(a) for a in range(d)]
-        og = Grid(f"{sdef.output.name}_adj_{f}", d)
+        og = Grid(f"{sdefs[0].output.name}_adj_{f}", d)
         rhs = None
-        for s, c, refs in monos:
-            for r, (name, offs) in enumerate(refs):
-                if name != f:
-                    continue
-                shifted = ([(ct, tuple(-o for o in offs))]
-                           + [(n2, tuple(o2 - o for o2, o in
-                                         zip(offs2, offs)))
-                              for r2, (n2, offs2) in enumerate(refs)
-                              if r2 != r])
-                if c is not None:
-                    term = (c if s == 1.0
-                            else BinOp(Op.MUL, FloatLiteral(s), c))
-                else:
-                    term = None if s == 1.0 else FloatLiteral(s)
-                for n2, o2 in shifted:
-                    ref = grids[n2](*[idx[a] + int(o2[a])
-                                      for a in range(d)])
-                    term = ref if term is None else term * ref
-                rhs = term if rhs is None else rhs + term
+        for ct, out_monos in zip(ct_names, monos):
+            for s, c, refs in out_monos:
+                for r, (name, offs) in enumerate(refs):
+                    if name != f:
+                        continue
+                    shifted = ([(ct, tuple(-o for o in offs))]
+                               + [(n2, tuple(o2 - o for o2, o in
+                                             zip(offs2, offs)))
+                                  for r2, (n2, offs2) in enumerate(refs)
+                                  if r2 != r])
+                    if c is not None:
+                        term = (c if s == 1.0
+                                else BinOp(Op.MUL, FloatLiteral(s), c))
+                    else:
+                        term = None if s == 1.0 else FloatLiteral(s)
+                    for n2, o2 in shifted:
+                        ref = grids[n2](*[idx[a] + int(o2[a])
+                                          for a in range(d)])
+                        term = ref if term is None else term * ref
+                    rhs = term if rhs is None else rhs + term
         if rhs is None:
             continue
         og(*idx).assign(rhs)
         adjoints[f] = load_stencil_module({"STENCIL": [og]})[0]
-    return adjoints, ct
+    return adjoints, ct_names
 
 
 def _check_periodic_table(grid: np.ndarray, k_range, j_range,
@@ -394,7 +432,8 @@ def differentiable_poly_sweep(stencil, grid: np.ndarray,
     sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
     if len(sdefs) != 1:
         raise ValueError("differentiable_poly_sweep takes one output "
-                         "(systems differentiate via oracle_vjp_sweep)")
+                         "(systems differentiate via "
+                         "differentiable_poly_system_sweep)")
     sdef = sdefs[0]
     grid = np.asarray(grid)
     g2 = grid[:, :, 0] if grid.ndim == 3 else grid
@@ -489,6 +528,147 @@ def differentiable_poly_sweep(stencil, grid: np.ndarray,
     step.adjoints = adj_fns
     step.fields = fieldnames
     step.ct_name = ct
+    return step
+
+
+def differentiable_poly_system_sweep(stencil, grid: np.ndarray,
+                                     bdims: Sequence[int], nbricks: int,
+                                     fields: Sequence[str],
+                                     params: dict | None = None,
+                                     wrt: Sequence[str] | None = None,
+                                     mask_ghost: bool = True,
+                                     exchanged_axes: Sequence[int] = (),
+                                     forward_fn=None,
+                                     **kw):
+    """Exact Pallas-forward / Pallas-backward sweep for coupled
+    POLYNOMIAL stencil SYSTEMS — the multi-output twin of
+    :func:`differentiable_poly_sweep`, killing the oracle's dense twin
+    for every polynomial system (oracle remains for If/max only).
+
+    Forward: ONE multi-output pencil kernel per step (shared inputs
+    stream through HBM once — the system fast path).  Backward: one
+    multi-input pencil sweep per requested input field, built from
+    :func:`polynomial_system_adjoints` (each reads the output
+    cotangent grids plus the original inputs; O(1) activation memory
+    — the only residuals are the forward's own input views).
+
+    ``fields``: the evolving input grid each STENCIL output replaces,
+    in output order (the forward's ``evolve=``).  ``wrt``: input grid
+    names to differentiate (default: all).  The returned
+    ``fn(*views) -> (out1, ...)`` takes views in ``fn.fields`` order;
+    its VJP returns one gradient per view (zeros outside ``wrt``).
+
+    ``exchanged_axes`` as in :func:`differentiable_poly_sweep` — the
+    same two multi-input caveats apply (adjoint residual reads at up
+    to 2x the max forward radius must fit one ghost brick row; static
+    aux gradients route home through an in-graph idempotent aux
+    exchange whose transpose is the ghost-to-owner fold).  Fuse is
+    rejected (fused intermediate levels would need residuals)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel import pallas_pencil_sweep
+
+    for bad in ("evolve", "batch", "i_ghost", "inplace"):
+        if kw.get(bad):
+            raise ValueError(f"differentiable_poly_system_sweep does "
+                             f"not support {bad}=...")
+    if int(kw.get("fuse") or 1) > 1:
+        raise ValueError("differentiable_poly_system_sweep is fuse=1 "
+                         "only (fused intermediate levels would need "
+                         "their own residuals)")
+    sdefs = list(stencil) if isinstance(stencil, (list, tuple)) \
+        else [stencil]
+    fields = tuple(fields)
+    if len(fields) != len(sdefs):
+        raise ValueError("one evolving field per STENCIL output")
+    grid = np.asarray(grid)
+    g2 = grid[:, :, 0] if grid.ndim == 3 else grid
+    if grid.ndim == 3 and grid.shape[2] != 1:
+        raise ValueError("pencil layout only (one brick per (k, j))")
+    GK, GJ = g2.shape
+    k_range = tuple(kw.get("k_range") or (1, GK - 1))
+    j_range = tuple(kw.get("j_range") or (1, GJ - 1))
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0, 1}:
+        raise ValueError("exchanged_axes are numpy-order k/j axes "
+                         "(0 and/or 1); i is always lane-periodic")
+    rad = 0
+    for sd in sdefs:
+        lo, hi = sd.radius()
+        rad = max(rad, max(lo), max(hi))
+    BK, BJ = int(bdims[0]), int(bdims[1])
+    if exchanged_axes and 2 * rad > min(BK, BJ):
+        raise ValueError(
+            f"exchanged-axes system adjoint needs 2*radius <= "
+            f"min(BK, BJ) (got radius {rad}, brick {bdims})")
+    for ax, rng, G in ((0, k_range, GK), (1, j_range, GJ)):
+        if ax not in exchanged_axes and (rng[0] < 1 or rng[1] > G - 1):
+            raise ValueError(
+                f"axis {ax}: range {rng} includes the periodic ghost "
+                f"ring (grid extent {G}); table-periodic axes must "
+                f"compute owned cells only (1, {G - 1})")
+    _check_periodic_table(
+        g2, k_range, j_range,
+        axes=tuple(a for a in (0, 1) if a not in exchanged_axes))
+
+    adjoints, ct_names = polynomial_system_adjoints(sdefs, wrt=wrt)
+
+    fwd_fn = forward_fn or pallas_pencil_sweep(
+        sdefs, grid, bdims, nbricks, params, evolve=fields, **kw)
+    fieldnames = tuple(fwd_fn.fields)
+    bkw = dict(kw)
+    bkw["k_range"] = (0, GK) if 0 in exchanged_axes else k_range
+    bkw["j_range"] = (0, GJ) if 1 in exchanged_axes else j_range
+    adj_fns = {}
+    for f, asd in adjoints.items():
+        afn = pallas_pencil_sweep(asd, grid, bdims, nbricks, params,
+                                  **bkw)
+        if not hasattr(afn, "fields"):   # single-input adjoint (e.g.
+            afn.fields = tuple(asd.inputs)  # linear one-output coupling)
+        adj_fns[f] = afn
+
+    def _written(kr, jr):
+        w = np.zeros(nbricks, np.bool_)
+        w[np.unique(g2[kr[0]:kr[1], jr[0]:jr[1]])] = True
+        return jnp.asarray(w.reshape((nbricks,) + (1,) * len(bdims)))
+
+    ct_mask = _written(k_range, j_range)
+    out_mask = _written(bkw["k_range"], bkw["j_range"])
+
+    @jax.custom_vjp
+    def step(*views):
+        return fwd_fn(*views)
+
+    def step_fwd(*views):
+        return fwd_fn(*views), views
+
+    def step_bwd(views, cotans):
+        # undefined (unwritten) output rows hold Pallas garbage; the
+        # exact incoming cotangent there is zero by contract
+        byname = dict(zip(fieldnames, views))
+        for ct, c in zip(ct_names, cotans):
+            byname[ct] = jnp.where(ct_mask, c, jnp.zeros((), c.dtype))
+        grads = []
+        for f in fieldnames:
+            afn = adj_fns.get(f)
+            if afn is None:
+                grads.append(jnp.zeros_like(byname[f]))
+                continue
+            order = afn.fields
+            g = (afn(*(byname[n] for n in order))
+                 if len(order) > 1 else afn(byname[order[0]]))
+            if mask_ghost:
+                g = jnp.where(out_mask, g, jnp.zeros((), g.dtype))
+            grads.append(g)
+        return tuple(grads)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.adjoints = adj_fns
+    step.fields = fieldnames
+    step.evolve = fields
+    step.ct_names = ct_names
     return step
 
 

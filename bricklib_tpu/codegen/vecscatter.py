@@ -30,20 +30,25 @@ def describe(name_or_path: str, params: dict | None = None,
         from ..stencils import stencil_by_name
         sdefs = stencil_by_name(name_or_path)
     if adjoint:
-        from .autodiff import adjoint_stencil, polynomial_adjoint_stencils
+        from .autodiff import (adjoint_stencil,
+                               polynomial_system_adjoints)
         from .ir import linear_decomposition as _lin
 
-        out_defs = []
-        for sd in sdefs:
-            if len(sd.inputs) == 1 and _lin(sd.rhs) is not None:
-                out_defs.append(adjoint_stencil(sd))
-            else:
-                # variable-coefficient / polynomial stencils: one
-                # pullback stencil per input field (reads the
-                # cotangent grid + the original inputs)
-                adjs, _ct = polynomial_adjoint_stencils(sd)
-                out_defs.extend(adjs.values())
-        sdefs = out_defs
+        if len(sdefs) > 1:
+            # coupled SYSTEM: each field's pullback sums product-rule
+            # terms over ALL outputs (reads every output's cotangent
+            # grid) — per-output adjoints would be wrong
+            adjs, _cts = polynomial_system_adjoints(sdefs)
+            sdefs = list(adjs.values())
+        elif (len(sdefs[0].inputs) == 1
+              and _lin(sdefs[0].rhs) is not None):
+            sdefs = [adjoint_stencil(sdefs[0])]
+        else:
+            # variable-coefficient / polynomial stencils: one
+            # pullback stencil per input field (reads the
+            # cotangent grid + the original inputs)
+            adjs, _ct = polynomial_system_adjoints(sdefs)
+            sdefs = list(adjs.values())
     out = []
     for sd in sdefs:
         ir = StencilIR.from_def(sd)

@@ -353,6 +353,41 @@ def main():
 
     check("poly adjoint grads (varcoeff)", poly_adjoint_grads)
 
+    def system_adjoint_grads():
+        # coupled polynomial SYSTEM exact pullback: one multi-output
+        # Pallas forward, adjoint sweeps reading BOTH cotangent grids
+        # (new multi-ct multi-input DMA surface)
+        from bricklib_tpu.codegen.autodiff import (
+            differentiable_poly_system_sweep)
+        from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+        iu, ju, ku = Index(0), Index(1), Index(2)
+        gu_, gv_ = Grid("u", 3), Grid("v", 3)
+        ou_, ov_ = Grid("ou", 3), Grid("ov", 3)
+        uvv = gu_(iu, ju, ku) * gv_(iu, ju, ku) * gv_(iu, ju, ku)
+        ou_(iu, ju, ku).assign(
+            gu_(iu, ju, ku) + 0.1 * (gu_(iu + 1, ju, ku)
+                                     + gu_(iu, ju, ku - 1)) - uvv)
+        ov_(iu, ju, ku).assign(
+            gv_(iu, ju, ku) + 0.05 * gv_(iu, ju + 1, ku) + uvv)
+        sds_ = load_stencil_module({"STENCIL": [ou_, ov_]})
+        qdec = BrickDecomp(dims=(16, 16, 128), ghost_depth=(8, 8, 0),
+                           bdims=BD).initialize(
+                               skinlist_by_name("good", 3))
+        step = differentiable_poly_system_sweep(
+            sds_, qdec.periodic_grid((0, 1, 2)), BD, qdec.nbricks,
+            ("u", "v"), {})
+        msk = jnp.asarray(qdec.owned_mask().reshape((-1, 1, 1, 1)))
+        uv = jnp.ones((qdec.nbricks,) + BD, jnp.float32)
+        vv = jnp.full((qdec.nbricks,) + BD, 0.3, jnp.float32)
+        args = tuple(uv if n == "u" else vv for n in step.fields)
+        gu_g, gv_g = jax.jit(jax.grad(
+            lambda a, b: jnp.sum(jnp.where(msk, step(a, b)[0], 0.0)),
+            argnums=(0, 1)))(*args)
+        return gu_g + gv_g
+
+    check("system adjoint grads (coupled poly)", system_adjoint_grads)
+
     check("AOT export roundtrip", aot_roundtrip)
 
     width = max(len(k) for k in results)
