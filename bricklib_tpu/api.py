@@ -593,8 +593,7 @@ class Problem:
                     d = kern(d)
                 return d
 
-            self._diff_step = jax.jit(one4)
-            return self._diff_step
+            return self._finalize_diff_step(one4, 1, 1)
         if nd != 3:
             raise ValueError("differentiable_step is 3-D/4-D pencil")
         if self._exec_plan["exchange"] == "fused":
@@ -673,10 +672,7 @@ class Problem:
                 d = kern(d)
             return d
 
-        self._diff_step = (
-            jax.jit(shard_map(one, self.mesh, self._P, self._P))
-            if int(np.prod(msh)) > 1 else jax.jit(one))
-        return self._diff_step
+        return self._finalize_diff_step(one, 1, 1)
 
     def _build_poly_diff_step(self, distributed, table_axes):
         """Exact polynomial pullback (codegen.autodiff.
@@ -722,11 +718,7 @@ class Problem:
                 vals[self.fields[0]] = out
             return vals[self.fields[0]]
 
-        self._diff_step = (
-            jax.jit(shard_map(one, self.mesh,
-                              (self._P,) * len(allnames), self._P))
-            if int(np.prod(msh)) > 1 else jax.jit(one))
-        return self._diff_step
+        return self._finalize_diff_step(one, len(allnames), 1)
 
     def _build_poly_system_diff_step(self, distributed, table_axes):
         """Exact polynomial SYSTEM pullback (codegen.autodiff.
@@ -773,12 +765,7 @@ class Problem:
                 vals.update(zip(self.fields, outs))
             return tuple(vals[f] for f in self.fields)
 
-        self._diff_step = (
-            jax.jit(shard_map(one, self.mesh,
-                              (self._P,) * len(allnames),
-                              (self._P,) * nfld))
-            if int(np.prod(msh)) > 1 else jax.jit(one))
-        return self._diff_step
+        return self._finalize_diff_step(one, len(allnames), nfld)
 
     def _build_oracle_diff_step(self):
         import jax
@@ -805,8 +792,110 @@ class Problem:
             res = tuple(vals[f] for f in self.fields)
             return res[0] if nfld == 1 else res
 
-        self._diff_step = jax.jit(one)
+        return self._finalize_diff_step(
+            one, self.nfld + len(self.aux_names), nfld)
+
+    def _finalize_diff_step(self, one, nin, nout):
+        """Jit (and shard_map on distributed meshes) the built
+        differentiable step; keep the unjitted inner ``one`` so
+        :meth:`differentiable_rollout` can chain it inside one SPMD
+        region."""
+        import jax
+
+        from .comm.mesh import shard_map
+
+        self._diff_one = one
+        self._diff_nin = nin
+        self._diff_nout = nout
+        if int(np.prod(self.eff_mesh)) > 1:
+            in_specs = self._P if nin == 1 else (self._P,) * nin
+            out_specs = self._P if nout == 1 else (self._P,) * nout
+            self._diff_step = jax.jit(
+                shard_map(one, self.mesh, in_specs, out_specs))
+        else:
+            self._diff_step = jax.jit(one)
         return self._diff_step
+
+    def differentiable_rollout(self, n: int,
+                               checkpoint_every: int | None = None):
+        """``n`` differentiable steps as ONE jitted dispatch with
+        segment REMATERIALIZATION (beyond the reference): the
+        training-loop twin of :meth:`rollout`.
+
+        Naively, reverse-mode through an n-step chain stores every
+        step's input views (O(n) fields of activation memory — each
+        custom-VJP step's only residuals).  Here the chain runs as
+        ``lax.scan`` over segments of ``checkpoint_every`` steps with
+        ``jax.checkpoint`` around each segment, so backprop stores one
+        state snapshot per segment and recomputes inside — the classic
+        O(sqrt(n)) memory / 2x-forward-FLOPs trade, which is the right
+        side of the trade on a TPU (HBM capacity binds long before the
+        VPU does on these memory-bound kernels).  Default
+        ``checkpoint_every`` = round(sqrt(n)).
+
+        Returns the cached jitted ``fn(*fields, *aux) -> fields`` (same
+        signature family as :meth:`differentiable_step`; exchanges run
+        inside the SPMD region on distributed meshes).  Gradients are
+        exact for every mode differentiable_step supports — remat
+        composes with the custom-VJP adjoint sweeps."""
+        import jax
+        from jax import lax
+
+        from .comm.mesh import shard_map
+
+        n = int(n)
+        if n < 1:
+            raise ValueError("differentiable_rollout needs n >= 1")
+        seg = (int(checkpoint_every) if checkpoint_every
+               else max(1, int(round(n ** 0.5))))
+        if seg < 1 or seg > n:
+            raise ValueError(f"checkpoint_every must be in [1, {n}]")
+        if not hasattr(self, "_diff_rollouts"):
+            self._diff_rollouts = {}
+        cached = self._diff_rollouts.get((n, seg))
+        if cached is not None:
+            return cached
+        self.differentiable_step()       # builds _diff_one/_diff_nin
+        one = self._diff_one
+        nfld, nout = self.nfld, self._diff_nout
+
+        def stepf(st, aux):
+            out = one(*st, *aux)
+            return (out,) if nout == 1 else tuple(out)
+
+        def seg_fn(m):
+            @jax.checkpoint
+            def body(st, aux):
+                for _ in range(m):
+                    st = stepf(st, aux)
+                return st
+            return body
+
+        full, rem = divmod(n, seg)
+        segf = seg_fn(seg)
+        remf = seg_fn(rem) if rem else None
+
+        def many(*sv):
+            st, aux = tuple(sv[:nfld]), tuple(sv[nfld:])
+            if full == 1:
+                st = segf(st, aux)
+            elif full:
+                st, _ = lax.scan(lambda s, _: (segf(s, aux), None),
+                                 st, None, length=full)
+            if remf is not None:
+                st = remf(st, aux)
+            return st[0] if nout == 1 else st
+
+        nin = self._diff_nin
+        if int(np.prod(self.eff_mesh)) > 1:
+            in_specs = self._P if nin == 1 else (self._P,) * nin
+            out_specs = self._P if nout == 1 else (self._P,) * nout
+            fn = jax.jit(shard_map(many, self.mesh, in_specs,
+                                   out_specs))
+        else:
+            fn = jax.jit(many)
+        self._diff_rollouts[(n, seg)] = fn
+        return fn
 
     def owned_mask(self):
         """Broadcastable 0/1 mask over the stacked storage selecting

@@ -1099,3 +1099,108 @@ def test_problem_poly_system_diff_step_distributed():
                        for a in range(3))
             np.testing.assert_allclose(own, want[sl], rtol=2e-5,
                                        atol=2e-5)
+
+
+# ------------------------------------------------ differentiable rollout
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seg", [None, 1, 3])
+def test_differentiable_rollout_matches_composed(seg):
+    """differentiable_rollout(n): forward equals n composed
+    differentiable steps and the gradient matches jax.grad through the
+    composed chain — remat segments change memory, not values."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.api import Problem
+
+    dims = (16, 16, 32)
+    p = Problem(dims=dims, stencil="mpi7pt", bdims=(4, 4, dims[2]),
+                backend="pencil", st_iter=1)
+    step = p.differentiable_step()
+    roll = p.differentiable_rollout(3, checkpoint_every=seg)
+    rng = np.random.default_rng(31)
+    p.init(array=rng.random(dims, np.float32))
+    x0 = p._dats[0]
+    wb = jnp.where(p.owned_mask(), 1.0, 0.0)
+
+    def composed(d):
+        for _ in range(3):
+            d = step(d)
+        return d
+
+    np.testing.assert_allclose(np.asarray(roll(x0)),
+                               np.asarray(composed(x0)), rtol=1e-6,
+                               atol=1e-6)
+    g_roll = jax.grad(lambda d: jnp.sum(roll(d) * wb))(x0)
+    g_comp = jax.grad(lambda d: jnp.sum(composed(d) * wb))(x0)
+    np.testing.assert_allclose(np.asarray(g_roll),
+                               np.asarray(g_comp), rtol=2e-5,
+                               atol=2e-5)
+
+
+@pytest.mark.slow
+def test_differentiable_rollout_distributed_system():
+    """differentiable_rollout on the distributed coupled SYSTEM:
+    4 steps / 2-step remat segments over a (2, 2, 1) mesh — gradient
+    wrt both fields matches 4 dense AD steps globally."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import from_bricks
+
+    mesh = (2, 2, 1)
+    dims = (8, 8, 32)
+    sds = _gray_scott_defs()
+    p = Problem(dims=dims, mesh=mesh, stencil=sds, field=("u", "v"),
+                params={}, bdims=(4, 4, dims[2]), backend="pencil",
+                st_iter=1)
+    roll = p.differentiable_rollout(4, checkpoint_every=2)
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    rng = np.random.default_rng(37)
+    u0 = rng.random(gshape, np.float32)
+    v0 = rng.random(gshape, np.float32)
+    w = rng.random(gshape, np.float32)
+    p.init(array={"u": u0, "v": v0})
+    wp = Problem(dims=dims, mesh=mesh, stencil=sds, field=("u", "v"),
+                 params={}, bdims=(4, 4, dims[2]), backend="pencil",
+                 st_iter=1)
+    wp.init(array={"u": w, "v": w})
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+
+    gu, gv = jax.grad(
+        lambda uv: jnp.sum(roll(*uv)[0] * wb))((p._dats[0],
+                                                p._dats[1]))
+
+    def dense_loss(uv):
+        named = {"u": uv[0], "v": uv[1]}
+        for _ in range(4):
+            ou = _dense_multi(sds[0], named, {})
+            ov = _dense_multi(sds[1], named, {})
+            named = {"u": ou, "v": ov}
+        return jnp.sum(named["u"] * jnp.asarray(w))
+
+    du, dv = jax.grad(dense_loss)((jnp.asarray(u0), jnp.asarray(v0)))
+    nb = p.dec.nbricks
+    for got, want in ((gu, np.asarray(du)), (gv, np.asarray(dv))):
+        gn = np.asarray(got)
+        for r, cpos in enumerate(np.ndindex(*mesh)):
+            own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                              p.dec.interior_grid(), p.bdims)
+            sl = tuple(slice(cpos[a] * dims[a], (cpos[a] + 1) * dims[a])
+                       for a in range(3))
+            np.testing.assert_allclose(own, want[sl], rtol=1e-4,
+                                       atol=1e-4)
+
+
+def test_differentiable_rollout_validates_args():
+    from bricklib_tpu.api import Problem
+
+    p = Problem(dims=(16, 16, 32), stencil="mpi7pt",
+                bdims=(4, 4, 32), backend="pencil", st_iter=1)
+    with pytest.raises(ValueError, match="n >= 1"):
+        p.differentiable_rollout(0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        p.differentiable_rollout(3, checkpoint_every=4)
