@@ -184,9 +184,11 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
                 v = roll_x(W2[wid * BY:(wid + 1) * BY], dx)
                 out = v if out is None else out + v
         else:
-            slab = jnp.concatenate(
-                [prev[BY - lo0:], cur, nxt[:hi0]], axis=0) \
-                if (lo0 or hi0) else cur
+            # Mosaic rejects zero-size vector slices: only include the
+            # prev/next segments that actually carry halo rows.
+            segs = ([prev[BY - lo0:]] if lo0 else []) + [cur] \
+                + ([nxt[:hi0]] if hi0 else [])
+            slab = jnp.concatenate(segs, axis=0) if len(segs) > 1 else cur
 
             def read_tap(_name, offs):
                 dx, dy = int(offs[0]), int(offs[1])
