@@ -14,8 +14,8 @@ packages the same pieces behind one object:
     p = Problem(dims=(64, 64, 512), mesh=(2, 2, 1), stencil="mpi13pt",
                 backend="jnp")    # 4 devices, domain decomposition
 
-Backends: "pencil" (Pallas fast path; 3-D, i undistributed) or "jnp"
-(oracle executor; any rank).  Data lives sharded on the mesh between
+Backends: "pencil" (Pallas fast path; 2-D/3-D/4-D, innermost axis
+undistributed) or "jnp" (oracle executor; any rank).  Data lives sharded on the mesh between
 calls; steps donate storage so exchanges update in place.
 """
 
@@ -70,7 +70,13 @@ class Problem:
 
         self.dims = tuple(int(d) for d in dims)     # per-device, owned
         nd = len(self.dims)
-        self.mesh_shape = tuple(int(m) for m in mesh)
+        mesh = tuple(int(m) for m in mesh)
+        if nd != 3 and mesh == (1, 1, 1):
+            mesh = (1,) * nd    # the single-device default adapts to rank
+        if len(mesh) != nd:
+            raise ValueError(f"mesh needs one entry per domain axis "
+                             f"({nd}), got {len(mesh)}")
+        self.mesh_shape = mesh
         # multi-slice (DCN) 2-level topology: ``slices`` TPU slices
         # stacked along the OUTERMOST domain axis, each running the ICI
         # mesh ``mesh`` (SURVEY §5: Mesh over ICI + DCN for
@@ -143,9 +149,10 @@ class Problem:
             fold_ok = (not on_hw) or (self.dims[-1] % 128 == 0)
             multi_in = (bool(self.aux_names)
                         or any(len(s.inputs) > 1 for s in sdefs))
-            backend = ("pencil" if nd in (3, 4)
+            backend = ("pencil" if nd in (2, 3, 4)
                        and self.mesh_shape[-1] == 1 and fold_ok
                        and not (nd == 4 and multi_in)
+                       and not (nd == 2 and (multi_in or nfld > 1))
                        else "jnp")
         if backend in ("pencil", "mxu") and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
@@ -153,9 +160,14 @@ class Problem:
             raise ValueError(
                 "pencil backend needs the innermost axis undistributed "
                 "(mesh[-1] == 1); use backend='jnp' instead")
-        if backend == "pencil" and nd not in (3, 4):
-            raise ValueError("pencil backend is 3-D/4-D; use "
+        if backend == "pencil" and nd not in (2, 3, 4):
+            raise ValueError("pencil backend is 2-D/3-D/4-D; use "
                              "backend='jnp' for other ranks")
+        if backend == "pencil" and nd == 2 and (
+                nfld > 1 or self.aux_names
+                or any(len(s.inputs) > 1 for s in sdefs)):
+            raise ValueError("the 2-D pencil kernel reads one grid; "
+                             "use backend='jnp' for 2-D multi-input")
         if backend == "pencil" and nd == 4 and (
                 self.aux_names
                 or any(len(s.inputs) > 1 for s in sdefs)):
@@ -173,7 +185,8 @@ class Problem:
                 raise ValueError("backend='mxu' uses exchange='shift'")
         if bdims is None:
             if backend in ("pencil", "mxu"):
-                bdims = ((8, 8, self.dims[2]) if nd == 3
+                bdims = ((8, self.dims[1]) if nd == 2
+                         else (8, 8, self.dims[2]) if nd == 3
                          else (2, 8, 8, self.dims[3]))
             else:
                 bdims = tuple(min(8, d) for d in self.dims[:-1]) + (
@@ -231,7 +244,59 @@ class Problem:
         rad = max(max(max(lo_r), max(hi_r))
                   for lo_r, hi_r in (s.radius() for s in sdefs))
         dec, msh, bd = self.dec, self.eff_mesh, self.bdims
-        if backend == "pencil":
+        if backend == "pencil" and nd == 2:
+            # 2-D fast path (codegen.pencil_kernel_2d): whole-row
+            # pencils (BY, X), the y-contraction on the MXU for linear
+            # stencils — the dimension generality the reference gets
+            # from templates (include/brick.h:96-127).  fuse=1: a 2-D
+            # row sweep is already one HBM read per row.
+            from .codegen.pencil_kernel_2d import pallas_pencil_sweep_2d
+
+            table_axes = tuple(a for a in range(nd) if msh[a] == 1)
+            distributed = len(table_axes) < nd
+            if distributed and self.st_iter * rad > bd[0]:
+                raise ValueError(
+                    f"st_iter {self.st_iter} x radius {rad} exceeds "
+                    f"ghost depth {bd[0]}")
+            kgrid = dec.periodic_grid(table_axes)
+            GY = kgrid.shape[0]
+            self.fuse = 1
+
+            def _yr(skip):
+                return ((1, GY - 1) if 0 in table_axes
+                        else (skip, GY - skip))
+
+            k2 = pallas_pencil_sweep_2d(
+                self.sdef, kgrid, bd, dec.nbricks, self.params,
+                y_range=_yr(1), dtype=jnp.dtype(self.dtype))
+            # differentiable_step reuses this as its forward (the diff
+            # builder's defaults match _yr(1)/lookahead/dtype exactly)
+            self._plan_kern0 = k2
+            k2_ghost = None
+            if self.st_iter > 1 and distributed:
+                # deep-ghost ST_ITER: ghost-inclusive sweeps between
+                # exchanges, owned-only last (ref: weak/main.cpp:203-212)
+                k2_ghost = pallas_pencil_sweep_2d(
+                    self.sdef, kgrid, bd, dec.nbricks, self.params,
+                    y_range=_yr(0), dtype=jnp.dtype(self.dtype))
+
+            def one(d):
+                if distributed:
+                    d = exchange_shift(d, dec, self._xnames, msh,
+                                       table_axes=table_axes)
+                for it in range(self.st_iter):
+                    last = it == self.st_iter - 1
+                    d = (k2 if (last or k2_ghost is None)
+                         else k2_ghost)(d)
+                return d
+
+            self._exec_plan = {
+                "backend": "pencil", "fuse": 1,
+                "exchange": exchange if distributed else "table",
+                "table_axes": list(table_axes),
+                "kernels": [{"n_wprofiles": k2.n_wprofiles}],
+            }
+        elif backend == "pencil":
             from .codegen.pencil_kernel import pallas_pencil_sweep
             from .codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
 
@@ -554,8 +619,9 @@ class Problem:
         signature ``fn(*fields, *aux) -> fields``).  Only
         non-polynomial stencils (If/max) fall back to the ORACLE
         pullback (table-periodic single-device meshes, same
-        signature).  3-D pencil backend, shift exchange; the built
-        step is cached on the Problem."""
+        signature).  2-D problems get the linear adjoint twin on the
+        row-pencil emitter (distributed y included).  Pencil backend,
+        shift exchange; the built step is cached on the Problem."""
         import jax
 
         from .codegen.autodiff import differentiable_pencil_sweep
@@ -594,8 +660,51 @@ class Problem:
                 return d
 
             return self._finalize_diff_step(one4, 1, 1)
+        if nd == 2:
+            # 2-D: linear adjoint twin on the row-pencil emitter; the
+            # y ghost cotangent rides the shift exchange's transpose
+            # home like the 3-D case (x is always lane-periodic)
+            from .codegen.autodiff import (differentiable_pencil_sweep_2d,
+                                           linear_taps)
+            import jax.numpy as jnp
+
+            if self.nfld != 1 or self.aux_names:
+                raise ValueError("2-D differentiable_step takes one "
+                                 "linear evolving field")
+            if linear_taps(self.sdef) is None:
+                raise ValueError(
+                    "2-D differentiable_step is linear-only; "
+                    "differentiate nonlinear 2-D stencils through "
+                    "backend='jnp' (brick_apply is AD-transparent)")
+            msh2 = self.eff_mesh
+            t2 = tuple(a for a in range(2) if msh2[a] == 1)
+            dist2 = len(t2) < 2
+            if dist2 and self.st_iter != 1:
+                raise ValueError(
+                    f"differentiable distributed step needs st_iter=1 "
+                    f"(one sweep per exchange), got st_iter="
+                    f"{self.st_iter}")
+            kern2 = differentiable_pencil_sweep_2d(
+                self.sdef, self.dec.periodic_grid(t2), self.bdims,
+                self.dec.nbricks, self.params,
+                exchanged_axes=(() if 0 in t2 else (0,)),
+                dtype=jnp.dtype(self.dtype),
+                forward_fn=self._plan_kern0)
+            names2 = self._xnames
+
+            def one2(d):
+                if dist2:
+                    d = exchange_shift(d, self.dec, names2, msh2,
+                                       table_axes=t2)
+                    return kern2(d)
+                for _ in range(self.st_iter):
+                    d = kern2(d)
+                return d
+
+            return self._finalize_diff_step(one2, 1, 1)
         if nd != 3:
-            raise ValueError("differentiable_step is 3-D/4-D pencil")
+            raise ValueError("differentiable_step is 2-D/3-D/4-D "
+                             "pencil")
         if self._exec_plan["exchange"] == "fused":
             raise ValueError("the fused-exchange kernel is opaque to "
                              "AD; use exchange='shift'")

@@ -1,8 +1,10 @@
 from .autodiff import (adjoint_stencil, differentiable_pencil_sweep,
+                       differentiable_pencil_sweep_2d,
                        differentiable_pencil_sweep_4d,
                        differentiable_poly_sweep,
                        differentiable_poly_system_sweep,
-                       oracle_vjp_sweep, polynomial_adjoint_stencils,
+                       linear_taps, oracle_vjp_sweep,
+                       polynomial_adjoint_stencils,
                        polynomial_system_adjoints)
 from .evaluate import evaluate, resolve_const_from_params
 from .ir import (StencilIR, additive_groups, generic_pass_estimate,
@@ -19,7 +21,9 @@ __all__ = [
     "dense_apply",
     "brick_apply",
     "adjoint_stencil",
+    "linear_taps",
     "differentiable_pencil_sweep",
+    "differentiable_pencil_sweep_2d",
     "differentiable_pencil_sweep_4d",
     "differentiable_poly_sweep",
     "differentiable_poly_system_sweep",

@@ -53,6 +53,36 @@ from ..st.loader import StencilDef, load_stencil_module
 from .ir import linear_decomposition
 
 
+def linear_taps(sdef: StencilDef):
+    """``[(sign, coeff_expr, offsets), ...]`` if ``sdef.rhs`` is LINEAR
+    in its single input, else None.  Strictly more general than
+    :func:`linear_decomposition`: distributive forms like
+    ``c * (g(i+1) + g(i-1))`` canonicalize through monomial expansion
+    (one tap per occurrence, coefficient expressions preserved)."""
+    lin = linear_decomposition(sdef.rhs)
+    if lin is not None:
+        out = []
+        for _key, cexpr, taps in lin:
+            coeff = (ConstRef(cexpr.name) if hasattr(cexpr, "name")
+                     else FloatLiteral(float(cexpr.val)))
+            out.extend((sign, coeff, offs) for sign, _g, offs in taps)
+        return out
+    try:
+        monos = _expand_monomials(sdef.rhs)
+    except ValueError:
+        return None
+    out = []
+    for s, c, refs in monos:
+        if len(refs) != 1:
+            return None     # constant or product term: not linear
+        mag = abs(s)
+        coeff = (FloatLiteral(mag) if c is None
+                 else c if mag == 1.0
+                 else BinOp(Op.MUL, FloatLiteral(mag), c))
+        out.append((1 if s >= 0 else -1, coeff, refs[0][1]))
+    return out
+
+
 def adjoint_stencil(sdef: StencilDef) -> StencilDef:
     """The transpose stencil: same coefficients, every offset negated.
 
@@ -60,28 +90,24 @@ def adjoint_stencil(sdef: StencilDef) -> StencilDef:
     Σ_t c_t · ȳ[q - o_t]``.  Coefficient ``ConstRef``s keep their
     names so one params dict serves both sweeps.  Involution:
     ``adjoint(adjoint(s))`` has the original taps."""
-    lin = linear_decomposition(sdef.rhs)
-    if lin is None:
+    if len(sdef.inputs) != 1:
+        raise ValueError("adjoint_stencil supports single-input stencils")
+    taps = linear_taps(sdef)
+    if taps is None:
         raise ValueError(
             f"stencil '{sdef.output.name}' is not a pure linear tap "
             f"combination — differentiate through brick_apply instead")
-    if len(sdef.inputs) != 1:
-        raise ValueError("adjoint_stencil supports single-input stencils")
     d = sdef.dims
     in_name = next(iter(sdef.inputs))
     g = Grid(in_name, d)
     og = Grid(sdef.output.name + "_adj", d)
     idx = [Index(a) for a in range(d)]
     rhs = None
-    for _key, cexpr, taps in lin:
-        coeff = (ConstRef(cexpr.name) if hasattr(cexpr, "name")
-                 else FloatLiteral(float(cexpr.val)))
-        for sign, _gname, offs in taps:
-            ref = g(*[idx[a] - int(offs[a]) for a in range(d)])
-            term = coeff * ref
-            if sign < 0:
-                term = -term
-            rhs = term if rhs is None else rhs + term
+    for sign, coeff, offs in taps:
+        term = coeff * g(*[idx[a] - int(offs[a]) for a in range(d)])
+        if sign < 0:
+            term = -term
+        rhs = term if rhs is None else rhs + term
     og(*idx).assign(rhs)
     return load_stencil_module({"STENCIL": [og]})[0]
 
@@ -812,8 +838,8 @@ def _check_periodic_table_nd(grid: np.ndarray, ranges):
             ok &= bool(np.array_equal(at(a1 + r), at(a0 + r)))
     if not ok:
         raise ValueError(
-            "differentiable_pencil_sweep_4d needs a fully periodic "
-            "grid table (BrickDecomp.periodic_grid over all axes)")
+            "the differentiable sweep needs a fully periodic grid "
+            "table (BrickDecomp.periodic_grid over all axes)")
 
 
 def differentiable_pencil_sweep_4d(stencil, grid: np.ndarray,
@@ -863,6 +889,80 @@ def differentiable_pencil_sweep_4d(stencil, grid: np.ndarray,
     written[np.unique(g3[ranges[0][0]:ranges[0][1],
                          ranges[1][0]:ranges[1][1],
                          ranges[2][0]:ranges[2][1]])] = True
+    mask = jnp.asarray(written.reshape((nbricks,) + (1,) * len(bdims)))
+
+    @jax.custom_vjp
+    def step(d):
+        return fwd_fn(d)
+
+    def step_fwd(d):
+        return fwd_fn(d), None
+
+    def step_bwd(_res, ct):
+        xb = adj_fn(ct)
+        return ((jnp.where(mask, xb, jnp.zeros((), xb.dtype))
+                 if mask_ghost else xb),)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.adjoint = adj_fn
+    return step
+
+
+def differentiable_pencil_sweep_2d(stencil, grid: np.ndarray,
+                                   bdims: Sequence[int], nbricks: int,
+                                   params: dict | None = None,
+                                   mask_ghost: bool = True,
+                                   exchanged_axes: Sequence[int] = (),
+                                   forward_fn=None,
+                                   **kw):
+    """2-D twin of :func:`differentiable_pencil_sweep` (linear
+    single-input stencils on the 2-D row-pencil emitter).  Same
+    contract: the pullback is the adjoint stencil as a second 2-D
+    sweep; ``exchanged_axes=(0,)`` marks a real y exchange, whose
+    transpose routes the ghost-row cotangent the full-range adjoint
+    scatters back to the senders (x is always lane-periodic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel_2d import pallas_pencil_sweep_2d
+
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    if len(sdefs) != 1:
+        raise ValueError("differentiable_pencil_sweep_2d takes one "
+                         "output")
+    if sdefs[0].dims != 2:
+        raise ValueError("use differentiable_pencil_sweep for 3-D")
+    grid = np.asarray(grid)
+    g1 = grid[:, 0] if grid.ndim == 2 else grid
+    if grid.ndim == 2 and grid.shape[1] != 1:
+        raise ValueError("2-D pencil layout only (one brick per y row)")
+    GY = g1.shape[0]
+    y_range = tuple(kw.pop("y_range", None) or (1, GY - 1))
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0}:
+        raise ValueError("the only exchangeable 2-D axis is y (0); "
+                         "x is always lane-periodic")
+    if 0 not in exchanged_axes:
+        if y_range[0] < 1 or y_range[1] > GY - 1:
+            raise ValueError(
+                f"y range {y_range} includes the periodic ghost ring "
+                f"(grid extent {GY}); table-periodic axes must compute "
+                f"owned cells only (1, {GY - 1})")
+        _check_periodic_table_nd(g1, (y_range,))
+
+    fwd_fn = forward_fn or pallas_pencil_sweep_2d(
+        sdefs[0], grid, bdims, nbricks, params, y_range=y_range, **kw)
+    # pullback range: full span when y is exchanged (ghost cotangent is
+    # real data the exchange transpose routes home), owned span on a
+    # table-periodic y (ring rows alias owned bricks)
+    byr = (0, GY) if 0 in exchanged_axes else y_range
+    adj_fn = pallas_pencil_sweep_2d(
+        adjoint_stencil(sdefs[0]), grid, bdims, nbricks, params,
+        y_range=byr, **kw)
+
+    written = np.zeros(nbricks, np.bool_)
+    written[np.unique(g1[byr[0]:byr[1]])] = True
     mask = jnp.asarray(written.reshape((nbricks,) + (1,) * len(bdims)))
 
     @jax.custom_vjp

@@ -113,3 +113,172 @@ def test_2d_periodic_table_chained():
     got = from_bricks(out.reshape(info.nbricks, -1),
                       np.asarray(grid)[1:-1], (by, X))
     assert compare_arrays(got, want, 1e-5)
+
+
+# ---------------------------------------------------------------- Problem API
+
+
+def _dense_steps(sd, g, n, params):
+    want = np.asarray(g)
+    lo, hi = sd.radius()
+    for _ in range(n):
+        wp = np.pad(want, [(l, h) for l, h in zip(lo, hi)], mode="wrap")
+        want = dense_apply(sd, {next(iter(sd.inputs)): wp}, params,
+                           xp=np)
+    return want
+
+
+def test_problem_2d_pencil_single_device():
+    """Problem on a 2-D domain picks the 2-D pencil fast path (table
+    periodicity on both axes) and matches the dense periodic twin."""
+    from bricklib_tpu.api import Problem
+
+    sd = _lin5()
+    params = {"a": 0.4, "b": 0.15}
+    g = random_array((16, 16), np.float32, 21)
+    p = Problem(dims=(16, 16), stencil=sd, params=params,
+                bdims=(4, 16))
+    assert p.backend == "pencil"
+    assert p.describe()["exchange"] == "table"
+    p.init(array=g).step(2)
+    assert compare_arrays(p.result(), _dense_steps(sd, g, 2, p.params),
+                          1e-5)
+
+
+def test_problem_2d_distributed_deep_ghost():
+    """2-D pencil Problem on a (2, 1) mesh with st_iter=2 deep ghost
+    (ghost-inclusive first sweep, owned-only last)."""
+    from bricklib_tpu.api import Problem
+
+    sd = _asym9()
+    g = random_array((32, 16), np.float32, 22)
+    p = Problem(dims=(16, 16), stencil=sd, bdims=(4, 16),
+                backend="pencil", mesh=(2, 1), st_iter=2)
+    p.init(array=g).step(1)
+    assert compare_arrays(p.result(), _dense_steps(sd, g, 2, p.params),
+                          1e-5)
+
+
+def test_problem_2d_nonlinear_generic():
+    """Nonlinear 2-D stencils run the generic evaluator on the 2-D
+    pencil path (If/max, single input)."""
+    from bricklib_tpu.api import Problem
+
+    sd = _nonlin()
+    g = random_array((16, 16), np.float32, 23)
+    p = Problem(dims=(16, 16), stencil=sd, bdims=(4, 16),
+                backend="pencil")
+    p.init(array=g).step(1)
+    assert compare_arrays(p.result(), _dense_steps(sd, g, 1, p.params),
+                          1e-5)
+
+
+def test_problem_2d_multi_input_guards():
+    """2-D multi-input auto-routes to jnp; explicit pencil raises."""
+    from bricklib_tpu.api import Problem
+
+    i, j = Index(0), Index(1)
+    g, c, o = Grid("in", 2), Grid("c", 2), Grid("out", 2)
+    o(i, j).assign(c(i, j) * g(i + 1, j) + g(i, j - 1))
+    sd = load_stencil_module({"STENCIL": [o]})[0]
+    p = Problem(dims=(16, 16), stencil=sd, field="in", bdims=(4, 8))
+    assert p.backend == "jnp"
+    with pytest.raises(ValueError, match="2-D"):
+        Problem(dims=(16, 16), stencil=sd, field="in", bdims=(4, 16),
+                backend="pencil")
+    with pytest.raises(ValueError, match="mesh needs"):
+        Problem(dims=(16, 16), stencil=_lin5(), mesh=(2, 1, 1))
+
+
+def test_problem_2d_differentiable_step():
+    """2-D differentiable_step: exact adjoint-sweep pullback on the
+    row-pencil emitter, single device (table periodic both axes)."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+
+    sd = _lin5()
+    params = {"a": 0.4, "b": 0.15}
+    x = random_array((16, 16), np.float32, 31)
+    w = random_array((16, 16), np.float32, 32)
+    p = Problem(dims=(16, 16), stencil=sd, params=params, bdims=(4, 16))
+    step = p.differentiable_step()
+    p.init(array=x)
+    wp = Problem(dims=(16, 16), stencil=sd, params=params,
+                 bdims=(4, 16))
+    wp.init(array=w)
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+    g = jax.grad(lambda d: jnp.sum(step(d) * wb))(p._dats[0])
+
+    def dense_loss(d):
+        wpad = jnp.pad(d, 1, mode="wrap")
+        out = dense_apply(sd, {"in": wpad}, params, xp=jnp)
+        return jnp.sum(out * jnp.asarray(w))
+
+    want = np.asarray(jax.grad(dense_loss)(jnp.asarray(x)))
+    got = from_bricks(np.asarray(g).reshape(p.dec.nbricks, -1),
+                      p.dec.interior_grid(), p.bdims)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_problem_2d_differentiable_step_distributed():
+    """Distributed 2-D pullback on a (2, 1) mesh: the y ghost cotangent
+    rides the shift exchange's transpose home; grads match dense AD
+    globally."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+
+    sd = _lin5()
+    params = {"a": 0.4, "b": 0.15}
+    mesh, dims = (2, 1), (16, 16)
+    gshape = (32, 16)
+    x = random_array(gshape, np.float32, 33)
+    w = random_array(gshape, np.float32, 34)
+    p = Problem(dims=dims, stencil=sd, params=params, bdims=(4, 16),
+                mesh=mesh, backend="pencil")
+    step = p.differentiable_step()
+    p.init(array=x)
+    wp = Problem(dims=dims, stencil=sd, params=params, bdims=(4, 16),
+                 mesh=mesh, backend="pencil")
+    wp.init(array=w)
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+    g = jax.grad(lambda d: jnp.sum(step(d) * wb))(p._dats[0])
+
+    def dense_loss(d):
+        wpad = jnp.pad(d, 1, mode="wrap")
+        out = dense_apply(sd, {"in": wpad}, params, xp=jnp)
+        return jnp.sum(out * jnp.asarray(w))
+
+    want = np.asarray(jax.grad(dense_loss)(jnp.asarray(x)))
+    nb = p.dec.nbricks
+    gn = np.asarray(g)
+    for r in range(2):
+        own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                          p.dec.interior_grid(), p.bdims)
+        np.testing.assert_allclose(own, want[r * 16:(r + 1) * 16],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_problem_2d_differentiable_rejects_nonlinear():
+    from bricklib_tpu.api import Problem
+
+    p = Problem(dims=(16, 16), stencil=_nonlin(), bdims=(4, 16),
+                backend="pencil")
+    with pytest.raises(ValueError, match="linear-only"):
+        p.differentiable_step()
+
+
+def test_problem_2d_rollout_matches_step():
+    """rollout(n) (one fused dispatch) equals step(n) on the 2-D path."""
+    from bricklib_tpu.api import Problem
+
+    sd = _lin5()
+    params = {"a": 0.4, "b": 0.15}
+    g = random_array((32, 16), np.float32, 41)
+    kw = dict(dims=(16, 16), stencil=sd, params=params, bdims=(4, 16),
+              mesh=(2, 1), backend="pencil")
+    p, q = Problem(**kw), Problem(**kw)
+    p.init(array=g).step(3)
+    q.init(array=g).rollout(3)
+    np.testing.assert_allclose(q.result(), p.result(), rtol=0, atol=0)
