@@ -82,6 +82,7 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     if not (0 <= Y0 < Y1 <= GY):
         raise ValueError("y_range outside table")
     KC = Y1 - Y0
+    sdt = jnp.dtype(dtype)     # storage dtype (bf16 halves HBM traffic)
     resolve = resolve_const_from_params(params)
     lin = linear_decomposition(ir.sdef.rhs)
 
@@ -160,6 +161,10 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
         prev = win[(t + 0) % NW]
         cur = win[(t + 1) % NW]
         nxt = win[(t + 2) % NW]
+        if sdt != jnp.float32:
+            # bf16 storage: taps accumulate in f32 like every emitter
+            prev, cur, nxt = (v.astype(jnp.float32)
+                              for v in (prev, cur, nxt))
 
         def roll_x(v, dx):
             return pltpu.roll(v, (-dx) % X, 1) if dx else v
@@ -197,6 +202,9 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
             out = evaluate(ir.sdef.rhs, read_tap,
                            lambda n: float(resolve(n)), jnp)
 
+        if sdt != jnp.float32:
+            out = out.astype(sdt)
+
         @pl.when(t >= 2)
         def _():
             pltpu.make_async_copy(tout.at[t % 2],
@@ -217,7 +225,7 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
 
     nelems = KC * BY * X
     cost = pl.CostEstimate(flops=2 * len(ir.sdef.taps) * nelems,
-                           bytes_accessed=2 * nelems * 4,
+                           bytes_accessed=2 * nelems * sdt.itemsize,
                            transcendentals=0)
     if mats is None:
         z = np.zeros((BY, BY), np.float32)
@@ -230,8 +238,8 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NW, BY, X), jnp.float32),
-            pltpu.VMEM((2, BY, X), jnp.float32),
+            pltpu.VMEM((NW, BY, X), sdt),
+            pltpu.VMEM((2, BY, X), sdt),
             pltpu.SemaphoreType.DMA((NW,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -239,7 +247,7 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbricks, BY, X), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbricks, BY, X), sdt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=vmem_limit_bytes),

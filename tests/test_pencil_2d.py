@@ -282,3 +282,26 @@ def test_problem_2d_rollout_matches_step():
     p.init(array=g).step(3)
     q.init(array=g).rollout(3)
     np.testing.assert_allclose(q.result(), p.result(), rtol=0, atol=0)
+
+
+def test_2d_bf16_storage():
+    """bf16 storage threads through the 2-D emitter (window/output in
+    bf16, taps accumulate in f32) — matches the f32 sweep to bf16
+    rounding."""
+    sd = _lin5()
+    params = {"a": 0.4, "b": 0.15}
+    by, X, ny = 4, 16, 12
+    grid, info = init_grid((ny // by + 2, 1))
+    core = random_array((ny, X), np.float32, 13)
+    ext = np.pad(core, ((by, by), (0, 0)), mode="wrap")
+    view = to_bricks(ext, grid, (by, X)).reshape(-1, by, X)
+    f32 = pallas_pencil_sweep_2d(sd, grid, (by, X), info.nbricks,
+                                 params, interpret=True)
+    b16 = pallas_pencil_sweep_2d(sd, grid, (by, X), info.nbricks,
+                                 params, dtype=jnp.bfloat16,
+                                 interpret=True)
+    want = np.asarray(f32(jnp.asarray(view)))
+    got = np.asarray(b16(jnp.asarray(view, jnp.bfloat16)),
+                     dtype=np.float32)
+    g2 = np.asarray(grid)[1:-1, 0]
+    np.testing.assert_allclose(got[g2], want[g2], rtol=0, atol=2e-2)
