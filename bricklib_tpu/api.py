@@ -152,7 +152,7 @@ class Problem:
             backend = ("pencil" if nd in (2, 3, 4)
                        and self.mesh_shape[-1] == 1 and fold_ok
                        and not (nd == 4 and multi_in)
-                       and not (nd == 2 and (multi_in or nfld > 1))
+                       and not (nd == 2 and nfld > 1)
                        else "jnp")
         if backend in ("pencil", "mxu") and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
@@ -163,11 +163,9 @@ class Problem:
         if backend == "pencil" and nd not in (2, 3, 4):
             raise ValueError("pencil backend is 2-D/3-D/4-D; use "
                              "backend='jnp' for other ranks")
-        if backend == "pencil" and nd == 2 and (
-                nfld > 1 or self.aux_names
-                or any(len(s.inputs) > 1 for s in sdefs)):
-            raise ValueError("the 2-D pencil kernel reads one grid; "
-                             "use backend='jnp' for 2-D multi-input")
+        if backend == "pencil" and nd == 2 and nfld > 1:
+            raise ValueError("the 2-D pencil kernel is single-output; "
+                             "use backend='jnp' for 2-D systems")
         if backend == "pencil" and nd == 4 and (
                 self.aux_names
                 or any(len(s.inputs) > 1 for s in sdefs)):
@@ -280,14 +278,21 @@ class Problem:
                     self.sdef, kgrid, bd, dec.nbricks, self.params,
                     y_range=_yr(0), dtype=jnp.dtype(self.dtype))
 
-            def one(d):
+            def one(*sv):
+                d = sv[0]
                 if distributed:
                     d = exchange_shift(d, dec, self._xnames, msh,
                                        table_axes=table_axes)
+                vs = dict(zip(self.aux_names, sv[1:]))
                 for it in range(self.st_iter):
                     last = it == self.st_iter - 1
-                    d = (k2 if (last or k2_ghost is None)
-                         else k2_ghost)(d)
+                    k = (k2 if (last or k2_ghost is None)
+                         else k2_ghost)
+                    if hasattr(k, "fields"):   # aux (static) fields
+                        vs[self.gname] = d
+                        d = k(*(vs[n] for n in k.fields))
+                    else:
+                        d = k(d)
                 return d
 
             self._exec_plan = {

@@ -51,15 +51,23 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     """Build ``fn(view) -> view`` over ``(nbricks, BY, X)`` storage for
     a 2-D stencil.  ``grid`` is the 1-D brick-row id table (shape
     ``(GY,)`` or ``(GY, 1)``); ``bdims = (BY, X)`` with X the full
-    domain width (lane-periodic)."""
+    domain width (lane-periodic).
+
+    MULTI-INPUT stencils (variable-coefficient fields, ref: the
+    codegen's per-grid buffers, codegen/st/codegen/backend/base.py:
+    93-123) stream one rolling window ring per input field and call as
+    ``fn(*views)`` in ``fn.fields`` order, like the 3-D emitter."""
     ir = _as_ir(stencil)
     params = dict(params or {})
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if ir.dims != 2:
         raise NotImplementedError("pallas_pencil_sweep_2d is 2-D")
-    if len(ir.sdef.inputs) != 1:
-        raise NotImplementedError("2-D path is single-input")
+    fieldnames = list(ir.sdef.inputs)
+    NF = len(fieldnames)
+    if NF == 0:
+        raise ValueError("stencil reads no input grid")
+    uidx = {n: f for f, n in enumerate(fieldnames)}
     BY, X = (int(b) for b in bdims)
     if not interpret and (X % 128 or BY % 8):
         raise ValueError("2-D pencil bricks need X % 128 == 0 and "
@@ -84,7 +92,9 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     KC = Y1 - Y0
     sdt = jnp.dtype(dtype)     # storage dtype (bf16 halves HBM traffic)
     resolve = resolve_const_from_params(params)
-    lin = linear_decomposition(ir.sdef.rhs)
+    # the MXU y-contraction serves single-input linear stencils;
+    # multi-input (variable-coefficient) runs the generic evaluator
+    lin = linear_decomposition(ir.sdef.rhs) if NF == 1 else None
 
     D = int(lookahead)
     NW = 3 + D
@@ -133,43 +143,59 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     def _clip(x, n):
         return jnp.clip(x, 0, n - 1)
 
-    def kernel(ids_ref, dat_ref, ap_ref, ac_ref, an_ref, out_ref, win,
-               tout, sem, osem):
+    def kernel(*refs):
+        ids_ref = refs[0]
+        dat_refs = refs[1:1 + NF]
+        ap_ref, ac_ref, an_ref = refs[1 + NF:4 + NF]
+        out_ref = refs[4 + NF]
+        wins = refs[5 + NF:5 + 2 * NF]
+        tout = refs[5 + 2 * NF]
+        sems = refs[6 + 2 * NF:6 + 3 * NF]
+        osem = refs[6 + 3 * NF]
         t = pl.program_id(0)
 
-        def row_copy(w, slot):
+        def row_copy(f, w, slot):
             yrow = _clip(Y0 - 1 + w, GY)
             return pltpu.make_async_copy(
-                dat_ref.at[ids_ref[yrow]], win.at[slot], sem.at[slot])
+                dat_refs[f].at[ids_ref[yrow]], wins[f].at[slot],
+                sems[f].at[slot])
 
         @pl.when(t == 0)
         def _():
-            for w in range(min(NW, KC + 2)):
-                row_copy(w, w % NW).start()
+            for f in range(NF):
+                for w in range(min(NW, KC + 2)):
+                    row_copy(f, w, w % NW).start()
 
         @pl.when(jnp.logical_and(t > 0, t + 2 + D <= KC + 1))
         def _():
-            row_copy(t + 2 + D, (t + 2 + D) % NW).start()
+            for f in range(NF):
+                row_copy(f, t + 2 + D, (t + 2 + D) % NW).start()
 
         @pl.when(t == 0)
         def _():
-            for w in range(min(2, KC + 1)):
-                row_copy(w, w % NW).wait()
+            for f in range(NF):
+                for w in range(min(2, KC + 1)):
+                    row_copy(f, w, w % NW).wait()
 
-        row_copy(t + 2, (t + 2) % NW).wait()
+        for f in range(NF):
+            row_copy(f, t + 2, (t + 2) % NW).wait()
 
-        prev = win[(t + 0) % NW]
-        cur = win[(t + 1) % NW]
-        nxt = win[(t + 2) % NW]
-        if sdt != jnp.float32:
-            # bf16 storage: taps accumulate in f32 like every emitter
-            prev, cur, nxt = (v.astype(jnp.float32)
-                              for v in (prev, cur, nxt))
+        def window(f):
+            prev = wins[f][(t + 0) % NW]
+            cur = wins[f][(t + 1) % NW]
+            nxt = wins[f][(t + 2) % NW]
+            if sdt != jnp.float32:
+                # bf16 storage: taps accumulate in f32 like every
+                # emitter
+                prev, cur, nxt = (v.astype(jnp.float32)
+                                  for v in (prev, cur, nxt))
+            return prev, cur, nxt
 
         def roll_x(v, dx):
             return pltpu.roll(v, (-dx) % X, 1) if dx else v
 
         if lin is not None:
+            prev, cur, nxt = window(0)
             W2 = jax.lax.dot_general(
                 ac_ref[:], cur, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
@@ -189,15 +215,21 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
                 v = roll_x(W2[wid * BY:(wid + 1) * BY], dx)
                 out = v if out is None else out + v
         else:
-            # Mosaic rejects zero-size vector slices: only include the
-            # prev/next segments that actually carry halo rows.
-            segs = ([prev[BY - lo0:]] if lo0 else []) + [cur] \
-                + ([nxt[:hi0]] if hi0 else [])
-            slab = jnp.concatenate(segs, axis=0) if len(segs) > 1 else cur
+            def fslab(f):
+                prev, cur, nxt = window(f)
+                # Mosaic rejects zero-size vector slices: only include
+                # the prev/next segments that actually carry halo rows.
+                segs = ([prev[BY - lo0:]] if lo0 else []) + [cur] \
+                    + ([nxt[:hi0]] if hi0 else [])
+                return (jnp.concatenate(segs, axis=0)
+                        if len(segs) > 1 else cur)
 
-            def read_tap(_name, offs):
+            slabs = [fslab(f) for f in range(NF)]
+
+            def read_tap(name, offs):
                 dx, dy = int(offs[0]), int(offs[1])
-                return roll_x(slab[lo0 + dy:lo0 + dy + BY], dx)
+                return roll_x(
+                    slabs[uidx[name]][lo0 + dy:lo0 + dy + BY], dx)
 
             out = evaluate(ir.sdef.rhs, read_tap,
                            lambda n: float(resolve(n)), jnp)
@@ -225,7 +257,8 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
 
     nelems = KC * BY * X
     cost = pl.CostEstimate(flops=2 * len(ir.sdef.taps) * nelems,
-                           bytes_accessed=2 * nelems * sdt.itemsize,
+                           bytes_accessed=(NF + 1) * nelems
+                           * sdt.itemsize,
                            transcendentals=0)
     if mats is None:
         z = np.zeros((BY, BY), np.float32)
@@ -234,15 +267,14 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(KC,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * NF
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((NW, BY, X), sdt),
-            pltpu.VMEM((2, BY, X), sdt),
-            pltpu.SemaphoreType.DMA((NW,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((NW, BY, X), sdt) for _ in range(NF)]
+            + [pltpu.VMEM((2, BY, X), sdt)]
+            + [pltpu.SemaphoreType.DMA((NW,)) for _ in range(NF)]
+            + [pltpu.SemaphoreType.DMA((2,))]),
     )
     call = pl.pallas_call(
         kernel,
@@ -256,8 +288,13 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     )
     ids = jnp.asarray(grid.astype(np.int32))
 
-    def fn(view):
-        return call(ids, view, mats[0], mats[1], mats[2])
+    def fn(*views):
+        if len(views) != NF:
+            raise TypeError(f"fn takes {NF} view(s) in fn.fields "
+                            f"order, got {len(views)}")
+        return call(ids, *views, mats[0], mats[1], mats[2])
 
     fn.n_wprofiles = 0 if xmap is None else len(set(xmap.values()))
+    if NF > 1:
+        fn.fields = tuple(fieldnames)
     return fn

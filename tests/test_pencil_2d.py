@@ -173,19 +173,29 @@ def test_problem_2d_nonlinear_generic():
                           1e-5)
 
 
-def test_problem_2d_multi_input_guards():
-    """2-D multi-input auto-routes to jnp; explicit pencil raises."""
+def test_problem_2d_multi_input_pencil():
+    """Variable-coefficient 2-D stencils run the pencil generic path
+    with one window ring per input field (aux periodic at init),
+    matching the dense twin over two steps; mesh rank is validated."""
     from bricklib_tpu.api import Problem
 
     i, j = Index(0), Index(1)
     g, c, o = Grid("in", 2), Grid("c", 2), Grid("out", 2)
-    o(i, j).assign(c(i, j) * g(i + 1, j) + g(i, j - 1))
+    o(i, j).assign(c(i, j) * g(i + 1, j) + c(i, j + 1) * g(i, j - 1))
     sd = load_stencil_module({"STENCIL": [o]})[0]
-    p = Problem(dims=(16, 16), stencil=sd, field="in", bdims=(4, 8))
-    assert p.backend == "jnp"
-    with pytest.raises(ValueError, match="2-D"):
-        Problem(dims=(16, 16), stencil=sd, field="in", bdims=(4, 16),
-                backend="pencil")
+    x = random_array((16, 16), np.float32, 24)
+    ca = random_array((16, 16), np.float32, 25)
+    p = Problem(dims=(16, 16), stencil=sd, field="in", bdims=(4, 16))
+    assert p.backend == "pencil"
+    p.init(array=x, aux={"c": ca}).step(2)
+    lo, hi = sd.radius()
+    pad = [(l, h) for l, h in zip(lo, hi)]
+    want = x
+    for _ in range(2):
+        want = dense_apply(sd, {"in": np.pad(want, pad, mode="wrap"),
+                                "c": np.pad(ca, pad, mode="wrap")},
+                           {}, xp=np)
+    assert compare_arrays(p.result(), want, 1e-5)
     with pytest.raises(ValueError, match="mesh needs"):
         Problem(dims=(16, 16), stencil=_lin5(), mesh=(2, 1, 1))
 
@@ -305,3 +315,27 @@ def test_2d_bf16_storage():
                      dtype=np.float32)
     g2 = np.asarray(grid)[1:-1, 0]
     np.testing.assert_allclose(got[g2], want[g2], rtol=0, atol=2e-2)
+
+
+def test_problem_2d_multi_input_distributed():
+    """Var-coeff 2-D on a (2, 1) mesh: evolving field exchanged per
+    step, aux ghost filled once at init (periodic, never stale)."""
+    from bricklib_tpu.api import Problem
+
+    i, j = Index(0), Index(1)
+    g, c, o = Grid("in", 2), Grid("c", 2), Grid("out", 2)
+    o(i, j).assign(c(i, j) * g(i + 1, j) + c(i, j + 1) * g(i, j - 1))
+    sd = load_stencil_module({"STENCIL": [o]})[0]
+    x = random_array((32, 16), np.float32, 26)
+    ca = random_array((32, 16), np.float32, 27)
+    p = Problem(dims=(16, 16), stencil=sd, field="in", bdims=(4, 16),
+                mesh=(2, 1), backend="pencil")
+    p.init(array=x, aux={"c": ca}).step(2)
+    lo, hi = sd.radius()
+    pad = [(l, h) for l, h in zip(lo, hi)]
+    want = x
+    for _ in range(2):
+        want = dense_apply(sd, {"in": np.pad(want, pad, mode="wrap"),
+                                "c": np.pad(ca, pad, mode="wrap")},
+                           {}, xp=np)
+    assert compare_arrays(p.result(), want, 1e-5)

@@ -151,6 +151,26 @@ def main():
 
     check("pencil 2-D adjoint grads", pencil_2d_adjoint)
 
+    def pencil_2d_multi_input():
+        # variable-coefficient 2-D: one window ring per input field
+        from bricklib_tpu.codegen.pencil_kernel_2d import (
+            pallas_pencil_sweep_2d)
+        from bricklib_tpu.st import Grid, Index
+        from bricklib_tpu.st.loader import load_stencil_module
+
+        i2, j2 = Index(0), Index(1)
+        g2d, c2d, o2d = Grid("in", 2), Grid("c", 2), Grid("out", 2)
+        o2d(i2, j2).assign(c2d(i2, j2) * g2d(i2 + 1, j2)
+                           + c2d(i2, j2 + 1) * g2d(i2, j2 - 1))
+        sd2d = load_stencil_module({"STENCIL": [o2d]})[0]
+        g1, info1 = init_grid((4, 1))
+        fn = pallas_pencil_sweep_2d(sd2d, g1, (8, 256), info1.nbricks,
+                                    {})
+        z = jnp.zeros((info1.nbricks, 8, 256), jnp.float32)
+        return jax.jit(fn)(*((z,) * len(fn.fields)))
+
+    check("pencil 2-D multi-input", pencil_2d_multi_input)
+
     def mxu_flat_125():
         from bricklib_tpu.codegen.mxu_kernel import (
             flatten_bricks, pallas_pencil_sweep_mxu)
