@@ -666,21 +666,20 @@ class Problem:
 
             return self._finalize_diff_step(one4, 1, 1)
         if nd == 2:
-            # 2-D: linear adjoint twin on the row-pencil emitter; the
-            # y ghost cotangent rides the shift exchange's transpose
-            # home like the 3-D case (x is always lane-periodic)
+            # 2-D on the row-pencil emitter: linear single-input gets
+            # the exact adjoint twin; multi-input/polynomial gets the
+            # exact poly pullback (one adjoint sweep per input field).
+            # The y ghost cotangent rides the shift exchange's
+            # transpose home like the 3-D case (x is lane-periodic).
             from .codegen.autodiff import (differentiable_pencil_sweep_2d,
+                                           differentiable_poly_sweep_2d,
                                            linear_taps)
             import jax.numpy as jnp
 
-            if self.nfld != 1 or self.aux_names:
-                raise ValueError("2-D differentiable_step takes one "
-                                 "linear evolving field")
-            if linear_taps(self.sdef) is None:
-                raise ValueError(
-                    "2-D differentiable_step is linear-only; "
-                    "differentiate nonlinear 2-D stencils through "
-                    "backend='jnp' (brick_apply is AD-transparent)")
+            if self.nfld != 1:
+                raise ValueError("2-D differentiable_step is "
+                                 "single-output (use backend='jnp' "
+                                 "for 2-D systems)")
             msh2 = self.eff_mesh
             t2 = tuple(a for a in range(2) if msh2[a] == 1)
             dist2 = len(t2) < 2
@@ -689,24 +688,55 @@ class Problem:
                     f"differentiable distributed step needs st_iter=1 "
                     f"(one sweep per exchange), got st_iter="
                     f"{self.st_iter}")
-            kern2 = differentiable_pencil_sweep_2d(
-                self.sdef, self.dec.periodic_grid(t2), self.bdims,
-                self.dec.nbricks, self.params,
-                exchanged_axes=(() if 0 in t2 else (0,)),
-                dtype=jnp.dtype(self.dtype),
-                forward_fn=self._plan_kern0)
             names2 = self._xnames
+            xargs = () if 0 in t2 else (0,)
+            if not self.aux_names and linear_taps(self.sdef) is not None:
+                kern2 = differentiable_pencil_sweep_2d(
+                    self.sdef, self.dec.periodic_grid(t2), self.bdims,
+                    self.dec.nbricks, self.params,
+                    exchanged_axes=xargs, dtype=jnp.dtype(self.dtype),
+                    forward_fn=self._plan_kern0)
 
-            def one2(d):
+                def one2(d):
+                    if dist2:
+                        d = exchange_shift(d, self.dec, names2, msh2,
+                                           table_axes=t2)
+                        return kern2(d)
+                    for _ in range(self.st_iter):
+                        d = kern2(d)
+                    return d
+
+                return self._finalize_diff_step(one2, 1, 1)
+            try:
+                kern2 = differentiable_poly_sweep_2d(
+                    self.sdef, self.dec.periodic_grid(t2), self.bdims,
+                    self.dec.nbricks, self.params,
+                    exchanged_axes=xargs, dtype=jnp.dtype(self.dtype),
+                    forward_fn=self._plan_kern0)
+            except ValueError as e:
+                if "polynomial expansion" not in str(e):
+                    raise
+                raise ValueError(
+                    "non-polynomial 2-D differentiable_step (If/max) "
+                    "is not supported on the pencil path; "
+                    f"differentiate via backend='jnp' ({e})") from e
+            allnames2 = [self.gname] + list(self.aux_names)
+
+            def one2p(*sv):
+                vals = dict(zip(allnames2, sv))
                 if dist2:
-                    d = exchange_shift(d, self.dec, names2, msh2,
-                                       table_axes=t2)
-                    return kern2(d)
+                    # aux exchanges are idempotent in-graph copies
+                    # whose transpose folds ghost gradients home
+                    vals = {n: exchange_shift(v, self.dec, names2,
+                                              msh2, table_axes=t2)
+                            for n, v in vals.items()}
+                    return kern2(*(vals[n] for n in kern2.fields))
                 for _ in range(self.st_iter):
-                    d = kern2(d)
-                return d
+                    out = kern2(*(vals[n] for n in kern2.fields))
+                    vals[self.gname] = out
+                return vals[self.gname]
 
-            return self._finalize_diff_step(one2, 1, 1)
+            return self._finalize_diff_step(one2p, len(allnames2), 1)
         if nd != 3:
             raise ValueError("differentiable_step is 2-D/3-D/4-D "
                              "pencil")

@@ -2,6 +2,7 @@ from .autodiff import (adjoint_stencil, differentiable_pencil_sweep,
                        differentiable_pencil_sweep_2d,
                        differentiable_pencil_sweep_4d,
                        differentiable_poly_sweep,
+                       differentiable_poly_sweep_2d,
                        differentiable_poly_system_sweep,
                        linear_taps, oracle_vjp_sweep,
                        polynomial_adjoint_stencils,
@@ -26,6 +27,7 @@ __all__ = [
     "differentiable_pencil_sweep_2d",
     "differentiable_pencil_sweep_4d",
     "differentiable_poly_sweep",
+    "differentiable_poly_sweep_2d",
     "differentiable_poly_system_sweep",
     "polynomial_adjoint_stencils",
     "polynomial_system_adjoints",

@@ -981,3 +981,111 @@ def differentiable_pencil_sweep_2d(stencil, grid: np.ndarray,
     step.forward = fwd_fn
     step.adjoint = adj_fn
     return step
+
+
+def differentiable_poly_sweep_2d(stencil, grid: np.ndarray,
+                                 bdims: Sequence[int], nbricks: int,
+                                 params: dict | None = None,
+                                 wrt: Sequence[str] | None = None,
+                                 mask_ghost: bool = True,
+                                 exchanged_axes: Sequence[int] = (),
+                                 forward_fn=None,
+                                 **kw):
+    """2-D twin of :func:`differentiable_poly_sweep`: exact Pallas
+    forward/backward for POLYNOMIAL 2-D stencils (variable-coefficient
+    and polynomial-nonlinear) on the row-pencil emitter.  Each
+    requested input's pullback is another multi-input 2-D sweep built
+    from :func:`polynomial_adjoint_stencils`; residuals are the
+    forward's own input views (O(1) activation memory).  Same
+    exchanged-axes contract as the 3-D form (y only; adjoint residual
+    reads at up to 2x the forward radius must fit one ghost brick
+    row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel_2d import pallas_pencil_sweep_2d
+
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    if len(sdefs) != 1:
+        raise ValueError("differentiable_poly_sweep_2d takes one "
+                         "output")
+    sdef = sdefs[0]
+    if sdef.dims != 2:
+        raise ValueError("use differentiable_poly_sweep for 3-D")
+    grid = np.asarray(grid)
+    g1 = grid[:, 0] if grid.ndim == 2 else grid
+    if grid.ndim == 2 and grid.shape[1] != 1:
+        raise ValueError("2-D pencil layout only (one brick per y row)")
+    GY = g1.shape[0]
+    y_range = tuple(kw.pop("y_range", None) or (1, GY - 1))
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0}:
+        raise ValueError("the only exchangeable 2-D axis is y (0); "
+                         "x is always lane-periodic")
+    lo, hi = sdef.radius()
+    rad = max(max(lo), max(hi))
+    if exchanged_axes and 2 * rad > int(bdims[0]):
+        raise ValueError(
+            f"exchanged-y poly adjoint needs 2*radius <= BY "
+            f"(got radius {rad}, brick {tuple(bdims)})")
+    if 0 not in exchanged_axes:
+        if y_range[0] < 1 or y_range[1] > GY - 1:
+            raise ValueError(
+                f"y range {y_range} includes the periodic ghost ring "
+                f"(grid extent {GY}); table-periodic axes must compute "
+                f"owned cells only (1, {GY - 1})")
+        _check_periodic_table_nd(g1, (y_range,))
+
+    adjoints, ct = polynomial_adjoint_stencils(sdef, wrt=wrt)
+
+    fwd_fn = forward_fn or pallas_pencil_sweep_2d(
+        sdef, grid, bdims, nbricks, params, y_range=y_range, **kw)
+    fieldnames = tuple(getattr(fwd_fn, "fields", tuple(sdef.inputs)))
+    byr = (0, GY) if 0 in exchanged_axes else y_range
+    adj_fns = {f: pallas_pencil_sweep_2d(asd, grid, bdims, nbricks,
+                                         params, y_range=byr, **kw)
+               for f, asd in adjoints.items()}
+
+    def _written(yr):
+        w = np.zeros(nbricks, np.bool_)
+        w[np.unique(g1[yr[0]:yr[1]])] = True
+        return jnp.asarray(w.reshape((nbricks,) + (1,) * len(bdims)))
+
+    ct_mask = _written(y_range)
+    out_mask = _written(byr)
+
+    def _call_fwd(views):
+        return (fwd_fn(*views) if len(fieldnames) > 1
+                else fwd_fn(views[0]))
+
+    @jax.custom_vjp
+    def step(*views):
+        return _call_fwd(views)
+
+    def step_fwd(*views):
+        return _call_fwd(views), views
+
+    def step_bwd(views, cotan):
+        cotan = jnp.where(ct_mask, cotan, jnp.zeros((), cotan.dtype))
+        byname = dict(zip(fieldnames, views))
+        byname[ct] = cotan
+        grads = []
+        for f in fieldnames:
+            afn = adj_fns.get(f)
+            if afn is None:
+                grads.append(jnp.zeros_like(byname[f]))
+                continue
+            order = getattr(afn, "fields", (ct,))
+            g = (afn(*(byname[n] for n in order))
+                 if len(order) > 1 else afn(byname[order[0]]))
+            if mask_ghost:
+                g = jnp.where(out_mask, g, jnp.zeros((), g.dtype))
+            grads.append(g)
+        return tuple(grads)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.adjoints = adj_fns
+    step.fields = fieldnames
+    step.ct_name = ct
+    return step

@@ -275,7 +275,7 @@ def test_problem_2d_differentiable_rejects_nonlinear():
 
     p = Problem(dims=(16, 16), stencil=_nonlin(), bdims=(4, 16),
                 backend="pencil")
-    with pytest.raises(ValueError, match="linear-only"):
+    with pytest.raises(ValueError, match="non-polynomial"):
         p.differentiable_step()
 
 
@@ -339,3 +339,67 @@ def test_problem_2d_multi_input_distributed():
                                 "c": np.pad(ca, pad, mode="wrap")},
                            {}, xp=np)
     assert compare_arrays(p.result(), want, 1e-5)
+
+
+def _varcoeff_2d():
+    i, j = Index(0), Index(1)
+    g, c, o = Grid("in", 2), Grid("c", 2), Grid("out", 2)
+    o(i, j).assign(c(i, j) * g(i + 1, j) + c(i, j + 1) * g(i, j - 1)
+                   + 0.3 * g(i, j) * g(i, j))
+    return load_stencil_module({"STENCIL": [o]})[0]
+
+
+def _poly2d_grads(mesh):
+    """Gradients wrt field AND aux via the exact 2-D poly pullback
+    match dense AD globally."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+
+    sd = _varcoeff_2d()
+    dims = (16, 16)
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    x = random_array(gshape, np.float32, 51)
+    ca = random_array(gshape, np.float32, 52)
+    w = random_array(gshape, np.float32, 53)
+    p = Problem(dims=dims, stencil=sd, field="in", bdims=(4, 16),
+                mesh=mesh, backend="pencil")
+    step = p.differentiable_step()
+    p.init(array=x, aux={"c": ca})
+    wp = Problem(dims=dims, stencil=sd, field="in", bdims=(4, 16),
+                 mesh=mesh, backend="pencil")
+    wp.init(array=w, aux={"c": ca})
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+    gx, gc = jax.grad(
+        lambda args: jnp.sum(step(*args) * wb))((p._dats[0],
+                                                 p._aux[0]))
+
+    lo, hi = sd.radius()
+    pad = [(l, h) for l, h in zip(lo, hi)]
+
+    def dense_loss(args):
+        xin, cin = args
+        out = dense_apply(sd, {"in": jnp.pad(xin, pad, mode="wrap"),
+                               "c": jnp.pad(cin, pad, mode="wrap")},
+                          {}, xp=jnp)
+        return jnp.sum(out * jnp.asarray(w))
+
+    dx, dc = jax.grad(dense_loss)((jnp.asarray(x), jnp.asarray(ca)))
+    nb = p.dec.nbricks
+    ndev = int(np.prod(mesh))
+    for got, want in ((gx, np.asarray(dx)), (gc, np.asarray(dc))):
+        gn = np.asarray(got)
+        for r in range(ndev):
+            own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                              p.dec.interior_grid(), p.bdims)
+            np.testing.assert_allclose(
+                own, want[r * dims[0]:(r + 1) * dims[0]], rtol=1e-4,
+                atol=1e-4)
+
+
+def test_problem_2d_poly_diff_step():
+    _poly2d_grads((1, 1))
+
+
+def test_problem_2d_poly_diff_step_distributed():
+    _poly2d_grads((2, 1))

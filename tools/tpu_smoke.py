@@ -171,6 +171,32 @@ def main():
 
     check("pencil 2-D multi-input", pencil_2d_multi_input)
 
+    def pencil_2d_poly_adjoint():
+        # 2-D var-coeff EXACT pullback: multi-input adjoint sweeps at
+        # up to 2x the forward radius on the row-pencil emitter
+        from bricklib_tpu.codegen.autodiff import (
+            differentiable_poly_sweep_2d)
+        from bricklib_tpu.st import Grid, Index
+        from bricklib_tpu.st.loader import load_stencil_module
+
+        i2, j2 = Index(0), Index(1)
+        g2d, c2d, o2d = Grid("in", 2), Grid("c", 2), Grid("out", 2)
+        o2d(i2, j2).assign(c2d(i2, j2) * g2d(i2 + 1, j2)
+                           + c2d(i2, j2 + 1) * g2d(i2, j2 - 1)
+                           + 0.3 * g2d(i2, j2) * g2d(i2, j2))
+        sd2d = load_stencil_module({"STENCIL": [o2d]})[0]
+        g1, info1 = init_grid((4, 1))
+        t1 = np.asarray(g1)[:, 0].copy()
+        t1[0], t1[-1] = t1[-2], t1[1]   # periodic y redirection
+        dstep = differentiable_poly_sweep_2d(sd2d, t1, (8, 256),
+                                             info1.nbricks, {})
+        av = jnp.ones((info1.nbricks, 8, 256), jnp.float32)
+        return jax.jit(jax.grad(
+            lambda a, b: jnp.sum(dstep(a, b)), argnums=(0, 1)))(
+                av, av)[0]
+
+    check("pencil 2-D poly adjoint grads", pencil_2d_poly_adjoint)
+
     def mxu_flat_125():
         from bricklib_tpu.codegen.mxu_kernel import (
             flatten_bricks, pallas_pencil_sweep_mxu)
