@@ -152,7 +152,6 @@ class Problem:
             backend = ("pencil" if nd in (2, 3, 4)
                        and self.mesh_shape[-1] == 1 and fold_ok
                        and not (nd == 4 and multi_in)
-                       and not (nd == 2 and nfld > 1)
                        else "jnp")
         if backend in ("pencil", "mxu") and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
@@ -163,9 +162,6 @@ class Problem:
         if backend == "pencil" and nd not in (2, 3, 4):
             raise ValueError("pencil backend is 2-D/3-D/4-D; use "
                              "backend='jnp' for other ranks")
-        if backend == "pencil" and nd == 2 and nfld > 1:
-            raise ValueError("the 2-D pencil kernel is single-output; "
-                             "use backend='jnp' for 2-D systems")
         if backend == "pencil" and nd == 4 and (
                 self.aux_names
                 or any(len(s.inputs) > 1 for s in sdefs)):
@@ -264,8 +260,9 @@ class Problem:
                 return ((1, GY - 1) if 0 in table_axes
                         else (skip, GY - skip))
 
+            sd_or_sys = sdefs if nfld > 1 else self.sdef
             k2 = pallas_pencil_sweep_2d(
-                self.sdef, kgrid, bd, dec.nbricks, self.params,
+                sd_or_sys, kgrid, bd, dec.nbricks, self.params,
                 y_range=_yr(1), dtype=jnp.dtype(self.dtype))
             # differentiable_step reuses this as its forward (the diff
             # builder's defaults match _yr(1)/lookahead/dtype exactly)
@@ -275,25 +272,27 @@ class Problem:
                 # deep-ghost ST_ITER: ghost-inclusive sweeps between
                 # exchanges, owned-only last (ref: weak/main.cpp:203-212)
                 k2_ghost = pallas_pencil_sweep_2d(
-                    self.sdef, kgrid, bd, dec.nbricks, self.params,
+                    sd_or_sys, kgrid, bd, dec.nbricks, self.params,
                     y_range=_yr(0), dtype=jnp.dtype(self.dtype))
 
             def one(*sv):
-                d = sv[0]
+                states = list(sv[:nfld])
                 if distributed:
-                    d = exchange_shift(d, dec, self._xnames, msh,
-                                       table_axes=table_axes)
-                vs = dict(zip(self.aux_names, sv[1:]))
+                    states = [exchange_shift(s_, dec, self._xnames,
+                                             msh,
+                                             table_axes=table_axes)
+                              for s_ in states]
+                vs = dict(zip(self.aux_names, sv[nfld:]))
                 for it in range(self.st_iter):
                     last = it == self.st_iter - 1
                     k = (k2 if (last or k2_ghost is None)
                          else k2_ghost)
-                    if hasattr(k, "fields"):   # aux (static) fields
-                        vs[self.gname] = d
-                        d = k(*(vs[n] for n in k.fields))
-                    else:
-                        d = k(d)
-                return d
+                    vs.update(zip(self.fields, states))
+                    outs = (k(*(vs[n] for n in k.fields))
+                            if hasattr(k, "fields")   # aux / systems
+                            else k(states[0]))
+                    states = list(outs) if nfld > 1 else [outs]
+                return states[0] if nfld == 1 else tuple(states)
 
             self._exec_plan = {
                 "backend": "pencil", "fuse": 1,

@@ -56,14 +56,26 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     MULTI-INPUT stencils (variable-coefficient fields, ref: the
     codegen's per-grid buffers, codegen/st/codegen/backend/base.py:
     93-123) stream one rolling window ring per input field and call as
-    ``fn(*views)`` in ``fn.fields`` order, like the 3-D emitter."""
-    ir = _as_ir(stencil)
+    ``fn(*views)`` in ``fn.fields`` order, like the 3-D emitter.
+    Stencil SYSTEMS (a list of StencilDefs, the reference's
+    multi-output ``STENCIL`` contract, codegen/vecscatter:165-168)
+    compute every output per row from the shared windows — one kernel,
+    inputs stream through HBM once — and return one view per output."""
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    irs = [_as_ir(s) for s in sdefs]
+    ir = irs[0]
+    NO = len(irs)
     params = dict(params or {})
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if ir.dims != 2:
+    if any(r.dims != 2 for r in irs):
         raise NotImplementedError("pallas_pencil_sweep_2d is 2-D")
-    fieldnames = list(ir.sdef.inputs)
+    # union input fields across the system, first-seen order
+    fieldnames: list = []
+    for r_ in irs:
+        for n in r_.sdef.inputs:
+            if n not in fieldnames:
+                fieldnames.append(n)
     NF = len(fieldnames)
     if NF == 0:
         raise ValueError("stencil reads no input grid")
@@ -72,8 +84,10 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     if not interpret and (X % 128 or BY % 8):
         raise ValueError("2-D pencil bricks need X % 128 == 0 and "
                          "BY % 8 == 0 on hardware")
-    lo, hi = ir.radius()          # numpy order: (y, x)
-    lo0, hi0 = lo[0], hi[0]
+    los, his = zip(*(r_.radius() for r_ in irs))
+    lo = np.max(np.asarray(los), axis=0)   # numpy order: (y, x)
+    hi = np.max(np.asarray(his), axis=0)
+    lo0, hi0 = int(lo[0]), int(hi[0])
     if lo0 > BY or hi0 > BY:
         raise ValueError("y radius exceeds brick depth")
     if lo[1] >= X or hi[1] >= X:
@@ -92,9 +106,10 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     KC = Y1 - Y0
     sdt = jnp.dtype(dtype)     # storage dtype (bf16 halves HBM traffic)
     resolve = resolve_const_from_params(params)
-    # the MXU y-contraction serves single-input linear stencils;
-    # multi-input (variable-coefficient) runs the generic evaluator
-    lin = linear_decomposition(ir.sdef.rhs) if NF == 1 else None
+    # the MXU y-contraction serves single-output single-input linear
+    # stencils; multi-input/systems run the generic evaluator
+    lin = (linear_decomposition(ir.sdef.rhs)
+           if NF == 1 and NO == 1 else None)
 
     D = int(lookahead)
     NW = 3 + D
@@ -147,11 +162,12 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
         ids_ref = refs[0]
         dat_refs = refs[1:1 + NF]
         ap_ref, ac_ref, an_ref = refs[1 + NF:4 + NF]
-        out_ref = refs[4 + NF]
-        wins = refs[5 + NF:5 + 2 * NF]
-        tout = refs[5 + 2 * NF]
-        sems = refs[6 + 2 * NF:6 + 3 * NF]
-        osem = refs[6 + 3 * NF]
+        out_refs = refs[4 + NF:4 + NF + NO]
+        scr = refs[4 + NF + NO:]
+        wins = scr[:NF]
+        touts = scr[NF:NF + NO]
+        sems = scr[NF + NO:2 * NF + NO]
+        osems = scr[2 * NF + NO:]
         t = pl.program_id(0)
 
         def row_copy(f, w, slot):
@@ -231,33 +247,40 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
                 return roll_x(
                     slabs[uidx[name]][lo0 + dy:lo0 + dy + BY], dx)
 
-            out = evaluate(ir.sdef.rhs, read_tap,
-                           lambda n: float(resolve(n)), jnp)
+            out = [evaluate(r_.sdef.rhs, read_tap,
+                            lambda n: float(resolve(n)), jnp)
+                   for r_ in irs]
+            out = out[0] if NO == 1 else out
 
+        outs = [out] if NO == 1 else out
         if sdt != jnp.float32:
-            out = out.astype(sdt)
+            outs = [o_.astype(sdt) for o_ in outs]
 
         @pl.when(t >= 2)
         def _():
-            pltpu.make_async_copy(tout.at[t % 2],
-                                  out_ref.at[ids_ref[Y0 + t - 2]],
-                                  osem.at[t % 2]).wait()
+            for o in range(NO):
+                pltpu.make_async_copy(touts[o].at[t % 2],
+                                      out_refs[o].at[ids_ref[Y0 + t - 2]],
+                                      osems[o].at[t % 2]).wait()
 
-        tout[t % 2] = out
-        pltpu.make_async_copy(tout.at[t % 2],
-                              out_ref.at[ids_ref[Y0 + t]],
-                              osem.at[t % 2]).start()
+        for o in range(NO):
+            touts[o][t % 2] = outs[o]
+            pltpu.make_async_copy(touts[o].at[t % 2],
+                                  out_refs[o].at[ids_ref[Y0 + t]],
+                                  osems[o].at[t % 2]).start()
 
         @pl.when(t == KC - 1)
         def _():
-            for tt in range(max(KC - 2, 0), KC):
-                pltpu.make_async_copy(tout.at[tt % 2],
-                                      out_ref.at[ids_ref[Y0 + tt]],
-                                      osem.at[tt % 2]).wait()
+            for o in range(NO):
+                for tt in range(max(KC - 2, 0), KC):
+                    pltpu.make_async_copy(touts[o].at[tt % 2],
+                                          out_refs[o].at[ids_ref[Y0 + tt]],
+                                          osems[o].at[tt % 2]).wait()
 
     nelems = KC * BY * X
-    cost = pl.CostEstimate(flops=2 * len(ir.sdef.taps) * nelems,
-                           bytes_accessed=(NF + 1) * nelems
+    ntaps = sum(len(r_.sdef.taps) for r_ in irs)
+    cost = pl.CostEstimate(flops=2 * ntaps * nelems,
+                           bytes_accessed=(NF + NO) * nelems
                            * sdt.itemsize,
                            transcendentals=0)
     if mats is None:
@@ -269,17 +292,19 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
         grid=(KC,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * NF
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY) if NO == 1
+                   else [pl.BlockSpec(memory_space=pl.ANY)] * NO),
         scratch_shapes=(
             [pltpu.VMEM((NW, BY, X), sdt) for _ in range(NF)]
-            + [pltpu.VMEM((2, BY, X), sdt)]
+            + [pltpu.VMEM((2, BY, X), sdt) for _ in range(NO)]
             + [pltpu.SemaphoreType.DMA((NW,)) for _ in range(NF)]
-            + [pltpu.SemaphoreType.DMA((2,))]),
+            + [pltpu.SemaphoreType.DMA((2,)) for _ in range(NO)]),
     )
+    oshape = jax.ShapeDtypeStruct((nbricks, BY, X), sdt)
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbricks, BY, X), sdt),
+        out_shape=oshape if NO == 1 else [oshape] * NO,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=vmem_limit_bytes),
@@ -292,7 +317,8 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
         if len(views) != NF:
             raise TypeError(f"fn takes {NF} view(s) in fn.fields "
                             f"order, got {len(views)}")
-        return call(ids, *views, mats[0], mats[1], mats[2])
+        out = call(ids, *views, mats[0], mats[1], mats[2])
+        return tuple(out) if NO > 1 else out
 
     fn.n_wprofiles = 0 if xmap is None else len(set(xmap.values()))
     if NF > 1:

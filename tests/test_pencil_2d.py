@@ -403,3 +403,46 @@ def test_problem_2d_poly_diff_step():
 
 def test_problem_2d_poly_diff_step_distributed():
     _poly2d_grads((2, 1))
+
+
+def _system_2d():
+    """2-field coupled polynomial 2-D system (Gray-Scott-like)."""
+    i, j = Index(0), Index(1)
+    u, v = Grid("u", 2), Grid("v", 2)
+    ou, ov = Grid("ou", 2), Grid("ov", 2)
+    uv = u(i, j) * v(i, j)
+    ou(i, j).assign(u(i, j) + 0.1 * (u(i + 1, j) + u(i, j - 1)) - uv)
+    ov(i, j).assign(v(i, j) + 0.05 * v(i, j + 1) + uv)
+    return load_stencil_module({"STENCIL": [ou, ov]})
+
+
+def test_problem_2d_system(mesh=(1, 1)):
+    """Coupled 2-D SYSTEM runs as one multi-output kernel on the 2-D
+    pencil path (Jacobi update) and matches the dense twin."""
+    from bricklib_tpu.api import Problem
+
+    sds = _system_2d()
+    gshape = tuple(m * d for m, d in zip(mesh, (16, 16)))
+    u0 = random_array(gshape, np.float32, 61)
+    v0 = random_array(gshape, np.float32, 62)
+    p = Problem(dims=(16, 16), stencil=sds, field=("u", "v"),
+                bdims=(4, 16), mesh=mesh, backend="pencil")
+    assert p.backend == "pencil"
+    p.init(array={"u": u0, "v": v0}).step(2)
+    got = p.result()
+    named = {"u": u0, "v": v0}
+    for _ in range(2):
+        new = {}
+        for oname, s_ in (("u", sds[0]), ("v", sds[1])):
+            lo, hi = s_.radius()
+            pad = [(l, h) for l, h in zip(lo, hi)]
+            padded = {n: np.pad(a, pad, mode="wrap")
+                      for n, a in named.items()}
+            new[oname] = dense_apply(s_, padded, {}, xp=np)
+        named = new
+    assert compare_arrays(got["u"], named["u"], 1e-5)
+    assert compare_arrays(got["v"], named["v"], 1e-5)
+
+
+def test_problem_2d_system_distributed():
+    test_problem_2d_system(mesh=(2, 1))

@@ -197,6 +197,28 @@ def main():
 
     check("pencil 2-D poly adjoint grads", pencil_2d_poly_adjoint)
 
+    def pencil_2d_system():
+        # coupled 2-D SYSTEM: one multi-output kernel, shared windows
+        from bricklib_tpu.codegen.pencil_kernel_2d import (
+            pallas_pencil_sweep_2d)
+        from bricklib_tpu.st import Grid, Index
+        from bricklib_tpu.st.loader import load_stencil_module
+
+        i2, j2 = Index(0), Index(1)
+        u2, v2 = Grid("u", 2), Grid("v", 2)
+        ou2, ov2 = Grid("ou", 2), Grid("ov", 2)
+        uv2 = u2(i2, j2) * v2(i2, j2)
+        ou2(i2, j2).assign(u2(i2, j2) + 0.1 * u2(i2 + 1, j2) - uv2)
+        ov2(i2, j2).assign(v2(i2, j2) + 0.05 * v2(i2, j2 + 1) + uv2)
+        sds2 = load_stencil_module({"STENCIL": [ou2, ov2]})
+        g1, info1 = init_grid((4, 1))
+        fn = pallas_pencil_sweep_2d(sds2, g1, (8, 256), info1.nbricks,
+                                    {})
+        z = jnp.zeros((info1.nbricks, 8, 256), jnp.float32)
+        return fn(*((z,) * len(fn.fields)))[0]
+
+    check("pencil 2-D system", pencil_2d_system)
+
     def mxu_flat_125():
         from bricklib_tpu.codegen.mxu_kernel import (
             flatten_bricks, pallas_pencil_sweep_mxu)
