@@ -670,15 +670,13 @@ class Problem:
             # exact poly pullback (one adjoint sweep per input field).
             # The y ghost cotangent rides the shift exchange's
             # transpose home like the 3-D case (x is lane-periodic).
-            from .codegen.autodiff import (differentiable_pencil_sweep_2d,
-                                           differentiable_poly_sweep_2d,
-                                           linear_taps)
+            from .codegen.autodiff import (
+                differentiable_pencil_sweep_2d,
+                differentiable_poly_sweep_2d,
+                differentiable_poly_system_sweep_2d,
+                linear_taps)
             import jax.numpy as jnp
 
-            if self.nfld != 1:
-                raise ValueError("2-D differentiable_step is "
-                                 "single-output (use backend='jnp' "
-                                 "for 2-D systems)")
             msh2 = self.eff_mesh
             t2 = tuple(a for a in range(2) if msh2[a] == 1)
             dist2 = len(t2) < 2
@@ -689,6 +687,42 @@ class Problem:
                     f"{self.st_iter}")
             names2 = self._xnames
             xargs = () if 0 in t2 else (0,)
+            if self.nfld != 1:
+                # coupled 2-D SYSTEMS: exact adjoint-system pullback
+                try:
+                    kern2s = differentiable_poly_system_sweep_2d(
+                        self.sdefs, self.dec.periodic_grid(t2),
+                        self.bdims, self.dec.nbricks, self.fields,
+                        self.params, exchanged_axes=xargs,
+                        dtype=jnp.dtype(self.dtype),
+                        forward_fn=self._plan_kern0)
+                except ValueError as e:
+                    if "polynomial expansion" not in str(e):
+                        raise
+                    raise ValueError(
+                        "non-polynomial 2-D system differentiable_"
+                        "step (If/max) is not supported on the pencil "
+                        f"path; differentiate via backend='jnp' "
+                        f"({e})") from e
+                allnames2s = list(self.fields) + list(self.aux_names)
+                nfld2 = self.nfld
+
+                def one2s(*sv):
+                    vals = dict(zip(allnames2s, sv))
+                    if dist2:
+                        vals = {n: exchange_shift(v, self.dec, names2,
+                                                  msh2, table_axes=t2)
+                                for n, v in vals.items()}
+                        return kern2s(*(vals[n]
+                                        for n in kern2s.fields))
+                    for _ in range(self.st_iter):
+                        outs = kern2s(*(vals[n]
+                                        for n in kern2s.fields))
+                        vals.update(zip(self.fields, outs))
+                    return tuple(vals[f] for f in self.fields)
+
+                return self._finalize_diff_step(one2s, len(allnames2s),
+                                                nfld2)
             if not self.aux_names and linear_taps(self.sdef) is not None:
                 kern2 = differentiable_pencil_sweep_2d(
                     self.sdef, self.dec.periodic_grid(t2), self.bdims,

@@ -4,6 +4,7 @@ from .autodiff import (adjoint_stencil, differentiable_pencil_sweep,
                        differentiable_poly_sweep,
                        differentiable_poly_sweep_2d,
                        differentiable_poly_system_sweep,
+                       differentiable_poly_system_sweep_2d,
                        linear_taps, oracle_vjp_sweep,
                        polynomial_adjoint_stencils,
                        polynomial_system_adjoints)
@@ -29,6 +30,7 @@ __all__ = [
     "differentiable_poly_sweep",
     "differentiable_poly_sweep_2d",
     "differentiable_poly_system_sweep",
+    "differentiable_poly_system_sweep_2d",
     "polynomial_adjoint_stencils",
     "polynomial_system_adjoints",
     "oracle_vjp_sweep",

@@ -1089,3 +1089,117 @@ def differentiable_poly_sweep_2d(stencil, grid: np.ndarray,
     step.fields = fieldnames
     step.ct_name = ct
     return step
+
+
+def differentiable_poly_system_sweep_2d(stencil, grid: np.ndarray,
+                                        bdims: Sequence[int],
+                                        nbricks: int,
+                                        fields: Sequence[str],
+                                        params: dict | None = None,
+                                        wrt: Sequence[str] | None = None,
+                                        mask_ghost: bool = True,
+                                        exchanged_axes:
+                                        Sequence[int] = (),
+                                        forward_fn=None,
+                                        **kw):
+    """2-D twin of :func:`differentiable_poly_system_sweep`: exact
+    pullback for coupled POLYNOMIAL 2-D systems.  One multi-output
+    row-pencil forward per step; one multi-input adjoint 2-D sweep per
+    requested input field (reads the output cotangent grids plus the
+    original inputs; O(1) activation memory).  Same exchanged-y
+    contract as the single-output 2-D form."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel_2d import pallas_pencil_sweep_2d
+
+    sdefs = list(stencil) if isinstance(stencil, (list, tuple)) \
+        else [stencil]
+    fields = tuple(fields)
+    if len(fields) != len(sdefs):
+        raise ValueError("one evolving field per STENCIL output")
+    grid = np.asarray(grid)
+    g1 = grid[:, 0] if grid.ndim == 2 else grid
+    if grid.ndim == 2 and grid.shape[1] != 1:
+        raise ValueError("2-D pencil layout only (one brick per y row)")
+    GY = g1.shape[0]
+    y_range = tuple(kw.pop("y_range", None) or (1, GY - 1))
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0}:
+        raise ValueError("the only exchangeable 2-D axis is y (0); "
+                         "x is always lane-periodic")
+    rad = 0
+    for sd in sdefs:
+        lo, hi = sd.radius()
+        rad = max(rad, max(lo), max(hi))
+    if exchanged_axes and 2 * rad > int(bdims[0]):
+        raise ValueError(
+            f"exchanged-y system adjoint needs 2*radius <= BY "
+            f"(got radius {rad}, brick {tuple(bdims)})")
+    if 0 not in exchanged_axes:
+        if y_range[0] < 1 or y_range[1] > GY - 1:
+            raise ValueError(
+                f"y range {y_range} includes the periodic ghost ring "
+                f"(grid extent {GY}); table-periodic axes must compute "
+                f"owned cells only (1, {GY - 1})")
+        _check_periodic_table_nd(g1, (y_range,))
+
+    adjoints, ct_names = polynomial_system_adjoints(sdefs, wrt=wrt)
+
+    fwd_fn = forward_fn or pallas_pencil_sweep_2d(
+        sdefs, grid, bdims, nbricks, params, y_range=y_range, **kw)
+    allin: list = []
+    for sd in sdefs:
+        for n in sd.inputs:
+            if n not in allin:
+                allin.append(n)
+    fieldnames = tuple(getattr(fwd_fn, "fields", tuple(allin)))
+    byr = (0, GY) if 0 in exchanged_axes else y_range
+    adj_fns = {}
+    for f, asd in adjoints.items():
+        afn = pallas_pencil_sweep_2d(asd, grid, bdims, nbricks, params,
+                                     y_range=byr, **kw)
+        if not hasattr(afn, "fields"):
+            afn.fields = tuple(asd.inputs)
+        adj_fns[f] = afn
+
+    def _written(yr):
+        w = np.zeros(nbricks, np.bool_)
+        w[np.unique(g1[yr[0]:yr[1]])] = True
+        return jnp.asarray(w.reshape((nbricks,) + (1,) * len(bdims)))
+
+    ct_mask = _written(y_range)
+    out_mask = _written(byr)
+
+    @jax.custom_vjp
+    def step(*views):
+        return fwd_fn(*views)
+
+    def step_fwd(*views):
+        return fwd_fn(*views), views
+
+    def step_bwd(views, cotans):
+        byname = dict(zip(fieldnames, views))
+        for ct, c in zip(ct_names, cotans):
+            byname[ct] = jnp.where(ct_mask, c, jnp.zeros((), c.dtype))
+        grads = []
+        for f in fieldnames:
+            afn = adj_fns.get(f)
+            if afn is None:
+                grads.append(jnp.zeros_like(byname[f]))
+                continue
+            order = afn.fields
+            g = (afn(*(byname[n] for n in order))
+                 if len(order) > 1 else afn(byname[order[0]]))
+            if mask_ghost:
+                g = jnp.where(out_mask, g, jnp.zeros((), g.dtype))
+            grads.append(g)
+        return tuple(grads)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.adjoints = adj_fns
+    step.fields = fieldnames
+    step.evolve = fields
+    step.ct_names = ct_names
+    return step

@@ -446,3 +446,59 @@ def test_problem_2d_system(mesh=(1, 1)):
 
 def test_problem_2d_system_distributed():
     test_problem_2d_system(mesh=(2, 1))
+
+
+def _system2d_grads(mesh):
+    """Exact adjoint-system pullback for the coupled 2-D system:
+    grads wrt both fields match dense AD globally."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+
+    sds = _system_2d()
+    dims = (16, 16)
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    u0 = random_array(gshape, np.float32, 71)
+    v0 = random_array(gshape, np.float32, 72)
+    w = random_array(gshape, np.float32, 73)
+    kw = dict(dims=dims, stencil=sds, field=("u", "v"), bdims=(4, 16),
+              mesh=mesh, backend="pencil")
+    p = Problem(**kw)
+    step = p.differentiable_step()
+    p.init(array={"u": u0, "v": v0})
+    wp = Problem(**kw)
+    wp.init(array={"u": w, "v": w})
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+    gu, gv = jax.grad(
+        lambda uv: jnp.sum(step(*uv)[0] * wb))((p._dats[0],
+                                                p._dats[1]))
+
+    def dense_loss(uv):
+        named = {"u": uv[0], "v": uv[1]}
+        new = {}
+        for oname, s_ in (("u", sds[0]), ("v", sds[1])):
+            lo, hi = s_.radius()
+            pad = tuple((l, h) for l, h in zip(lo, hi))
+            padded = {n: jnp.pad(a, pad, mode="wrap")
+                      for n, a in named.items()}
+            new[oname] = dense_apply(s_, padded, {}, xp=jnp)
+        return jnp.sum(new["u"] * jnp.asarray(w))
+
+    du, dv = jax.grad(dense_loss)((jnp.asarray(u0), jnp.asarray(v0)))
+    nb = p.dec.nbricks
+    for got, want in ((gu, np.asarray(du)), (gv, np.asarray(dv))):
+        gn = np.asarray(got)
+        for r in range(int(np.prod(mesh))):
+            own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                              p.dec.interior_grid(), p.bdims)
+            np.testing.assert_allclose(
+                own, want[r * dims[0]:(r + 1) * dims[0]], rtol=1e-4,
+                atol=1e-4)
+
+
+def test_problem_2d_system_diff_step():
+    _system2d_grads((1, 1))
+
+
+def test_problem_2d_system_diff_step_distributed():
+    _system2d_grads((2, 1))

@@ -219,6 +219,33 @@ def main():
 
     check("pencil 2-D system", pencil_2d_system)
 
+    def pencil_2d_system_adjoint():
+        # coupled 2-D system EXACT pullback (adjoints read the output
+        # cotangent grids + original inputs)
+        from bricklib_tpu.codegen.autodiff import (
+            differentiable_poly_system_sweep_2d)
+        from bricklib_tpu.st import Grid, Index
+        from bricklib_tpu.st.loader import load_stencil_module
+
+        i2, j2 = Index(0), Index(1)
+        u2, v2 = Grid("u", 2), Grid("v", 2)
+        ou2, ov2 = Grid("ou", 2), Grid("ov", 2)
+        uv2 = u2(i2, j2) * v2(i2, j2)
+        ou2(i2, j2).assign(u2(i2, j2) + 0.1 * u2(i2 + 1, j2) - uv2)
+        ov2(i2, j2).assign(v2(i2, j2) + 0.05 * v2(i2, j2 + 1) + uv2)
+        sds2 = load_stencil_module({"STENCIL": [ou2, ov2]})
+        g1, info1 = init_grid((4, 1))
+        t1 = np.asarray(g1)[:, 0].copy()
+        t1[0], t1[-1] = t1[-2], t1[1]
+        dstep = differentiable_poly_system_sweep_2d(
+            sds2, t1, (8, 256), info1.nbricks, ("u", "v"), {})
+        av = jnp.ones((info1.nbricks, 8, 256), jnp.float32)
+        return jax.jit(jax.grad(
+            lambda a, b: jnp.sum(dstep(a, b)[0]),
+            argnums=(0, 1)))(av, av)[0]
+
+    check("pencil 2-D system adjoint grads", pencil_2d_system_adjoint)
+
     def mxu_flat_125():
         from bricklib_tpu.codegen.mxu_kernel import (
             flatten_bricks, pallas_pencil_sweep_mxu)
