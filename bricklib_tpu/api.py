@@ -254,26 +254,50 @@ class Problem:
                     f"ghost depth {bd[0]}")
             kgrid = dec.periodic_grid(table_axes)
             GY = kgrid.shape[0]
-            self.fuse = 1
+            # auto temporal fusion: the 2-D trapezoid lives inside the
+            # 3-row window (fuse*radius <= BY), so fusion costs only
+            # ~(F-1)*(lo+hi)/BY recompute per level while HBM traffic
+            # drops F-fold — measured on-chip: 9pt F=4 runs 2.2x the
+            # unfused iteration rate at 8192^2 (DESIGN.md).  Same
+            # DMA-bound gate as 3-D (pass estimate <= PASS_FUSE_MAX);
+            # single-field single-input only (like the emitter).
+            fuse = 1
+            if nfld == 1 and not self.aux_names:
+                np_ = _passes(sdefs[0], self.params)
+                if np_ is None:
+                    from .codegen.ir import generic_pass_estimate
+
+                    np_ = generic_pass_estimate(sdefs[0])
+                from .codegen.ir import PASS_FUSE_MAX
+
+                if np_ is not None and np_ <= PASS_FUSE_MAX:
+                    for cand in (4, 2):
+                        if (self.st_iter % cand == 0 and self.st_iter
+                                and cand * rad <= bd[0]):
+                            fuse = cand
+                            break
+            self.fuse = fuse
 
             def _yr(skip):
                 return ((1, GY - 1) if 0 in table_axes
                         else (skip, GY - skip))
 
             sd_or_sys = sdefs if nfld > 1 else self.sdef
+            fkw2 = dict(fuse=fuse) if fuse > 1 else {}
             k2 = pallas_pencil_sweep_2d(
                 sd_or_sys, kgrid, bd, dec.nbricks, self.params,
-                y_range=_yr(1), dtype=jnp.dtype(self.dtype))
+                y_range=_yr(1), dtype=jnp.dtype(self.dtype), **fkw2)
             # differentiable_step reuses this as its forward (the diff
             # builder's defaults match _yr(1)/lookahead/dtype exactly)
             self._plan_kern0 = k2
             k2_ghost = None
-            if self.st_iter > 1 and distributed:
+            if self.st_iter > fuse and distributed:
                 # deep-ghost ST_ITER: ghost-inclusive sweeps between
                 # exchanges, owned-only last (ref: weak/main.cpp:203-212)
                 k2_ghost = pallas_pencil_sweep_2d(
                     sd_or_sys, kgrid, bd, dec.nbricks, self.params,
-                    y_range=_yr(0), dtype=jnp.dtype(self.dtype))
+                    y_range=_yr(0), dtype=jnp.dtype(self.dtype),
+                    **fkw2)
 
             def one(*sv):
                 states = list(sv[:nfld])
@@ -283,8 +307,9 @@ class Problem:
                                              table_axes=table_axes)
                               for s_ in states]
                 vs = dict(zip(self.aux_names, sv[nfld:]))
-                for it in range(self.st_iter):
-                    last = it == self.st_iter - 1
+                nsweeps = self.st_iter // fuse
+                for it in range(nsweeps):
+                    last = it == nsweeps - 1
                     k = (k2 if (last or k2_ghost is None)
                          else k2_ghost)
                     vs.update(zip(self.fields, states))
@@ -295,7 +320,7 @@ class Problem:
                 return states[0] if nfld == 1 else tuple(states)
 
             self._exec_plan = {
-                "backend": "pencil", "fuse": 1,
+                "backend": "pencil", "fuse": fuse,
                 "exchange": exchange if distributed else "table",
                 "table_axes": list(table_axes),
                 "kernels": [{"n_wprofiles": k2.n_wprofiles}],
@@ -695,7 +720,8 @@ class Problem:
                         self.bdims, self.dec.nbricks, self.fields,
                         self.params, exchanged_axes=xargs,
                         dtype=jnp.dtype(self.dtype),
-                        forward_fn=self._plan_kern0)
+                        forward_fn=(self._plan_kern0
+                                     if self.fuse == 1 else None))
                 except ValueError as e:
                     if "polynomial expansion" not in str(e):
                         raise
@@ -728,7 +754,8 @@ class Problem:
                     self.sdef, self.dec.periodic_grid(t2), self.bdims,
                     self.dec.nbricks, self.params,
                     exchanged_axes=xargs, dtype=jnp.dtype(self.dtype),
-                    forward_fn=self._plan_kern0)
+                    forward_fn=(self._plan_kern0
+                                     if self.fuse == 1 else None))
 
                 def one2(d):
                     if dist2:
@@ -745,7 +772,8 @@ class Problem:
                     self.sdef, self.dec.periodic_grid(t2), self.bdims,
                     self.dec.nbricks, self.params,
                     exchanged_axes=xargs, dtype=jnp.dtype(self.dtype),
-                    forward_fn=self._plan_kern0)
+                    forward_fn=(self._plan_kern0
+                                     if self.fuse == 1 else None))
             except ValueError as e:
                 if "polynomial expansion" not in str(e):
                     raise

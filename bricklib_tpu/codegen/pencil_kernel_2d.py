@@ -47,6 +47,7 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
                            dtype=jnp.float32,
                            interpret: bool | None = None,
                            lookahead: int = 2,
+                           fuse: int = 1,
                            vmem_limit_bytes: int = 110 * 2 ** 20):
     """Build ``fn(view) -> view`` over ``(nbricks, BY, X)`` storage for
     a 2-D stencil.  ``grid`` is the 1-D brick-row id table (shape
@@ -60,7 +61,18 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     Stencil SYSTEMS (a list of StencilDefs, the reference's
     multi-output ``STENCIL`` contract, codegen/vecscatter:165-168)
     compute every output per row from the shared windows — one kernel,
-    inputs stream through HBM once — and return one view per output."""
+    inputs stream through HBM once — and return one view per output.
+
+    ``fuse = F > 1`` (single-input single-output, ST_ITER amortization,
+    ref: weak/main.cpp:203-212) applies the stencil F times per HBM
+    pass.  Unlike the 3-D emitter's per-level VMEM rings, the whole
+    fusion trapezoid fits INSIDE the 3-row window whenever
+    ``F * y_radius <= BY``: level l computes a y-extended slab of
+    ``BY + (F-1-l)*(lo+hi)`` rows from the previous level's slab, all
+    within one grid step — the recompute amplification is
+    ``~1 + (F-1)*(lo+hi)/BY`` per level while HBM traffic drops
+    F-fold.  Composition is exact on periodic tables and on ghost
+    rows valid to depth F*radius (the usual deep-ghost contract)."""
     sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
     irs = [_as_ir(s) for s in sdefs]
     ir = irs[0]
@@ -110,12 +122,23 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     # stencils; multi-input/systems run the generic evaluator
     lin = (linear_decomposition(ir.sdef.rhs)
            if NF == 1 and NO == 1 else None)
+    F = int(fuse)
+    if F < 1:
+        raise ValueError("fuse must be >= 1")
+    if F > 1 and (NF != 1 or NO != 1):
+        raise ValueError("fuse > 1 is single-input single-output")
+    if F * lo0 > BY or F * hi0 > BY:
+        raise ValueError(f"fuse {F} x y-radius ({lo0}, {hi0}) exceeds "
+                         f"brick depth {BY}")
+    # per-level output heights of the in-window fusion trapezoid
+    hs = [BY + (F - 1 - l) * (lo0 + hi0) for l in range(F)]
 
     D = int(lookahead)
     NW = 3 + D
 
-    mats = None
     xmap = None
+    mat_ops: list = []
+    has_p = has_n = False
     if lin is not None:
         # y-profile factorization: C[(dy, dx)] -> shared profiles
         C: dict = {}
@@ -139,21 +162,36 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
                 profiles.append(p)
             xmap[dx] = wkeys[key]
         nW = len(profiles)
-        Ap = np.zeros((nW * BY, BY), np.float32)
-        Ac = np.zeros((nW * BY, BY), np.float32)
-        An = np.zeros((nW * BY, BY), np.float32)
-        for w, p in enumerate(profiles):
-            for dy, c in p.items():
-                for r in range(BY):
-                    a = r + dy
-                    if a < 0:
-                        Ap[w * BY + r, BY + a] += c
-                    elif a < BY:
-                        Ac[w * BY + r, a] += c
-                    else:
-                        An[w * BY + r, a - BY] += c
-        mats = (jnp.asarray(Ap), jnp.asarray(Ac), jnp.asarray(An),
-                bool(Ap.any()), bool(An.any()))
+        if F == 1:
+            # unfused: three (nW*BY, BY) matmuls over prev/cur/nxt
+            Ap = np.zeros((nW * BY, BY), np.float32)
+            Ac = np.zeros((nW * BY, BY), np.float32)
+            An = np.zeros((nW * BY, BY), np.float32)
+            for w, p in enumerate(profiles):
+                for dy, c in p.items():
+                    for r in range(BY):
+                        a = r + dy
+                        if a < 0:
+                            Ap[w * BY + r, BY + a] += c
+                        elif a < BY:
+                            Ac[w * BY + r, a] += c
+                        else:
+                            An[w * BY + r, a - BY] += c
+            has_p, has_n = bool(Ap.any()), bool(An.any())
+            mat_ops = [jnp.asarray(Ap), jnp.asarray(Ac),
+                       jnp.asarray(An)]
+        else:
+            # fused: one self-contained (nW*h_out, h_in) banded matrix
+            # per trapezoid level
+            for ho in hs:
+                hin = ho + lo0 + hi0
+                A = np.zeros((nW * ho, hin), np.float32)
+                for w, p in enumerate(profiles):
+                    for dy, c in p.items():
+                        for r in range(ho):
+                            A[w * ho + r, lo0 + r + dy] += c
+                mat_ops.append(jnp.asarray(A))
+    NM = len(mat_ops)
 
     def _clip(x, n):
         return jnp.clip(x, 0, n - 1)
@@ -161,9 +199,9 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
     def kernel(*refs):
         ids_ref = refs[0]
         dat_refs = refs[1:1 + NF]
-        ap_ref, ac_ref, an_ref = refs[1 + NF:4 + NF]
-        out_refs = refs[4 + NF:4 + NF + NO]
-        scr = refs[4 + NF + NO:]
+        mat_refs = refs[1 + NF:1 + NF + NM]
+        out_refs = refs[1 + NF + NM:1 + NF + NM + NO]
+        scr = refs[1 + NF + NM + NO:]
         wins = scr[:NF]
         touts = scr[NF:NF + NO]
         sems = scr[NF + NO:2 * NF + NO]
@@ -210,26 +248,54 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
         def roll_x(v, dx):
             return pltpu.roll(v, (-dx) % X, 1) if dx else v
 
-        if lin is not None:
-            prev, cur, nxt = window(0)
-            W2 = jax.lax.dot_general(
-                ac_ref[:], cur, (((1,), (0,)), ((), ())),
+        def _dot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            if mats[3]:
-                W2 = W2 + jax.lax.dot_general(
-                    ap_ref[:], prev, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-            if mats[4]:
-                W2 = W2 + jax.lax.dot_general(
-                    an_ref[:], nxt, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-            out = None
+
+        def _combine(W2, ho):
+            acc = None
             for dx, wid in sorted(xmap.items()):
-                v = roll_x(W2[wid * BY:(wid + 1) * BY], dx)
-                out = v if out is None else out + v
+                v = roll_x(W2[wid * ho:(wid + 1) * ho], dx)
+                acc = v if acc is None else acc + v
+            return acc
+
+        if lin is not None and F == 1:
+            prev, cur, nxt = window(0)
+            ap_ref, ac_ref, an_ref = mat_refs
+            W2 = _dot(ac_ref[:], cur)
+            if has_p:
+                W2 = W2 + _dot(ap_ref[:], prev)
+            if has_n:
+                W2 = W2 + _dot(an_ref[:], nxt)
+            out = _combine(W2, BY)
+        elif lin is not None:
+            # fused: the trapezoid lives inside the 3-row slab — one
+            # (nW*h_out, h_in) matmul + x-combine per level
+            prev, cur, nxt = window(0)
+            s0 = BY - F * lo0
+            slab = jnp.concatenate([prev, cur, nxt],
+                                   axis=0)[s0:s0 + hs[0] + lo0 + hi0]
+            for lv in range(F):
+                slab = _combine(_dot(mat_refs[lv][:], slab), hs[lv])
+            out = slab
+        elif F > 1:
+            # fused generic: evaluate the stencil per trapezoid level
+            prev, cur, nxt = window(0)
+            s0 = BY - F * lo0
+            slab = jnp.concatenate([prev, cur, nxt],
+                                   axis=0)[s0:s0 + hs[0] + lo0 + hi0]
+            for lv in range(F):
+                ho = hs[lv]
+
+                def read_tap(_name, offs, slab=slab, ho=ho):
+                    dx, dy = int(offs[0]), int(offs[1])
+                    return roll_x(slab[lo0 + dy:lo0 + dy + ho], dx)
+
+                slab = evaluate(ir.sdef.rhs, read_tap,
+                                lambda n: float(resolve(n)), jnp)
+            out = slab
         else:
             def fslab(f):
                 prev, cur, nxt = window(f)
@@ -279,19 +345,15 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
 
     nelems = KC * BY * X
     ntaps = sum(len(r_.sdef.taps) for r_ in irs)
-    cost = pl.CostEstimate(flops=2 * ntaps * nelems,
+    cost = pl.CostEstimate(flops=2 * ntaps * nelems * F,
                            bytes_accessed=(NF + NO) * nelems
                            * sdt.itemsize,
                            transcendentals=0)
-    if mats is None:
-        z = np.zeros((BY, BY), np.float32)
-        mats = (jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
-                False, False)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(KC,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * NF
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * NM,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY) if NO == 1
                    else [pl.BlockSpec(memory_space=pl.ANY)] * NO),
         scratch_shapes=(
@@ -317,10 +379,11 @@ def pallas_pencil_sweep_2d(stencil, grid: np.ndarray,
         if len(views) != NF:
             raise TypeError(f"fn takes {NF} view(s) in fn.fields "
                             f"order, got {len(views)}")
-        out = call(ids, *views, mats[0], mats[1], mats[2])
+        out = call(ids, *views, *mat_ops)
         return tuple(out) if NO > 1 else out
 
     fn.n_wprofiles = 0 if xmap is None else len(set(xmap.values()))
+    fn.fuse = F
     if NF > 1:
         fn.fields = tuple(fieldnames)
     return fn

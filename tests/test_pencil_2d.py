@@ -502,3 +502,62 @@ def test_problem_2d_system_diff_step():
 
 def test_problem_2d_system_diff_step_distributed():
     _system2d_grads((2, 1))
+
+
+@pytest.mark.parametrize("F", [2, 4])
+def test_2d_fused_equals_composed(F):
+    """fuse=F (in-window trapezoid) equals F composed sweeps on a
+    fully periodic table — linear (per-level matmuls; association
+    differs from the unfused triple-matmul, so to 1 ulp) and generic
+    paths."""
+    by, X, ny = 8, 16, 16
+    grid, info = init_grid((ny // by + 2, 1))
+    t1 = np.asarray(grid)[:, 0].copy()
+    t1[0], t1[-1] = t1[-2], t1[1]
+    core = random_array((ny, X), np.float32, 81)
+    ext = np.pad(core, ((by, by), (0, 0)), mode="wrap")
+    view = jnp.asarray(to_bricks(ext, grid, (by, X)).reshape(-1, by, X))
+    for sd, params in ((_lin5(), {"a": 0.4, "b": 0.15}),
+                       (_nonlin(), {})):
+        one = pallas_pencil_sweep_2d(sd, t1, (by, X), info.nbricks,
+                                     params, interpret=True)
+        fused = pallas_pencil_sweep_2d(sd, t1, (by, X), info.nbricks,
+                                       params, fuse=F, interpret=True)
+        want = view
+        for _ in range(F):
+            want = one(want)
+        got = fused(view)
+        g2 = np.asarray(grid)[1:-1, 0]
+        np.testing.assert_allclose(np.asarray(got)[g2],
+                                   np.asarray(want)[g2],
+                                   rtol=0, atol=1e-6)
+
+
+def test_2d_fuse_guards():
+    with pytest.raises(ValueError, match="fuse"):
+        pallas_pencil_sweep_2d(_asym9(), np.arange(6), (4, 16), 6, {},
+                               fuse=4, interpret=True)
+
+
+def test_problem_2d_auto_fuse():
+    """2-D Problem auto-fuses DMA-bound stencils: st_iter=4 runs as
+    one F=4 trapezoid sweep and equals 4 dense steps (distributed
+    deep-ghost included)."""
+    from bricklib_tpu.api import Problem
+
+    sd = _lin5()
+    params = {"a": 0.4, "b": 0.15}
+    g = random_array((32, 16), np.float32, 91)
+    p = Problem(dims=(16, 16), stencil=sd, params=params,
+                bdims=(8, 16), mesh=(2, 1), st_iter=4)
+    assert p.fuse == 4, p.describe()
+    p.init(array=g).step(1)
+    assert compare_arrays(p.result(), _dense_steps(sd, g, 4, p.params),
+                          1e-5)
+    # single-device table-periodic too
+    q = Problem(dims=(16, 16), stencil=sd, params=params,
+                bdims=(8, 16), st_iter=4)
+    assert q.fuse == 4
+    q.init(array=g[:16]).step(1)
+    assert compare_arrays(q.result(),
+                          _dense_steps(sd, g[:16], 4, p.params), 1e-5)
