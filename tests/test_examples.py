@@ -54,3 +54,8 @@ def test_coefficient_inversion(monkeypatch):
 def test_multigrid_poisson(monkeypatch):
     _run("multigrid_poisson.py", monkeypatch, BRICK_EXAMPLE_N="16",
          BRICK_EXAMPLE_STEPS="5")
+
+
+def test_wave_2d(monkeypatch):
+    _run("wave_2d.py", monkeypatch, BRICK_EXAMPLE_N="16",
+         BRICK_EXAMPLE_STEPS="2")
