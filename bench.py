@@ -42,8 +42,9 @@ def _supervise() -> int:
     from bricklib_tpu.bench.roofline import run_bounded
 
     env = dict(os.environ, BRICK_BENCH_INNER="1")
-    # budget covers ~15 Mosaic first-compiles (round 4 added the
-    # 125pt-MXU and strong legs) + 4 interleaved measurement rounds
+    # budget covers ~17 Mosaic first-compiles (round 4 added the
+    # 125pt-MXU, strong and 2-D legs) + 4 interleaved measurement
+    # rounds
     budget = int(os.environ.get("BRICK_BENCH_TPU_TIMEOUT_S", "2100"))
     rc, out, err = run_bounded([sys.executable, os.path.abspath(__file__)],
                                budget, env=env)
@@ -51,8 +52,8 @@ def _supervise() -> int:
         sys.stdout.write(out)
         return 0
     note = f"timeout>{budget}s" if rc is None else f"rc={rc}"
-    # the round-4 legs (125pt-MXU, strong) have never first-compiled
-    # on real hardware; if the full run died, retry once on TPU with
+    # if a round-4 leg's (125pt-MXU, strong, 2-D) first compile
+    # killed the full run, retry once on TPU with
     # only the round-3-proven legs so a single bad Mosaic compile
     # cannot cost the round its on-chip artifact
     if os.environ.get("BRICK_BENCH_MINIMAL") != "1":
@@ -256,6 +257,41 @@ def main():
             strong_step, smesh, P(smesh.axis_names[0]),
             P(smesh.axis_names[0])), donate_argnums=0)
 
+    # 2-D leg (TPU only): the round-4 2-D rank's artifact number — a
+    # 9pt box on whole-row pencils with the in-window F=4 trapezoid
+    # fusion (MXU per-level banded matmuls), judged against its own
+    # storage-shape DMA copy
+    if on_tpu and not minimal:
+        import numpy as _np
+
+        from bricklib_tpu.codegen.pencil_kernel_2d import (
+            pallas_pencil_sweep_2d)
+        from bricklib_tpu.core import init_grid as _init_grid
+        from bricklib_tpu.st import (ConstRef as _C, Grid as _G,
+                                     Index as _I)
+        from bricklib_tpu.st.loader import load_stencil_module as _lsm
+
+        N2 = 4096
+        BD2 = (8, N2)
+        _i2, _j2 = _I(0), _I(1)
+        _g2, _o2 = _G("in", 2), _G("out", 2)
+        _o2(_i2, _j2).assign(
+            _C("0.4") * _g2(_i2, _j2)
+            + _C("0.1") * (_g2(_i2 + 1, _j2) + _g2(_i2 - 1, _j2)
+                           + _g2(_i2, _j2 + 1) + _g2(_i2, _j2 - 1))
+            + _C("0.02") * (_g2(_i2 + 1, _j2 + 1)
+                            + _g2(_i2 - 1, _j2 + 1)
+                            + _g2(_i2 + 1, _j2 - 1)
+                            + _g2(_i2 - 1, _j2 - 1)))
+        _sd2 = _lsm({"STENCIL": [_o2]})[0]
+        grid2, info2 = _init_grid((N2 // BD2[0], 1))
+        t2d = _np.asarray(grid2)[:, 0].copy()
+        t2d[0], t2d[-1] = t2d[-2], t2d[1]     # periodic y table
+        nb2 = info2.nbricks
+        k2d_f4 = rep(pallas_pencil_sweep_2d(_sd2, t2d, BD2, nb2, {},
+                                            fuse=4))
+        dma_copy_2d = rep(make_dma_copy(nb2, BD2, jnp.float32))
+
     # composition-immune roofline: Pallas DMA copy of the same storage
     # (shared machinery: bricklib_tpu.bench.roofline)
     dma_copy = rep(make_dma_copy(nb, BD, jnp.float32,
@@ -276,7 +312,9 @@ def main():
                       "honest_bf16": (honest_bf16, ST_ITER)})
         if not minimal:
             items.update({"125pt_mxu": (k125mxu, R),
-                          "strong": (strong, ST_ITER)})
+                          "strong": (strong, ST_ITER),
+                          "2d_9pt_f4": (k2d_f4, 4 * R),
+                          "copy_2d": (dma_copy_2d, R)})
     times = {k: [] for k in items}
     bufs = {k: fresh(s) for s, k in enumerate(items)}
     for k in ("7pt_bf16", "copy_bf16", "honest_bf16"):
@@ -285,6 +323,11 @@ def main():
     if "125pt_mxu" in bufs:
         bufs["125pt_mxu"] = bufs["125pt_mxu"].reshape(
             nb, BD[0], BD[1] * BD[2])
+    for k in ("2d_9pt_f4", "copy_2d"):
+        if k in bufs:
+            bufs[k] = jax.random.uniform(
+                jax.random.PRNGKey(hash(k) % 2 ** 31),
+                (nb2,) + BD2, jnp.float32)
     if "strong" in bufs:
         bufs["strong"] = jax.device_put(
             jax.random.uniform(jax.random.PRNGKey(99),
@@ -342,6 +385,17 @@ def main():
                 "125pt_mxu_vs_sol": round(
                     best["copy"] / best["125pt_mxu"], 4),
                 } if "125pt_mxu" in best else {}),
+            **({"pencil_2d": {
+                    "config": (f"{N2}^2 9pt box, fuse=4, brick "
+                               f"(8, {N2})"),
+                    "gstencil_s": round(
+                        N2 * N2 / best["2d_9pt_f4"] / 1e9, 3),
+                    "per_iter_ms": round(best["2d_9pt_f4"] * 1e3, 3),
+                    "vs_2d_sol": round(
+                        best["copy_2d"] / best["2d_9pt_f4"], 4),
+                    "sol_copy_2d_gb_s": round(
+                        2 * N2 * N2 * 4 / best["copy_2d"] / 1e9, 1),
+                }} if "2d_9pt_f4" in best else {}),
             # strong vs_sol is judged against the WEAK-storage ideal
             # stencil rate, so ghost-shell read amplification counts
             # as real strong-decomposition overhead
