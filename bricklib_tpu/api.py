@@ -750,19 +750,24 @@ class Problem:
                 return self._finalize_diff_step(one2s, len(allnames2s),
                                                 nfld2)
             if not self.aux_names and linear_taps(self.sdef) is not None:
+                # fuse composes exactly on the torus ((A^F)^T = (A^T)^F
+                # as the F-fused adjoint trapezoid); distributed needs
+                # one unfused sweep per exchange like 3-D
+                fuse2 = 1 if dist2 else self.fuse
                 kern2 = differentiable_pencil_sweep_2d(
                     self.sdef, self.dec.periodic_grid(t2), self.bdims,
                     self.dec.nbricks, self.params,
                     exchanged_axes=xargs, dtype=jnp.dtype(self.dtype),
                     forward_fn=(self._plan_kern0
-                                     if self.fuse == 1 else None))
+                                if fuse2 == self.fuse else None),
+                    **(dict(fuse=fuse2) if fuse2 > 1 else {}))
 
                 def one2(d):
                     if dist2:
                         d = exchange_shift(d, self.dec, names2, msh2,
                                            table_axes=t2)
                         return kern2(d)
-                    for _ in range(self.st_iter):
+                    for _ in range(self.st_iter // fuse2):
                         d = kern2(d)
                     return d
 

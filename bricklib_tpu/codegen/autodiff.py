@@ -943,6 +943,13 @@ def differentiable_pencil_sweep_2d(stencil, grid: np.ndarray,
     if not set(exchanged_axes) <= {0}:
         raise ValueError("the only exchangeable 2-D axis is y (0); "
                          "x is always lane-periodic")
+    if exchanged_axes and int(kw.get("fuse") or 1) > 1:
+        # same contract as the 3-D form: the fused trapezoid's window
+        # rows clamp at the table edge, which is not exactly transposed
+        # across a real ghost ring (fuse composes exactly on a torus)
+        raise ValueError("exchanged_axes with fuse > 1 would compute "
+                         "wrong gradients (clamped window rows); "
+                         "exchange every iteration at fuse=1")
     if 0 not in exchanged_axes:
         if y_range[0] < 1 or y_range[1] > GY - 1:
             raise ValueError(
@@ -1005,6 +1012,10 @@ def differentiable_poly_sweep_2d(stencil, grid: np.ndarray,
 
     from .pencil_kernel_2d import pallas_pencil_sweep_2d
 
+    if int(kw.get("fuse") or 1) > 1:
+        raise ValueError("differentiable_poly_sweep_2d is fuse=1 only "
+                         "(fused intermediate levels would need their "
+                         "own residuals)")
     sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
     if len(sdefs) != 1:
         raise ValueError("differentiable_poly_sweep_2d takes one "
@@ -1113,6 +1124,10 @@ def differentiable_poly_system_sweep_2d(stencil, grid: np.ndarray,
 
     from .pencil_kernel_2d import pallas_pencil_sweep_2d
 
+    if int(kw.get("fuse") or 1) > 1:
+        raise ValueError("differentiable_poly_system_sweep_2d is "
+                         "fuse=1 only (fused intermediate levels "
+                         "would need their own residuals)")
     sdefs = list(stencil) if isinstance(stencil, (list, tuple)) \
         else [stencil]
     fields = tuple(fields)

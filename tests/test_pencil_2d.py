@@ -561,3 +561,37 @@ def test_problem_2d_auto_fuse():
     q.init(array=g[:16]).step(1)
     assert compare_arrays(q.result(),
                           _dense_steps(sd, g[:16], 4, p.params), 1e-5)
+
+
+def test_problem_2d_fused_differentiable_step():
+    """Table-periodic fused diff: (A^4)^T = (A^T)^4 as the F=4 adjoint
+    trapezoid — gradients match dense AD through 4 composed steps."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+
+    sd = _lin5()
+    params = {"a": 0.4, "b": 0.15}
+    x = random_array((16, 16), np.float32, 95)
+    w = random_array((16, 16), np.float32, 96)
+    p = Problem(dims=(16, 16), stencil=sd, params=params,
+                bdims=(8, 16), st_iter=4)
+    assert p.fuse == 4
+    step = p.differentiable_step()
+    p.init(array=x)
+    wp = Problem(dims=(16, 16), stencil=sd, params=params,
+                 bdims=(8, 16), st_iter=4)
+    wp.init(array=w)
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+    g = jax.grad(lambda d: jnp.sum(step(d) * wb))(p._dats[0])
+
+    def dense_loss(d):
+        for _ in range(4):
+            d = dense_apply(sd, {"in": jnp.pad(d, 1, mode="wrap")},
+                            params, xp=jnp)
+        return jnp.sum(d * jnp.asarray(w))
+
+    want = np.asarray(jax.grad(dense_loss)(jnp.asarray(x)))
+    got = from_bricks(np.asarray(g).reshape(p.dec.nbricks, -1),
+                      p.dec.interior_grid(), p.bdims)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
