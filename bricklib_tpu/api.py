@@ -665,25 +665,38 @@ class Problem:
                              "backend")
         nd = len(self.dims)
         if nd == 4:
-            # 4-D: linear adjoint twin, table-periodic only
-            if int(np.prod(self.eff_mesh)) > 1:
-                raise ValueError("4-D differentiable_step runs on "
-                                 "table-periodic (single-device) "
-                                 "meshes")
+            # 4-D: linear adjoint twin; on distributed meshes the
+            # ghost cotangent rides the shift exchange's transpose
+            # home like the 3-D case (one unfused sweep per exchange)
             if self.nfld != 1 or self.aux_names:
                 raise ValueError("4-D differentiable_step takes one "
                                  "linear evolving field")
             from .codegen.autodiff import differentiable_pencil_sweep_4d
             import jax.numpy as jnp
 
-            fuse = self.fuse
+            msh4 = self.eff_mesh
+            t4 = tuple(a for a in range(4) if msh4[a] == 1)
+            dist4 = len(t4) < 4
+            if dist4 and self.st_iter != 1:
+                raise ValueError(
+                    f"differentiable distributed step needs st_iter=1 "
+                    f"(one unfused sweep per exchange), got st_iter="
+                    f"{self.st_iter}, fuse={self.fuse}")
+            fuse = 1 if dist4 else self.fuse
             fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
             kern = differentiable_pencil_sweep_4d(
-                self.sdef, self.dec.periodic_grid(tuple(range(4))),
+                self.sdef, self.dec.periodic_grid(t4),
                 self.bdims, self.dec.nbricks, self.params,
+                exchanged_axes=tuple(a for a in (0, 1, 2)
+                                     if a not in t4),
                 dtype=jnp.dtype(self.dtype), **fkw)
+            names4 = self._xnames
 
             def one4(d):
+                if dist4:
+                    d = exchange_shift(d, self.dec, names4, msh4,
+                                       table_axes=t4)
+                    return kern(d)
                 for _ in range(self.st_iter // fuse):
                     d = kern(d)
                 return d

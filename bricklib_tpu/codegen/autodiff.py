@@ -818,11 +818,15 @@ def oracle_vjp_sweep(stencil, dec, bdims: Sequence[int],
     return step
 
 
-def _check_periodic_table_nd(grid: np.ndarray, ranges):
+def _check_periodic_table_nd(grid: np.ndarray, ranges, axes=None):
     """n-outer-axis torus check (4-D pencil tables): every ghost ring
-    cell must alias the wrapped owned brick along every axis."""
+    cell must alias the wrapped owned brick along every checked axis
+    (``axes`` restricts the check — exchanged axes carry REAL ghost
+    bricks and are exempt)."""
     ok = True
     for ax, (a0, a1) in enumerate(ranges):
+        if axes is not None and ax not in axes:
+            continue
         G = grid.shape[ax]
         p = a1 - a0
         sl = [slice(None)] * grid.ndim
@@ -846,12 +850,19 @@ def differentiable_pencil_sweep_4d(stencil, grid: np.ndarray,
                                    bdims: Sequence[int], nbricks: int,
                                    params: dict | None = None,
                                    mask_ghost: bool = True,
+                                   exchanged_axes: Sequence[int] = (),
+                                   forward_fn=None,
                                    **kw):
-    """4-D twin of :func:`differentiable_pencil_sweep` (table-periodic
-    configs only — the 4-D path has no exchanged-axes mode).  Same
-    contract: linear single-input stencil, fully periodic table, exact
-    adjoint sweep as the pullback, undefined output rows masked to
-    zero.  ``fuse`` composes exactly on the torus."""
+    """4-D twin of :func:`differentiable_pencil_sweep`.  Same contract:
+    linear single-input stencil, exact adjoint sweep as the pullback,
+    undefined output rows masked to zero.  ``exchanged_axes`` (numpy
+    order: 0 = w, 1 = k, 2 = j) marks axes whose ghost ring is filled
+    by a real exchange — the pullback runs the adjoint over the FULL
+    range there and the exchange's own transpose routes the ghost
+    cotangent home; non-exchanged axes must be table-periodic and
+    compute owned cells only.  ``fuse`` composes exactly on the torus
+    (rejected with exchanged axes — clamped fused levels are not
+    exactly transposed across a real ghost ring)."""
     import jax
     import jax.numpy as jnp
 
@@ -868,27 +879,43 @@ def differentiable_pencil_sweep_4d(stencil, grid: np.ndarray,
     if grid.ndim == 4 and grid.shape[3] != 1:
         raise ValueError("pencil layout only (one brick per (w, k, j))")
     GW, GK, GJ = g3.shape
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0, 1, 2}:
+        raise ValueError("exchanged_axes are numpy-order w/k/j axes "
+                         "(0, 1 and/or 2); i is always lane-periodic")
+    if exchanged_axes and int(kw.get("fuse") or 1) > 1:
+        raise ValueError("exchanged_axes with fuse > 1 would compute "
+                         "wrong gradients (clamped fused adjoint "
+                         "levels); exchange every iteration at fuse=1")
     ranges = (tuple(kw.get("w_range") or (1, GW - 1)),
               tuple(kw.get("k_range") or (1, GK - 1)),
               tuple(kw.get("j_range") or (1, GJ - 1)))
     for ax, (a0, a1) in enumerate(ranges):
         G = g3.shape[ax]
-        if a0 < 1 or a1 > G - 1:
+        if ax not in exchanged_axes and (a0 < 1 or a1 > G - 1):
             raise ValueError(
                 f"axis {ax}: range {(a0, a1)} includes the periodic "
                 f"ghost ring (grid extent {G}); compute owned cells "
                 f"only (1, {G - 1})")
-    _check_periodic_table_nd(g3, ranges)
+    _check_periodic_table_nd(
+        g3, ranges, axes=tuple(a for a in (0, 1, 2)
+                               if a not in exchanged_axes))
 
-    fwd_fn = pallas_pencil_sweep_4d(sdefs[0], grid, bdims, nbricks,
-                                    params, **kw)
+    fwd_fn = forward_fn or pallas_pencil_sweep_4d(
+        sdefs[0], grid, bdims, nbricks, params, **kw)
+    # pullback ranges: full span on exchanged axes (ghost cotangent is
+    # real data the exchange transpose routes home)
+    bkw = dict(kw)
+    branges = tuple((0, g3.shape[a]) if a in exchanged_axes
+                    else ranges[a] for a in range(3))
+    bkw["w_range"], bkw["k_range"], bkw["j_range"] = branges
     adj_fn = pallas_pencil_sweep_4d(adjoint_stencil(sdefs[0]), grid,
-                                    bdims, nbricks, params, **kw)
+                                    bdims, nbricks, params, **bkw)
 
     written = np.zeros(nbricks, np.bool_)
-    written[np.unique(g3[ranges[0][0]:ranges[0][1],
-                         ranges[1][0]:ranges[1][1],
-                         ranges[2][0]:ranges[2][1]])] = True
+    written[np.unique(g3[branges[0][0]:branges[0][1],
+                         branges[1][0]:branges[1][1],
+                         branges[2][0]:branges[2][1]])] = True
     mask = jnp.asarray(written.reshape((nbricks,) + (1,) * len(bdims)))
 
     @jax.custom_vjp

@@ -221,3 +221,54 @@ def test_problem_4d_differentiable_step():
     own = full[tuple(slice(z * p.bdims[a], z * p.bdims[a] + dims[a])
                      for a, z in enumerate(p.dec.gz))]
     np.testing.assert_allclose(own, gd, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_problem_4d_differentiable_step_distributed():
+    """Distributed 4-D pullback on a (2, 1, 1, 1) mesh: the w ghost
+    cotangent rides the shift exchange's transpose home; grads match
+    dense AD globally (the 3-D exchanged-axes design at rank 4)."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import random_array
+
+    mesh, dims = (2, 1, 1, 1), (4, 8, 8, 32)
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    p = Problem(dims=dims, stencil="mpi9pt", bdims=(2, 4, 4, 32),
+                backend="pencil", mesh=mesh, st_iter=1)
+    fn = p.differentiable_step()
+    g = random_array(gshape, np.float32, 21)
+    w = random_array(gshape, np.float32, 22)
+    p.init(array=g)
+    wp = Problem(dims=dims, stencil="mpi9pt", bdims=(2, 4, 4, 32),
+                 backend="pencil", mesh=mesh, st_iter=1)
+    wp.init(array=w)
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+
+    def loss(d):
+        d = fn(fn(d))   # two [exchange -> sweep] steps
+        return jnp.sum(d * wb)
+
+    gb = jax.grad(loss)(p._dats[0])
+
+    sd = stencil_by_name("mpi9pt")[0]
+    lo, hi = sd.radius()
+    pad = tuple((lo[a], hi[a]) for a in range(4))
+
+    def dense_loss(d):
+        for _ in range(2):
+            d = dense_apply(sd, {next(iter(sd.inputs)):
+                                 jnp.pad(d, pad, mode="wrap")},
+                            p.params)
+        return jnp.sum(d * jnp.asarray(w))
+
+    gd = np.asarray(jax.grad(dense_loss)(jnp.asarray(g)))
+    nb = p.dec.nbricks
+    gn = np.asarray(gb)
+    for r in range(2):
+        own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                          p.dec.interior_grid(), p.bdims)
+        np.testing.assert_allclose(own,
+                                   gd[r * dims[0]:(r + 1) * dims[0]],
+                                   rtol=2e-5, atol=2e-5)
