@@ -147,11 +147,8 @@ class Problem:
             # BI % 128 == 0 (lane tiles) unless we're off-TPU
             on_hw = jax.default_backend() in ("tpu", "axon")
             fold_ok = (not on_hw) or (self.dims[-1] % 128 == 0)
-            multi_in = (bool(self.aux_names)
-                        or any(len(s.inputs) > 1 for s in sdefs))
             backend = ("pencil" if nd in (2, 3, 4)
                        and self.mesh_shape[-1] == 1 and fold_ok
-                       and not (nd == 4 and multi_in)
                        else "jnp")
         if backend in ("pencil", "mxu") and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
@@ -162,12 +159,6 @@ class Problem:
         if backend == "pencil" and nd not in (2, 3, 4):
             raise ValueError("pencil backend is 2-D/3-D/4-D; use "
                              "backend='jnp' for other ranks")
-        if backend == "pencil" and nd == 4 and (
-                self.aux_names
-                or any(len(s.inputs) > 1 for s in sdefs)):
-            raise ValueError("the 4-D pencil kernel reads one grid per "
-                             "stencil; use backend='jnp' for 4-D "
-                             "multi-input")
         self.backend = backend
         if backend == "mxu":
             # flat-pencil MXU sweep (codegen.mxu_kernel): single

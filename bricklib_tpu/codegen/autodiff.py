@@ -936,6 +936,145 @@ def differentiable_pencil_sweep_4d(stencil, grid: np.ndarray,
     return step
 
 
+def differentiable_poly_sweep_4d(stencil, grid: np.ndarray,
+                                 bdims: Sequence[int], nbricks: int,
+                                 params: dict | None = None,
+                                 wrt: Sequence[str] | None = None,
+                                 mask_ghost: bool = True,
+                                 exchanged_axes: Sequence[int] = (),
+                                 forward_fn=None,
+                                 **kw):
+    """4-D twin of :func:`differentiable_poly_sweep`: exact
+    Pallas-forward / Pallas-backward for POLYNOMIAL 4-D stencils
+    (variable coefficients and polynomial nonlinearities) on the 4-D
+    multi-input pencil emitter (per-field rolling windows with their
+    own w-halo slices).  The pullback of each requested input field is
+    one more multi-input 4-D sweep from
+    :func:`polynomial_adjoint_stencils`; the only residuals are the
+    forward's own input views (O(1) activations — no dense twin).
+
+    ``exchanged_axes`` (numpy order: 0 = w, 1 = k, 2 = j) as in
+    :func:`differentiable_pencil_sweep_4d`, with the multi-input
+    caveats of the 3-D poly sweep: adjoint residual reads span up to
+    2x the forward radius, so ``2 * radius <= min(BW, BK, BJ)``; and
+    static aux-field ghost gradients route home through an in-graph
+    idempotent aux exchange (its transpose is the ghost-to-owner
+    fold — Problem.differentiable_step does this).  Fuse is rejected
+    (fused levels would need their own residuals)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel_4d import pallas_pencil_sweep_4d
+
+    for bad in ("evolve", "batch", "i_ghost", "inplace"):
+        if kw.get(bad):
+            raise ValueError(f"differentiable_poly_sweep_4d does not "
+                             f"support {bad}=...")
+    if int(kw.get("fuse") or 1) > 1:
+        raise ValueError("differentiable_poly_sweep_4d is fuse=1 only "
+                         "(fused intermediate levels would need their "
+                         "own residuals)")
+    sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
+    if len(sdefs) != 1:
+        raise ValueError("differentiable_poly_sweep_4d takes one "
+                         "output")
+    sdef = sdefs[0]
+    if sdef.dims != 4:
+        raise ValueError("use differentiable_poly_sweep for 3-D")
+    grid = np.asarray(grid)
+    g3 = grid[:, :, :, 0] if grid.ndim == 4 else grid
+    if grid.ndim == 4 and grid.shape[3] != 1:
+        raise ValueError("pencil layout only (one brick per (w, k, j))")
+    GW, GK, GJ = g3.shape
+    ranges = (tuple(kw.get("w_range") or (1, GW - 1)),
+              tuple(kw.get("k_range") or (1, GK - 1)),
+              tuple(kw.get("j_range") or (1, GJ - 1)))
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0, 1, 2}:
+        raise ValueError("exchanged_axes are numpy-order w/k/j axes "
+                         "(0, 1 and/or 2); i is always lane-periodic")
+    lo, hi = sdef.radius()
+    rad = max(max(lo), max(hi))
+    BW, BK, BJ = int(bdims[0]), int(bdims[1]), int(bdims[2])
+    if exchanged_axes and 2 * rad > min(BW, BK, BJ):
+        # adjoint coefficient factors read residuals at shifted-by-two
+        # offsets; beyond-table clamps are only provably harmless when
+        # one ghost brick row covers 2x the radius (same derivation as
+        # the 3-D poly sweep)
+        raise ValueError(
+            f"exchanged-axes poly adjoint needs 2*radius <= "
+            f"min(BW, BK, BJ) (got radius {rad}, brick {bdims})")
+    for ax, (a0, a1) in enumerate(ranges):
+        G = g3.shape[ax]
+        if ax not in exchanged_axes and (a0 < 1 or a1 > G - 1):
+            raise ValueError(
+                f"axis {ax}: range {(a0, a1)} includes the periodic "
+                f"ghost ring (grid extent {G}); compute owned cells "
+                f"only (1, {G - 1})")
+    _check_periodic_table_nd(
+        g3, ranges, axes=tuple(a for a in (0, 1, 2)
+                               if a not in exchanged_axes))
+
+    adjoints, ct = polynomial_adjoint_stencils(sdef, wrt=wrt)
+
+    fwd_fn = forward_fn or pallas_pencil_sweep_4d(
+        sdef, grid, bdims, nbricks, params, **kw)
+    fieldnames = tuple(getattr(fwd_fn, "fields", tuple(sdef.inputs)))
+    bkw = dict(kw)
+    branges = tuple((0, g3.shape[a]) if a in exchanged_axes
+                    else ranges[a] for a in range(3))
+    bkw["w_range"], bkw["k_range"], bkw["j_range"] = branges
+    adj_fns = {}
+    for f, asd in adjoints.items():
+        adj_fns[f] = pallas_pencil_sweep_4d(asd, grid, bdims, nbricks,
+                                            params, **bkw)
+
+    def _written(rg):
+        w = np.zeros(nbricks, np.bool_)
+        w[np.unique(g3[rg[0][0]:rg[0][1], rg[1][0]:rg[1][1],
+                       rg[2][0]:rg[2][1]])] = True
+        return jnp.asarray(w.reshape((nbricks,) + (1,) * len(bdims)))
+
+    ct_mask = _written(ranges)
+    out_mask = _written(branges)
+
+    def _call_fwd(views):
+        return (fwd_fn(*views) if len(fieldnames) > 1
+                else fwd_fn(views[0]))
+
+    @jax.custom_vjp
+    def step(*views):
+        return _call_fwd(views)
+
+    def step_fwd(*views):
+        return _call_fwd(views), views
+
+    def step_bwd(views, cotan):
+        cotan = jnp.where(ct_mask, cotan, jnp.zeros((), cotan.dtype))
+        byname = dict(zip(fieldnames, views))
+        byname[ct] = cotan
+        grads = []
+        for f in fieldnames:
+            afn = adj_fns.get(f)
+            if afn is None:
+                grads.append(jnp.zeros_like(byname[f]))
+                continue
+            order = getattr(afn, "fields", (ct,))
+            g = (afn(*(byname[n] for n in order))
+                 if len(order) > 1 else afn(byname[order[0]]))
+            if mask_ghost:
+                g = jnp.where(out_mask, g, jnp.zeros((), g.dtype))
+            grads.append(g)
+        return tuple(grads)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fn
+    step.adjoints = adj_fns
+    step.fields = fieldnames
+    step.ct_name = ct
+    return step
+
+
 def differentiable_pencil_sweep_2d(stencil, grid: np.ndarray,
                                    bdims: Sequence[int], nbricks: int,
                                    params: dict | None = None,

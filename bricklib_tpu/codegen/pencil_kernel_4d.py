@@ -64,6 +64,13 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     ``grid``: brick-grid table, shape (GW, GK, GJ) or (GW, GK, GJ, 1);
     ``bdims`` = (BW, BK, BJ, BIROW); ranges are half-open grid coords
     (default: skip one ghost ring per axis).
+
+    Multi-input stencils (variable coefficients / polynomial products;
+    the reference codegen's per-grid support,
+    codegen/st/codegen/backend/base.py:93-123) stream one rolling
+    window PER FIELD — each with its own thin w-halo slices — through
+    the shared k-stream; returns ``fn(*views)`` taking views in
+    ``fn.fields`` order.  ``fuse`` > 1 is single-input only.
     """
     ir = _as_ir(stencil)
     params = dict(params or {})
@@ -72,10 +79,17 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     if ir.dims != 4:
         raise NotImplementedError("this path is 4-D; use pencil_kernel "
                                   "for 3-D")
-    if len(ir.sdef.inputs) != 1:
-        raise NotImplementedError(
-            "pallas paths read one input grid; multi-input stencils run "
-            "through brick_apply")
+    # multi-input (the reference codegen's per-grid support,
+    # codegen/st/codegen/backend/base.py:93-123): one brick view per
+    # field sharing ONE grid table; each field streams its own rolling
+    # window (incl. its own thin w-halo slices) — unlocks
+    # variable-coefficient / polynomial 4-D stencils and their exact
+    # adjoint sweeps on this path
+    fieldnames = list(ir.sdef.inputs)
+    NF = len(fieldnames)
+    if NF == 0:
+        raise ValueError("stencil reads no input grid")
+    fmap = {n: i for i, n in enumerate(fieldnames)} if NF > 1 else None
     BW, BK, BJ, BIROW = (int(b) for b in bdims)
     if not interpret and (BIROW % 128 or BJ % 8):
         raise ValueError(
@@ -105,6 +119,11 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     F = int(fuse)
     if F < 1:
         raise ValueError("fuse must be >= 1")
+    if F > 1 and NF > 1:
+        raise NotImplementedError(
+            "fused 4-D sweeps read one input grid (multi-input "
+            "temporal fusion needs per-level static aux windows; the "
+            "3-D emitter has them, the 4-D form is unbuilt)")
     if F > 1:
         # contamination bounds, one per non-lane axis (same model as
         # the 3-D kernel: each fused level grows radius deeper)
@@ -149,7 +168,7 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     # (codegen.ir.fold_linear); here the free outer offsets are (dw, dk)
     from .ir import fold_linear
 
-    lin = fold_linear(ir, resolve)
+    lin = fold_linear(ir, resolve, fields=fmap)
 
     # VMEM-budget j-tile (same model as 3-D, with the w extent folded in)
     isz = np.dtype(dtype).itemsize
@@ -157,8 +176,10 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
 
     def vmem_estimate(tj: int) -> int:
         row = WE * BK * (tj + 2) * BJ * BIROW
-        est = W * row * isz + 2 * BW * BK * tj * BJ * BIROW * isz
-        est += WE * (BK + lo[1] + hi[1]) * (tj + 2) * BJ * BIROW * csz
+        est = (W * row * isz * NF
+               + 2 * BW * BK * tj * BJ * BIROW * isz)
+        est += (WE * (BK + lo[1] + hi[1]) * (tj + 2) * BJ * BIROW * csz
+                * NF)
         for f in range(1, F):
             est += (lvlS[f] * wout[f] * BK
                     * (tj * BJ + extj_lo[f] + extj_hi[f]) * BIROW * csz)
@@ -190,7 +211,7 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     def _clip(x, n):
         return jnp.clip(x, 0, n - 1)
 
-    def _row_copies(ids_ref, dat_ref, win, sem, wc, jt, w, slot):
+    def _row_copies(ids_ref, dat_refs, wins, sem, wc, jt, w, slot):
         wrow = _clip(W0 + wc, GW)
         wlo = _clip(W0 + wc - 1, GW)
         whi = _clip(W0 + wc + 1, GW)
@@ -200,19 +221,23 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
             jcol = _clip(J0 - 1 + jt * TJ + cj, GJ)
             jsl = slice(cj * BJ, (cj + 1) * BJ)
             base = (krow * GJ + jcol)
-            cps.append(pltpu.make_async_copy(
-                dat_ref.at[ids_ref[wrow * GK * GJ + base]],
-                win.at[slot, WHL:WHL + BW, :, jsl, :], sem.at[slot]))
-            if WHL:
+            for fi in range(NF):
                 cps.append(pltpu.make_async_copy(
-                    dat_ref.at[ids_ref[wlo * GK * GJ + base],
-                               BW - WHL:, :, :, :],
-                    win.at[slot, :WHL, :, jsl, :], sem.at[slot]))
-            if WHH:
-                cps.append(pltpu.make_async_copy(
-                    dat_ref.at[ids_ref[whi * GK * GJ + base],
-                               :WHH, :, :, :],
-                    win.at[slot, WHL + BW:, :, jsl, :], sem.at[slot]))
+                    dat_refs[fi].at[ids_ref[wrow * GK * GJ + base]],
+                    wins[fi].at[slot, WHL:WHL + BW, :, jsl, :],
+                    sem.at[slot]))
+                if WHL:
+                    cps.append(pltpu.make_async_copy(
+                        dat_refs[fi].at[ids_ref[wlo * GK * GJ + base],
+                                        BW - WHL:, :, :, :],
+                        wins[fi].at[slot, :WHL, :, jsl, :],
+                        sem.at[slot]))
+                if WHH:
+                    cps.append(pltpu.make_async_copy(
+                        dat_refs[fi].at[ids_ref[whi * GK * GJ + base],
+                                        :WHH, :, :, :],
+                        wins[fi].at[slot, WHL + BW:, :, jsl, :],
+                        sem.at[slot]))
         return cps
 
     # per-row arithmetic from the shared factory (pencil_kernel.
@@ -224,15 +249,17 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     from .pencil_kernel import build_row_compute
 
     _rcs = {we: build_row_compute(ir, resolve, lin, _roll_i,
-                                  pre=((lo[0], we),))
+                                  fields=fmap, pre=((lo[0], we),))
             for we in sorted(set(wout.values()))}
 
-    def kernel(ids_ref, dat_ref, out_ref, *rest):
-        rest = list(rest)
-        win = rest.pop(0)
-        tout = rest.pop(0)
-        rings = rest[:F - 1]
-        sem, osem = rest[F - 1:]
+    def kernel(ids_ref, *args):
+        dat_refs = list(args[:NF])
+        out_ref = args[NF]
+        rest = list(args[NF + 1:])
+        wins = rest[:NF]
+        tout = rest[NF]
+        rings = rest[NF + 1:NF + F]
+        sem, osem = rest[NF + F:]
         wc = pl.program_id(0)
         jt = pl.program_id(1)
         t = pl.program_id(2)
@@ -240,32 +267,37 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
         @pl.when(t == 0)
         def _():
             for w in range(min(W, KC + 2 * F)):
-                for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
-                                      w, w % W):
+                for cp in _row_copies(ids_ref, dat_refs, wins, sem, wc,
+                                      jt, w, w % W):
                     cp.start()
 
         @pl.when(jnp.logical_and(t > 0, t + 2 * F + D <= KC + 2 * F - 1))
         def _():
-            for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
+            for cp in _row_copies(ids_ref, dat_refs, wins, sem, wc, jt,
                                   t + 2 * F + D, (t + 2 * F + D) % W):
                 cp.start()
 
         @pl.when(t == 0)
         def _():
             for w in range(min(2 * F, KC + 2 * F - 1)):
-                for cp in _row_copies(ids_ref, dat_ref, win, sem,
+                for cp in _row_copies(ids_ref, dat_refs, wins, sem,
                                       wc, jt, w, w % W):
                     cp.wait()
-        for cp in _row_copies(ids_ref, dat_ref, win, sem, wc, jt,
+        for cp in _row_copies(ids_ref, dat_refs, wins, sem, wc, jt,
                               t + 2 * F, (t + 2 * F) % W):
             cp.wait()
 
-        def win_row(a):
-            """Absolute grid k-row -> window slot (content edge-clamped
-            by _row_copies)."""
-            v = win[(a + F - K0) % W]
+        def _cast(v):
             return (v.astype(compute_dtype)
                     if compute_dtype != dtype else v)
+
+        def win_row_f(fi, a):
+            """Absolute grid k-row -> field fi's window slot (content
+            edge-clamped by _row_copies)."""
+            return _cast(wins[fi][(a + F - K0) % W])
+
+        def win_row(a):
+            return win_row_f(0, a)
 
         def lvl_row(f, x):
             xx = jnp.clip(x, lvlA[f], lvlB[f] - 1)
@@ -275,14 +307,22 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
             """Level-f row x from level f-1 (f == 1 reads the window);
             returns [wout[f], BK, TJ*BJ + jext, BIROW]."""
             src = win_row if f == 1 else (lambda a: lvl_row(f - 1, a))
-            pieces = []
-            if lo[1]:
-                pieces.append(src(x - 1)[:, BK - lo[1]:])
-            pieces.append(src(x))
-            if hi[1]:
-                pieces.append(src(x + 1)[:, :hi[1]])
-            kslab = (jnp.concatenate(pieces, axis=1)
-                     if len(pieces) > 1 else pieces[0])
+
+            def slab_of(get):
+                pieces = []
+                if lo[1]:
+                    pieces.append(get(x - 1)[:, BK - lo[1]:])
+                pieces.append(get(x))
+                if hi[1]:
+                    pieces.append(get(x + 1)[:, :hi[1]])
+                return (jnp.concatenate(pieces, axis=1)
+                        if len(pieces) > 1 else pieces[0])
+
+            if NF > 1:   # F == 1: every field reads its own window
+                kslab = [slab_of(lambda a, fi=fi: win_row_f(fi, a))
+                         for fi in range(NF)]
+            else:
+                kslab = slab_of(src)
             jout = TJ * BJ + extj_lo[f] + extj_hi[f]
             j0 = (BJ - extj_lo[f]) if f == 1 else lo[2]
             return _rcs[wout[f]](kslab, j0, jout, lo[1], BK)
@@ -335,7 +375,7 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     nelems = WC * BW * KC * BK * JC * BJ * BIROW
     cost = pl.CostEstimate(
         flops=ir.flops_per_element() * nelems * F,
-        bytes_accessed=2 * nelems * np.dtype(dtype).itemsize,
+        bytes_accessed=(NF + 1) * nelems * np.dtype(dtype).itemsize,
         transcendentals=0,
     )
     ring_shapes = [
@@ -346,10 +386,11 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(WC, JT, KC),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * NF,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((W,) + row_shape, dtype),
+            pltpu.VMEM((W,) + row_shape, dtype) for _ in range(NF)
+        ] + [
             pltpu.VMEM((2, BW, BK, TJ * BJ, BIROW), dtype),
         ] + ring_shapes + [
             pltpu.SemaphoreType.DMA((W,)),
@@ -370,8 +411,18 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
     )
     ids = jnp.asarray(grid.ravel().astype(np.int32))
 
-    def fn(dat_view):
-        return call(ids, dat_view)
+    if NF > 1:
+        def fn(*dat_views):
+            # one [nbricks, BW, BK, BJ, BI] view per input grid, in
+            # fn.fields order
+            if len(dat_views) != NF:
+                raise TypeError(f"stencil reads {NF} grids "
+                                f"({fieldnames}), got {len(dat_views)}")
+            return call(ids, *dat_views)
+        fn.fields = tuple(fieldnames)
+    else:
+        def fn(dat_view):
+            return call(ids, dat_view)
 
     fn.tile_j = TJ
     fn.vmem_bytes = vmem_estimate(TJ)

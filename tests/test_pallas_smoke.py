@@ -296,3 +296,32 @@ def test_pencil_4d_smoke(la):
     want = _dense_want(sd, cores, DEFAULT_PARAMS)
     got = from_bricks(out, grid[1:-1, 1:-1, 1:-1], bd4)
     assert compare_arrays(got, want, 1e-5)
+
+
+def test_pencil_4d_multi_input_smoke():
+    """4-D variable-coefficient stencil: per-field rolling windows,
+    each with its own thin w-halo slices (cross-field w/k/j offsets
+    exercise both halo directions)."""
+    from bricklib_tpu.codegen.pencil_kernel_4d import pallas_pencil_sweep_4d
+
+    a, g_, out_g = Grid("a", 4), Grid("g", 4), Grid("out", 4)
+    i, j, k, w = Index(0), Index(1), Index(2), Index(3)
+    out_g(i, j, k, w).assign(
+        a(i, j, k, w) * g_(i, j, k, w)
+        + ConstRef("beta") * g_(i + 1, j, k - 1, w)
+        + a(i, j - 1, k, w - 1) * g_(i, j + 1, k, w + 1))
+    sd = load_stencil_module({"STENCIL": [out_g]})[0]
+    prm = {"beta": 0.11}
+    bd4, g4 = (2, 2, 2, 8), (3, 4, 3, 1)
+    grid, info, cores, views = _periodic_data(bd4, g4, 29, nfields=2)
+    fn = pallas_pencil_sweep_4d(sd, grid, bd4, info.nbricks, prm,
+                                interpret=True)
+    named = dict(zip(fn.fields, views))
+    out = np.asarray(fn(*(named[n] for n in fn.fields)))
+    lo, hi = sd.radius()
+    padded = {n: np.pad(c, [(l, h) for l, h in zip(lo, hi)],
+                        mode="wrap")
+              for n, c in zip(sd.inputs, cores)}
+    want = dense_apply(sd, padded, prm, xp=np)
+    got = from_bricks(out, grid[1:-1, 1:-1, 1:-1], bd4)
+    assert compare_arrays(got, want, 1e-5)
