@@ -420,6 +420,10 @@ class Problem:
             else:
                 kerns = [sweep(s, kgrid, bd, dec.nbricks, self.params,
                                **_rng(1), **fkw) for s in sdefs]
+                if nfld == 1:
+                    # 4-D single-output: differentiable_step reuses
+                    # this as its poly forward at fuse=1
+                    self._plan_kern0 = kerns[0]
             kerns_ghost = None
             if budget_iters > fuse and distributed:
                 # deep-ghost ST_ITER: one exchange amortizes over
@@ -656,13 +660,21 @@ class Problem:
                              "backend")
         nd = len(self.dims)
         if nd == 4:
-            # 4-D: linear adjoint twin; on distributed meshes the
-            # ghost cotangent rides the shift exchange's transpose
-            # home like the 3-D case (one unfused sweep per exchange)
-            if self.nfld != 1 or self.aux_names:
+            # 4-D: linear single-input gets the exact adjoint twin;
+            # multi-input/polynomial gets the exact poly pullback on
+            # the 4-D multi-input emitter (one adjoint sweep per input
+            # field).  On distributed meshes the ghost cotangent rides
+            # the shift exchange's transpose home like the 3-D case
+            # (one unfused sweep per exchange); aux-field ghost
+            # gradients route home through an idempotent in-graph aux
+            # exchange.
+            if self.nfld != 1:
                 raise ValueError("4-D differentiable_step takes one "
-                                 "linear evolving field")
-            from .codegen.autodiff import differentiable_pencil_sweep_4d
+                                 "evolving field (4-D coupled-system "
+                                 "adjoints are unbuilt)")
+            from .codegen.autodiff import (
+                differentiable_pencil_sweep_4d,
+                differentiable_poly_sweep_4d)
             import jax.numpy as jnp
 
             msh4 = self.eff_mesh
@@ -673,15 +685,51 @@ class Problem:
                     f"differentiable distributed step needs st_iter=1 "
                     f"(one unfused sweep per exchange), got st_iter="
                     f"{self.st_iter}, fuse={self.fuse}")
+            names4 = self._xnames
+            x4 = tuple(a for a in (0, 1, 2) if a not in t4)
+            if self.aux_names or linear_decomposition(
+                    self.sdef.rhs) is None:
+                try:
+                    kern4 = differentiable_poly_sweep_4d(
+                        self.sdef, self.dec.periodic_grid(t4),
+                        self.bdims, self.dec.nbricks, self.params,
+                        exchanged_axes=x4,
+                        dtype=jnp.dtype(self.dtype),
+                        forward_fn=(self._plan_kern0
+                                    if self.fuse == 1 else None),
+                        lookahead=2)
+                except ValueError as e:
+                    if "polynomial expansion" not in str(e):
+                        raise
+                    raise ValueError(
+                        "non-polynomial 4-D multi-input "
+                        "differentiable_step (If/max) "
+                        f"has no exact adjoint path ({e})") from e
+                allnames4 = [self.gname] + list(self.aux_names)
+
+                def one4p(*sv):
+                    vals = dict(zip(allnames4, sv))
+                    if dist4:
+                        # aux exchanges are idempotent in-graph copies
+                        # whose transpose folds ghost gradients home
+                        vals = {n: exchange_shift(v, self.dec, names4,
+                                                  msh4, table_axes=t4)
+                                for n, v in vals.items()}
+                        return kern4(*(vals[n] for n in kern4.fields))
+                    for _ in range(self.st_iter):
+                        out = kern4(*(vals[n] for n in kern4.fields))
+                        vals[self.gname] = out
+                    return vals[self.gname]
+
+                return self._finalize_diff_step(one4p, len(allnames4),
+                                                1)
             fuse = 1 if dist4 else self.fuse
             fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
             kern = differentiable_pencil_sweep_4d(
                 self.sdef, self.dec.periodic_grid(t4),
                 self.bdims, self.dec.nbricks, self.params,
-                exchanged_axes=tuple(a for a in (0, 1, 2)
-                                     if a not in t4),
+                exchanged_axes=x4,
                 dtype=jnp.dtype(self.dtype), **fkw)
-            names4 = self._xnames
 
             def one4(d):
                 if dist4:

@@ -3,6 +3,7 @@ from .autodiff import (adjoint_stencil, differentiable_pencil_sweep,
                        differentiable_pencil_sweep_4d,
                        differentiable_poly_sweep,
                        differentiable_poly_sweep_2d,
+                       differentiable_poly_sweep_4d,
                        differentiable_poly_system_sweep,
                        differentiable_poly_system_sweep_2d,
                        linear_taps, oracle_vjp_sweep,
@@ -29,6 +30,7 @@ __all__ = [
     "differentiable_pencil_sweep_4d",
     "differentiable_poly_sweep",
     "differentiable_poly_sweep_2d",
+    "differentiable_poly_sweep_4d",
     "differentiable_poly_system_sweep",
     "differentiable_poly_system_sweep_2d",
     "polynomial_adjoint_stencils",

@@ -223,6 +223,148 @@ def test_problem_4d_differentiable_step():
     np.testing.assert_allclose(own, gd, rtol=2e-5, atol=2e-5)
 
 
+def _varcoeff_4d():
+    """out = a*g + 0.11*g(i+1,k-1) + a(j-1,w-1)*g(j+1,w+1): variable
+    coefficients with cross-field offsets in every outer axis."""
+    from bricklib_tpu.st import FloatLiteral, Grid, Index
+    from bricklib_tpu.st.loader import load_stencil_module
+
+    g_, a, out = Grid("g", 4), Grid("a", 4), Grid("out", 4)
+    i, j, k, w = Index(0), Index(1), Index(2), Index(3)
+    out(i, j, k, w).assign(
+        a(i, j, k, w) * g_(i, j, k, w)
+        + FloatLiteral(0.11) * g_(i + 1, j, k - 1, w)
+        + a(i, j - 1, k, w - 1) * g_(i, j + 1, k, w + 1))
+    return load_stencil_module({"STENCIL": [out]})[0]
+
+
+def test_problem_4d_aux_field_pencil():
+    """4-D variable-coefficient Problem runs on the pencil backend
+    (per-field rolling windows with their own w-halo slices)."""
+    from bricklib_tpu.api import Problem
+
+    sd = _varcoeff_4d()
+    dims = (4, 8, 8, 32)
+    g = random_array(dims, np.float32, 31)
+    a = random_array(dims, np.float32, 32)
+    p = Problem(dims=dims, stencil=[sd], field="g",
+                bdims=(2, 4, 4, 32), backend="auto", mesh=(1, 1, 1, 1))
+    assert p.backend == "pencil"
+    p.init(array=g, aux={"a": a}).step(1)
+    lo, hi = sd.radius()
+    pad = [(l, h) for l, h in zip(lo, hi)]
+    want = dense_apply(sd, {"g": np.pad(g, pad, mode="wrap"),
+                            "a": np.pad(a, pad, mode="wrap")},
+                       p.params, xp=np)
+    assert compare_arrays(p.result(), want, 1e-5)
+
+
+@pytest.mark.slow
+def test_problem_4d_poly_differentiable_step():
+    """Exact 4-D polynomial pullback through the Problem hook: grads
+    wrt the evolving field AND the aux coefficient field match dense
+    AD (single device, all-axes table periodicity)."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+
+    sd = _varcoeff_4d()
+    dims = (4, 8, 8, 32)
+    g = random_array(dims, np.float32, 41)
+    a = random_array(dims, np.float32, 42)
+    wt = random_array(dims, np.float32, 43)
+    p = Problem(dims=dims, stencil=[sd], field="g",
+                bdims=(2, 4, 4, 32), backend="pencil",
+                mesh=(1, 1, 1, 1))
+    fn = p.differentiable_step()
+    p.init(array=g, aux={"a": a})
+    wp = Problem(dims=dims, stencil=[sd], field="g",
+                 bdims=(2, 4, 4, 32), backend="pencil",
+                 mesh=(1, 1, 1, 1))
+    wp.init(array=wt, aux={"a": a})
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+
+    gb, ab = jax.grad(
+        lambda d, av: jnp.sum(fn(d, av) * wb),
+        argnums=(0, 1))(p._dats[0], p._aux[0])
+
+    lo, hi = sd.radius()
+    pad = [(l, h) for l, h in zip(lo, hi)]
+
+    def dense_loss(dg, da):
+        o = dense_apply(sd, {"g": jnp.pad(dg, pad, mode="wrap"),
+                             "a": jnp.pad(da, pad, mode="wrap")},
+                        p.params)
+        return jnp.sum(o * jnp.asarray(wt))
+
+    dgr, dar = jax.grad(dense_loss, argnums=(0, 1))(
+        jnp.asarray(g), jnp.asarray(a))
+    for gv, dr in ((gb, dgr), (ab, dar)):
+        full = from_bricks(np.asarray(gv).reshape(p.dec.nbricks, -1),
+                           p.dec.grid, p.bdims)
+        own = full[tuple(slice(z * p.bdims[x], z * p.bdims[x] + dims[x])
+                         for x, z in enumerate(p.dec.gz))]
+        np.testing.assert_allclose(own, np.asarray(dr), rtol=2e-5,
+                                   atol=2e-5)
+
+
+@pytest.mark.slow
+def test_problem_4d_poly_differentiable_step_distributed():
+    """Distributed 4-D poly pullback on a (2,1,1,1) mesh: the evolving
+    field's ghost cotangent AND the aux coefficient field's ghost
+    gradients ride the exchanges' transposes home; grads match dense
+    AD globally."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+
+    sd = _varcoeff_4d()
+    mesh, dims = (2, 1, 1, 1), (4, 8, 8, 32)
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    g = random_array(gshape, np.float32, 51)
+    a = random_array(gshape, np.float32, 52)
+    wt = random_array(gshape, np.float32, 53)
+    p = Problem(dims=dims, stencil=[sd], field="g",
+                bdims=(2, 4, 4, 32), backend="pencil", mesh=mesh,
+                st_iter=1)
+    fn = p.differentiable_step()
+    p.init(array=g, aux={"a": a})
+    wp = Problem(dims=dims, stencil=[sd], field="g",
+                 bdims=(2, 4, 4, 32), backend="pencil", mesh=mesh,
+                 st_iter=1)
+    wp.init(array=wt, aux={"a": a})
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+
+    def loss(d, av):
+        d = fn(fn(d, av), av)   # two [exchange -> sweep] steps
+        return jnp.sum(d * wb)
+
+    gb, ab = jax.grad(loss, argnums=(0, 1))(p._dats[0], p._aux[0])
+
+    lo, hi = sd.radius()
+    pad = [(l, h) for l, h in zip(lo, hi)]
+
+    def dense_loss(dg, da):
+        d = dg
+        for _ in range(2):
+            d = dense_apply(sd, {"g": jnp.pad(d, pad, mode="wrap"),
+                                 "a": jnp.pad(da, pad, mode="wrap")},
+                            p.params)
+        return jnp.sum(d * jnp.asarray(wt))
+
+    dgr, dar = jax.grad(dense_loss, argnums=(0, 1))(
+        jnp.asarray(g), jnp.asarray(a))
+    nb = p.dec.nbricks
+    for gv, dr in ((gb, dgr), (ab, dar)):
+        gn, drn = np.asarray(gv), np.asarray(dr)
+        for r in range(2):
+            own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                              p.dec.interior_grid(), p.bdims)
+            np.testing.assert_allclose(
+                own, drn[r * dims[0]:(r + 1) * dims[0]],
+                rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_problem_4d_differentiable_step_distributed():
     """Distributed 4-D pullback on a (2, 1, 1, 1) mesh: the w ghost

@@ -306,6 +306,41 @@ def main():
         fuse=2))(
             jnp.zeros((info4.nbricks, 2, 8, 8, 128), jnp.float32)))
 
+    def poly_adjoint_grads_4d():
+        # 4-D variable-coefficient EXACT pullback: per-field rolling
+        # windows with their own thin w-halo DMA slices (forward) and
+        # the multi-input adjoint sweeps at up to 2x the radius — a
+        # distinct 4-D DMA/alignment surface
+        from bricklib_tpu.codegen.autodiff import (
+            differentiable_poly_sweep_4d)
+        from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+        iw, jw, kw, ww = Index(0), Index(1), Index(2), Index(3)
+        gg_, ga_, go4 = Grid("g", 4), Grid("a", 4), Grid("out", 4)
+        go4(iw, jw, kw, ww).assign(
+            ga_(iw, jw, kw, ww) * gg_(iw, jw, kw, ww)
+            + ConstRef("dt") * gg_(iw + 1, jw, kw - 1, ww)
+            + ga_(iw, jw - 1, kw, ww - 1) * gg_(iw, jw + 1, kw, ww + 1))
+        sdp4 = load_stencil_module({"STENCIL": [go4]})[0]
+        bd4 = (2, 8, 8, 128)
+        pdec = BrickDecomp(dims=(4, 16, 16, 128),
+                           ghost_depth=(2, 8, 8, 0),
+                           bdims=bd4).initialize(
+                               skinlist_by_name("good", 4))
+        step = differentiable_poly_sweep_4d(
+            sdp4, pdec.periodic_grid((0, 1, 2, 3)), bd4, pdec.nbricks,
+            {"dt": 0.05})
+        msk = jnp.asarray(pdec.owned_mask().reshape((-1, 1, 1, 1, 1)))
+        gv = jnp.ones((pdec.nbricks,) + bd4, jnp.float32)
+        av = jnp.full((pdec.nbricks,) + bd4, 1.2, jnp.float32)
+        args = tuple(gv if n == "g" else av for n in step.fields)
+        g_g, a_g = jax.jit(jax.grad(
+            lambda a, b: jnp.sum(jnp.where(msk, step(a, b), 0.0)),
+            argnums=(0, 1)))(*args)
+        return g_g + a_g
+
+    check("pencil 4-D poly adjoint grads", poly_adjoint_grads_4d)
+
     gridb, infob = init_grid((4, 4, 4))
     check("generic brick streaming", lambda: jax.jit(pallas_brick_stencil(
         sd7, gridb, BD, (1, 1, 1), infob.nbricks, params))(
