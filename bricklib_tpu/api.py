@@ -420,10 +420,12 @@ class Problem:
             else:
                 kerns = [sweep(s, kgrid, bd, dec.nbricks, self.params,
                                **_rng(1), **fkw) for s in sdefs]
+                # 4-D: differentiable_step reuses these as its poly
+                # forward(s) at fuse=1
                 if nfld == 1:
-                    # 4-D single-output: differentiable_step reuses
-                    # this as its poly forward at fuse=1
                     self._plan_kern0 = kerns[0]
+                else:
+                    self._plan_kerns4 = kerns
             kerns_ghost = None
             if budget_iters > fuse and distributed:
                 # deep-ghost ST_ITER: one exchange amortizes over
@@ -668,13 +670,10 @@ class Problem:
             # (one unfused sweep per exchange); aux-field ghost
             # gradients route home through an idempotent in-graph aux
             # exchange.
-            if self.nfld != 1:
-                raise ValueError("4-D differentiable_step takes one "
-                                 "evolving field (4-D coupled-system "
-                                 "adjoints are unbuilt)")
             from .codegen.autodiff import (
                 differentiable_pencil_sweep_4d,
-                differentiable_poly_sweep_4d)
+                differentiable_poly_sweep_4d,
+                differentiable_poly_system_sweep_4d)
             import jax.numpy as jnp
 
             msh4 = self.eff_mesh
@@ -687,6 +686,46 @@ class Problem:
                     f"{self.st_iter}, fuse={self.fuse}")
             names4 = self._xnames
             x4 = tuple(a for a in (0, 1, 2) if a not in t4)
+            if self.nfld != 1:
+                # coupled 4-D SYSTEMS: exact adjoint-system pullback
+                # (per-output multi-input forwards; one adjoint sweep
+                # per input field reading every output cotangent)
+                try:
+                    kern4s = differentiable_poly_system_sweep_4d(
+                        self.sdefs, self.dec.periodic_grid(t4),
+                        self.bdims, self.dec.nbricks, self.fields,
+                        self.params, exchanged_axes=x4,
+                        dtype=jnp.dtype(self.dtype),
+                        forward_fns=(getattr(self, "_plan_kerns4",
+                                             None)
+                                     if self.fuse == 1 else None),
+                        lookahead=2)
+                except ValueError as e:
+                    if "polynomial expansion" not in str(e):
+                        raise
+                    raise ValueError(
+                        "non-polynomial 4-D system differentiable_"
+                        f"step (If/max) has no exact adjoint path "
+                        f"({e})") from e
+                allnames4s = list(self.fields) + list(self.aux_names)
+
+                def one4s(*sv):
+                    vals = dict(zip(allnames4s, sv))
+                    if dist4:
+                        vals = {n: exchange_shift(v, self.dec,
+                                                  names4, msh4,
+                                                  table_axes=t4)
+                                for n, v in vals.items()}
+                        return kern4s(*(vals[n]
+                                        for n in kern4s.fields))
+                    for _ in range(self.st_iter):
+                        outs = kern4s(*(vals[n]
+                                        for n in kern4s.fields))
+                        vals.update(zip(self.fields, outs))
+                    return tuple(vals[f] for f in self.fields)
+
+                return self._finalize_diff_step(one4s, len(allnames4s),
+                                                self.nfld)
             if self.aux_names or linear_decomposition(
                     self.sdef.rhs) is None:
                 try:

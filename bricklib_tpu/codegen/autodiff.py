@@ -1075,6 +1075,165 @@ def differentiable_poly_sweep_4d(stencil, grid: np.ndarray,
     return step
 
 
+def differentiable_poly_system_sweep_4d(stencil, grid: np.ndarray,
+                                        bdims: Sequence[int],
+                                        nbricks: int,
+                                        fields: Sequence[str],
+                                        params: dict | None = None,
+                                        wrt: Sequence[str] | None = None,
+                                        mask_ghost: bool = True,
+                                        exchanged_axes:
+                                        Sequence[int] = (),
+                                        forward_fns=None,
+                                        **kw):
+    """4-D twin of :func:`differentiable_poly_system_sweep`: exact
+    pullback for coupled POLYNOMIAL 4-D stencil systems.
+
+    Forward: one multi-input 4-D pencil kernel PER OUTPUT (the 4-D
+    emitter is single-output; Jacobi semantics are identical — every
+    output reads the pre-step fields).  Backward: one multi-input 4-D
+    sweep per requested input field from
+    :func:`polynomial_system_adjoints` (reads the output cotangent
+    grids plus the original inputs; O(1) activations).
+
+    ``fields``: the evolving input grid each STENCIL output replaces,
+    in output order.  ``forward_fns``: prebuilt per-output
+    :func:`pallas_pencil_sweep_4d` kernels with the SAME config (e.g.
+    a Problem plan's).  ``exchanged_axes``/``wrt``/masking as in
+    :func:`differentiable_poly_sweep_4d`."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pencil_kernel_4d import pallas_pencil_sweep_4d
+
+    for bad in ("evolve", "batch", "i_ghost", "inplace"):
+        if kw.get(bad):
+            raise ValueError(f"differentiable_poly_system_sweep_4d "
+                             f"does not support {bad}=...")
+    if int(kw.get("fuse") or 1) > 1:
+        raise ValueError("differentiable_poly_system_sweep_4d is "
+                         "fuse=1 only (fused intermediate levels "
+                         "would need their own residuals)")
+    sdefs = list(stencil) if isinstance(stencil, (list, tuple)) \
+        else [stencil]
+    if any(s.dims != 4 for s in sdefs):
+        raise ValueError("use differentiable_poly_system_sweep for "
+                         "3-D")
+    fields = tuple(fields)
+    if len(fields) != len(sdefs):
+        raise ValueError("one evolving field per STENCIL output")
+    grid = np.asarray(grid)
+    g3 = grid[:, :, :, 0] if grid.ndim == 4 else grid
+    if grid.ndim == 4 and grid.shape[3] != 1:
+        raise ValueError("pencil layout only (one brick per (w, k, j))")
+    GW, GK, GJ = g3.shape
+    ranges = (tuple(kw.get("w_range") or (1, GW - 1)),
+              tuple(kw.get("k_range") or (1, GK - 1)),
+              tuple(kw.get("j_range") or (1, GJ - 1)))
+    exchanged_axes = tuple(exchanged_axes)
+    if not set(exchanged_axes) <= {0, 1, 2}:
+        raise ValueError("exchanged_axes are numpy-order w/k/j axes "
+                         "(0, 1 and/or 2); i is always lane-periodic")
+    rad = 0
+    for sd in sdefs:
+        lo, hi = sd.radius()
+        rad = max(rad, max(lo), max(hi))
+    BW, BK, BJ = int(bdims[0]), int(bdims[1]), int(bdims[2])
+    if exchanged_axes and 2 * rad > min(BW, BK, BJ):
+        raise ValueError(
+            f"exchanged-axes system adjoint needs 2*radius <= "
+            f"min(BW, BK, BJ) (got radius {rad}, brick {bdims})")
+    for ax, (a0, a1) in enumerate(ranges):
+        G = g3.shape[ax]
+        if ax not in exchanged_axes and (a0 < 1 or a1 > G - 1):
+            raise ValueError(
+                f"axis {ax}: range {(a0, a1)} includes the periodic "
+                f"ghost ring (grid extent {G}); compute owned cells "
+                f"only (1, {G - 1})")
+    _check_periodic_table_nd(
+        g3, ranges, axes=tuple(a for a in (0, 1, 2)
+                               if a not in exchanged_axes))
+
+    adjoints, ct_names = polynomial_system_adjoints(sdefs, wrt=wrt)
+
+    # union input order across the system (first-seen), the step's
+    # calling convention — per-output kernels pick their own subset
+    fieldnames: list = []
+    for s in sdefs:
+        for n in s.inputs:
+            if n not in fieldnames:
+                fieldnames.append(n)
+    fieldnames = tuple(fieldnames)
+    fwd_fns = list(forward_fns) if forward_fns is not None else [
+        pallas_pencil_sweep_4d(s, grid, bdims, nbricks, params, **kw)
+        for s in sdefs]
+    if len(fwd_fns) != len(sdefs):
+        raise ValueError("one forward kernel per STENCIL output")
+    fwd_orders = [tuple(getattr(f_, "fields", tuple(s.inputs)))
+                  for f_, s in zip(fwd_fns, sdefs)]
+    bkw = dict(kw)
+    branges = tuple((0, g3.shape[a]) if a in exchanged_axes
+                    else ranges[a] for a in range(3))
+    bkw["w_range"], bkw["k_range"], bkw["j_range"] = branges
+    adj_fns = {}
+    for f, asd in adjoints.items():
+        afn = pallas_pencil_sweep_4d(asd, grid, bdims, nbricks,
+                                     params, **bkw)
+        if not hasattr(afn, "fields"):   # single-input adjoint
+            afn.fields = tuple(asd.inputs)
+        adj_fns[f] = afn
+
+    def _written(rg):
+        w = np.zeros(nbricks, np.bool_)
+        w[np.unique(g3[rg[0][0]:rg[0][1], rg[1][0]:rg[1][1],
+                       rg[2][0]:rg[2][1]])] = True
+        return jnp.asarray(w.reshape((nbricks,) + (1,) * len(bdims)))
+
+    ct_mask = _written(ranges)
+    out_mask = _written(branges)
+
+    def _call_fwd(views):
+        byname = dict(zip(fieldnames, views))
+        outs = []
+        for f_, order in zip(fwd_fns, fwd_orders):
+            outs.append(f_(*(byname[n] for n in order))
+                        if len(order) > 1 else f_(byname[order[0]]))
+        return tuple(outs)
+
+    @jax.custom_vjp
+    def step(*views):
+        return _call_fwd(views)
+
+    def step_fwd(*views):
+        return _call_fwd(views), views
+
+    def step_bwd(views, cotans):
+        byname = dict(zip(fieldnames, views))
+        for ct, c in zip(ct_names, cotans):
+            byname[ct] = jnp.where(ct_mask, c, jnp.zeros((), c.dtype))
+        grads = []
+        for f in fieldnames:
+            afn = adj_fns.get(f)
+            if afn is None:
+                grads.append(jnp.zeros_like(byname[f]))
+                continue
+            order = afn.fields
+            g = (afn(*(byname[n] for n in order))
+                 if len(order) > 1 else afn(byname[order[0]]))
+            if mask_ghost:
+                g = jnp.where(out_mask, g, jnp.zeros((), g.dtype))
+            grads.append(g)
+        return tuple(grads)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fwd_fns
+    step.adjoints = adj_fns
+    step.fields = fieldnames
+    step.evolve = fields
+    step.ct_names = ct_names
+    return step
+
+
 def differentiable_pencil_sweep_2d(stencil, grid: np.ndarray,
                                    bdims: Sequence[int], nbricks: int,
                                    params: dict | None = None,

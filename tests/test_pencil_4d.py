@@ -365,6 +365,107 @@ def test_problem_4d_poly_differentiable_step_distributed():
                 rtol=2e-5, atol=2e-5)
 
 
+def _system_4d():
+    """Coupled polynomial 4-D pair: u' reads u taps and the u*v
+    product; v' reads v taps and the same product (cross-coupling in
+    every outer axis)."""
+    from bricklib_tpu.st import Grid, Index
+    from bricklib_tpu.st.loader import load_stencil_module
+
+    u, v = Grid("u", 4), Grid("v", 4)
+    ou, ov = Grid("ou", 4), Grid("ov", 4)
+    i, j, k, w = Index(0), Index(1), Index(2), Index(3)
+    uv = u(i, j, k, w) * v(i, j, k, w)
+    ou(i, j, k, w).assign(u(i, j, k, w)
+                          + 0.1 * (u(i + 1, j, k - 1, w)
+                                   + u(i, j - 1, k, w + 1)) - uv)
+    ov(i, j, k, w).assign(v(i, j, k, w)
+                          + 0.05 * v(i - 1, j + 1, k, w - 1) + uv)
+    return load_stencil_module({"STENCIL": [ou, ov]})
+
+
+def _dense_system_step_4d(sds, state, params):
+    new = {}
+    for sd, f in zip(sds, ("u", "v")):
+        lo, hi = sd.radius()
+        ins = {n: np.pad(np.asarray(c),
+                         [(l, h) for l, h in zip(lo, hi)],
+                         mode="wrap") for n, c in state.items()}
+        new[f] = dense_apply(sd, ins, params, xp=np)
+    return new
+
+
+def test_problem_4d_system_pencil():
+    """Coupled 4-D system on the pencil backend: one multi-input
+    kernel per output, Jacobi update from the pre-step fields."""
+    from bricklib_tpu.api import Problem
+
+    sds = _system_4d()
+    dims = (4, 8, 8, 32)
+    u0 = random_array(dims, np.float32, 61)
+    v0 = random_array(dims, np.float32, 62)
+    p = Problem(dims=dims, stencil=sds, field=("u", "v"),
+                bdims=(2, 4, 4, 32), backend="auto", mesh=(1, 1, 1, 1))
+    assert p.backend == "pencil"
+    p.init(array={"u": u0, "v": v0}).step(1)
+    want = _dense_system_step_4d(sds, {"u": u0, "v": v0}, p.params)
+    res = p.result()
+    for f in ("u", "v"):
+        assert compare_arrays(res[f], want[f], 1e-5), f
+
+
+@pytest.mark.slow
+def test_problem_4d_system_differentiable_step_distributed():
+    """Exact 4-D coupled-system pullback on a (2,1,1,1) mesh: both
+    fields' ghost cotangents ride the exchanges' transposes home;
+    grads wrt both fields match dense AD globally."""
+    import jax
+
+    from bricklib_tpu.api import Problem
+
+    sds = _system_4d()
+    mesh, dims = (2, 1, 1, 1), (4, 8, 8, 32)
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    u0 = random_array(gshape, np.float32, 71)
+    v0 = random_array(gshape, np.float32, 72)
+    wt = random_array(gshape, np.float32, 73)
+    p = Problem(dims=dims, stencil=sds, field=("u", "v"),
+                bdims=(2, 4, 4, 32), backend="pencil", mesh=mesh,
+                st_iter=1)
+    fn = p.differentiable_step()
+    p.init(array={"u": u0, "v": v0})
+    wp = Problem(dims=dims, stencil=sds, field=("u", "v"),
+                 bdims=(2, 4, 4, 32), backend="pencil", mesh=mesh,
+                 st_iter=1)
+    wp.init(array={"u": wt, "v": wt})
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+
+    gu, gv = jax.grad(
+        lambda uv: jnp.sum(fn(*uv)[0] * wb))((p._dats[0], p._dats[1]))
+
+    def dense_loss(uv):
+        du, dv = uv
+        lo0, hi0 = sds[0].radius()
+        lo1, hi1 = sds[1].radius()
+        p0 = [(l, h) for l, h in zip(lo0, hi0)]
+        p1 = [(l, h) for l, h in zip(lo1, hi1)]
+        ou = dense_apply(sds[0], {"u": jnp.pad(du, p0, mode="wrap"),
+                                  "v": jnp.pad(dv, p0, mode="wrap")},
+                         p.params)
+        return jnp.sum(ou * jnp.asarray(wt))
+
+    du, dv = jax.grad(dense_loss)((jnp.asarray(u0), jnp.asarray(v0)))
+    nb = p.dec.nbricks
+    for gv_, dr in ((gu, np.asarray(du)), (gv, np.asarray(dv))):
+        gn = np.asarray(gv_)
+        for r in range(2):
+            own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                              p.dec.interior_grid(), p.bdims)
+            np.testing.assert_allclose(
+                own, dr[r * dims[0]:(r + 1) * dims[0]],
+                rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_problem_4d_differentiable_step_distributed():
     """Distributed 4-D pullback on a (2, 1, 1, 1) mesh: the w ghost

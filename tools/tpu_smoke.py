@@ -341,6 +341,44 @@ def main():
 
     check("pencil 4-D poly adjoint grads", poly_adjoint_grads_4d)
 
+    def system_adjoint_grads_4d():
+        # coupled polynomial 4-D SYSTEM exact pullback: per-output
+        # multi-input forwards + adjoint sweeps reading BOTH
+        # cotangent windows (multi-ct 4-D DMA surface)
+        from bricklib_tpu.codegen.autodiff import (
+            differentiable_poly_system_sweep_4d)
+        from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+        iw, jw, kw, ww = Index(0), Index(1), Index(2), Index(3)
+        gu4, gv4 = Grid("u", 4), Grid("v", 4)
+        ou4, ov4 = Grid("ou", 4), Grid("ov", 4)
+        uv4 = gu4(iw, jw, kw, ww) * gv4(iw, jw, kw, ww)
+        ou4(iw, jw, kw, ww).assign(
+            gu4(iw, jw, kw, ww)
+            + 0.1 * gu4(iw + 1, jw, kw - 1, ww) - uv4)
+        ov4(iw, jw, kw, ww).assign(
+            gv4(iw, jw, kw, ww)
+            + 0.05 * gv4(iw, jw - 1, kw, ww + 1) + uv4)
+        sds4 = load_stencil_module({"STENCIL": [ou4, ov4]})
+        bd4 = (2, 8, 8, 128)
+        qdec = BrickDecomp(dims=(4, 16, 16, 128),
+                           ghost_depth=(2, 8, 8, 0),
+                           bdims=bd4).initialize(
+                               skinlist_by_name("good", 4))
+        step = differentiable_poly_system_sweep_4d(
+            sds4, qdec.periodic_grid((0, 1, 2, 3)), bd4, qdec.nbricks,
+            ("u", "v"), {})
+        msk = jnp.asarray(qdec.owned_mask().reshape((-1, 1, 1, 1, 1)))
+        uv_ = jnp.ones((qdec.nbricks,) + bd4, jnp.float32)
+        vv_ = jnp.full((qdec.nbricks,) + bd4, 0.3, jnp.float32)
+        args = tuple(uv_ if n == "u" else vv_ for n in step.fields)
+        gu_g, gv_g = jax.jit(jax.grad(
+            lambda a, b: jnp.sum(jnp.where(msk, step(a, b)[0], 0.0)),
+            argnums=(0, 1)))(*args)
+        return gu_g + gv_g
+
+    check("pencil 4-D system adjoint grads", system_adjoint_grads_4d)
+
     gridb, infob = init_grid((4, 4, 4))
     check("generic brick streaming", lambda: jax.jit(pallas_brick_stencil(
         sd7, gridb, BD, (1, 1, 1), infob.nbricks, params))(
