@@ -271,7 +271,12 @@ def main():
                                      Index as _I)
         from bricklib_tpu.st.loader import load_stencil_module as _lsm
 
-        N2 = 4096
+        # 16384^2 (2 GB storage): the 4096^2 grid was 64 MB — small
+        # enough that fixed per-pallas-call cost dominated its copy
+        # (97 GB/s in-jit vs 459 at 16384^2 on the same quiet window,
+        # tools/diag_2d_copy.py) and the round-4 "vs 2-D SOL" ratio
+        # stood on that soft denominator (round-4 verdict item 1)
+        N2 = 16384
         BD2 = (8, N2)
         _i2, _j2 = _I(0), _I(1)
         _g2, _o2 = _G("in", 2), _G("out", 2)

@@ -642,10 +642,13 @@ class Problem:
         transpose home).  Coupled POLYNOMIAL systems get the exact
         adjoint-SYSTEM pullback (one multi-output Pallas forward, one
         adjoint pencil sweep per input field, distributed included;
-        signature ``fn(*fields, *aux) -> fields``).  Only
-        non-polynomial stencils (If/max) fall back to the ORACLE
-        pullback (table-periodic single-device meshes, same
-        signature).  2-D problems get the linear adjoint twin on the
+        signature ``fn(*fields, *aux) -> fields``).  PIECEWISE
+        nonlinearities (If/max/abs — e.g. cond) differentiate exactly
+        on the same pullback: the symbolic differentiator emits gate
+        masks that recompute from the residual input views, so no
+        dense oracle is ever built (only opaque functions with no
+        registered derivative rule raise).  2-D problems get the
+        linear adjoint twin on the
         row-pencil emitter (distributed y included).  Pencil backend,
         shift exchange; the built step is cached on the Problem."""
         import jax
@@ -704,9 +707,9 @@ class Problem:
                     if "polynomial expansion" not in str(e):
                         raise
                     raise ValueError(
-                        "non-polynomial 4-D system differentiable_"
-                        f"step (If/max) has no exact adjoint path "
-                        f"({e})") from e
+                        "4-D system differentiable_step: opaque "
+                        f"function with no derivative rule ({e})"
+                        ) from e
                 allnames4s = list(self.fields) + list(self.aux_names)
 
                 def one4s(*sv):
@@ -728,6 +731,9 @@ class Problem:
                                                 self.nfld)
             if self.aux_names or linear_decomposition(
                     self.sdef.rhs) is None:
+                fuse4 = 1 if dist4 else self.fuse
+                fkw4 = (dict(fuse=fuse4) if fuse4 > 1
+                        else dict(lookahead=2))
                 try:
                     kern4 = differentiable_poly_sweep_4d(
                         self.sdef, self.dec.periodic_grid(t4),
@@ -735,15 +741,15 @@ class Problem:
                         exchanged_axes=x4,
                         dtype=jnp.dtype(self.dtype),
                         forward_fn=(self._plan_kern0
-                                    if self.fuse == 1 else None),
-                        lookahead=2)
+                                    if self.fuse == fuse4 else None),
+                        **fkw4)
                 except ValueError as e:
                     if "polynomial expansion" not in str(e):
                         raise
                     raise ValueError(
-                        "non-polynomial 4-D multi-input "
-                        "differentiable_step (If/max) "
-                        f"has no exact adjoint path ({e})") from e
+                        "4-D multi-input differentiable_step: opaque "
+                        f"function with no derivative rule ({e})"
+                        ) from e
                 allnames4 = [self.gname] + list(self.aux_names)
 
                 def one4p(*sv):
@@ -755,7 +761,7 @@ class Problem:
                                                   msh4, table_axes=t4)
                                 for n, v in vals.items()}
                         return kern4(*(vals[n] for n in kern4.fields))
-                    for _ in range(self.st_iter):
+                    for _ in range(self.st_iter // fuse4):
                         out = kern4(*(vals[n] for n in kern4.fields))
                         vals[self.gname] = out
                     return vals[self.gname]
@@ -817,10 +823,10 @@ class Problem:
                     if "polynomial expansion" not in str(e):
                         raise
                     raise ValueError(
-                        "non-polynomial 2-D system differentiable_"
-                        "step (If/max) is not supported on the pencil "
-                        f"path; differentiate via backend='jnp' "
-                        f"({e})") from e
+                        "2-D system differentiable_step: opaque "
+                        f"function with no derivative rule; "
+                        f"differentiate via backend='jnp' ({e})"
+                        ) from e
                 allnames2s = list(self.fields) + list(self.aux_names)
                 nfld2 = self.nfld
 
@@ -863,20 +869,22 @@ class Problem:
                     return d
 
                 return self._finalize_diff_step(one2, 1, 1)
+            fuse2p = 1 if dist2 else self.fuse
             try:
                 kern2 = differentiable_poly_sweep_2d(
                     self.sdef, self.dec.periodic_grid(t2), self.bdims,
                     self.dec.nbricks, self.params,
                     exchanged_axes=xargs, dtype=jnp.dtype(self.dtype),
                     forward_fn=(self._plan_kern0
-                                     if self.fuse == 1 else None))
+                                if self.fuse == fuse2p else None),
+                    **(dict(fuse=fuse2p) if fuse2p > 1 else {}))
             except ValueError as e:
                 if "polynomial expansion" not in str(e):
                     raise
                 raise ValueError(
-                    "non-polynomial 2-D differentiable_step (If/max) "
-                    "is not supported on the pencil path; "
-                    f"differentiate via backend='jnp' ({e})") from e
+                    "2-D differentiable_step: opaque function with "
+                    f"no derivative rule; differentiate via "
+                    f"backend='jnp' ({e})") from e
             allnames2 = [self.gname] + list(self.aux_names)
 
             def one2p(*sv):
@@ -888,7 +896,7 @@ class Problem:
                                               msh2, table_axes=t2)
                             for n, v in vals.items()}
                     return kern2(*(vals[n] for n in kern2.fields))
-                for _ in range(self.st_iter):
+                for _ in range(self.st_iter // fuse2p):
                     out = kern2(*(vals[n] for n in kern2.fields))
                     vals[self.gname] = out
                 return vals[self.gname]
@@ -904,42 +912,22 @@ class Problem:
         table_axes = tuple(a for a in range(3) if msh[a] == 1)
         distributed = len(table_axes) < 3
         if self.nfld != 1:
-            # coupled SYSTEMS: polynomial systems get the exact
-            # adjoint-system pullback (Pallas fwd+bwd, distributed
-            # included); non-polynomial (If/max) systems fall back to
-            # the oracle pullback (dense-twin vjp, table-periodic
-            # only).  Signature fn(*fields, *aux) -> fields either
-            # way, so grads flow wrt aux too.
-            try:
-                return self._build_poly_system_diff_step(distributed,
-                                                         table_axes)
-            except ValueError as e:
-                if "polynomial expansion" not in str(e):
-                    raise
-                if distributed:
-                    raise ValueError(
-                        "non-polynomial system differentiable_step "
-                        "(If/max) runs on fully table-periodic "
-                        f"(single-device) meshes ({e})") from e
-                return self._build_oracle_diff_step()
+            # coupled SYSTEMS: the exact adjoint-system pullback
+            # (Pallas fwd+bwd, distributed included).  Piecewise
+            # outputs (If/max/abs) differentiate exactly too — the
+            # symbolic differentiator emits gate masks that recompute
+            # from the residual input views (codegen.autodiff.
+            # _diff_tap); only opaque functions with no registered
+            # derivative rule raise.  Signature fn(*fields, *aux) ->
+            # fields, so grads flow wrt aux too.
+            return self._build_poly_system_diff_step(distributed,
+                                                     table_axes)
         if self.aux_names or linear_decomposition(self.sdef.rhs) is None:
-            # single output, multi-input (variable-coefficient) or
-            # polynomial-nonlinear: exact adjoint-stencil pullback via
-            # the multi-input pencil path (one sweep per input field,
-            # O(1) activations); non-polynomial (If/max) falls back to
-            # the dense oracle, table-periodic only
-            try:
-                return self._build_poly_diff_step(distributed,
-                                                  table_axes)
-            except ValueError as e:
-                if "polynomial expansion" not in str(e):
-                    raise
-                if distributed:
-                    raise ValueError(
-                        "non-polynomial multi-input differentiable_"
-                        "step (If/max) runs table-periodic only "
-                        f"({e})") from e
-                return self._build_oracle_diff_step()
+            # single output, multi-input (variable-coefficient),
+            # polynomial or PIECEWISE (If/max — e.g. cond) nonlinear:
+            # exact adjoint-stencil pullback via the multi-input pencil
+            # path (one sweep per input field, O(1) activations)
+            return self._build_poly_diff_step(distributed, table_axes)
         if distributed and self.st_iter != 1:
             # one UNFUSED sweep per exchange: deep-ghost chains and the
             # fused adjoint's clamped intermediate levels are not
@@ -996,14 +984,19 @@ class Problem:
                 f"(one unfused sweep per exchange), got st_iter="
                 f"{self.st_iter}, fuse={self.fuse}")
         msh = self.eff_mesh
+        # single-device periodic steps reuse the plan's fuse: the fused
+        # forward keeps its 1/F HBM traffic; the pullback recomputes F
+        # unfused exact steps (autodiff._fuse_by_recompute)
+        fuse = 1 if distributed else self.fuse
+        fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
         kern = differentiable_poly_sweep(
             self.sdef, self.dec.periodic_grid(table_axes), self.bdims,
             self.dec.nbricks, self.params,
             exchanged_axes=tuple(a for a in (0, 1)
                                  if a not in table_axes),
             dtype=jnp.dtype(self.dtype),
-            forward_fn=(self._plan_kern0 if self.fuse == 1 else None),
-            lookahead=2)
+            forward_fn=(self._plan_kern0 if self.fuse == fuse
+                        else None), **fkw)
         names = self._xnames
         allnames = list(self.fields) + list(self.aux_names)
 
@@ -1014,7 +1007,7 @@ class Problem:
                                           table_axes=table_axes)
                         for n, v in vals.items()}
                 return kern(*(vals[n] for n in kern.fields))
-            for _ in range(self.st_iter):
+            for _ in range(self.st_iter // fuse):
                 out = kern(*(vals[n] for n in kern.fields))
                 vals[self.fields[0]] = out
             return vals[self.fields[0]]
@@ -1042,14 +1035,19 @@ class Problem:
                 f"(one unfused sweep per exchange), got st_iter="
                 f"{self.st_iter}, fuse={self.fuse}")
         msh = self.eff_mesh
+        # single-device periodic steps reuse the plan's fuse (the 3-D
+        # pencil emitter fuses systems via per-output rings); pullback
+        # recomputes F unfused exact steps
+        fuse = 1 if distributed else self.fuse
+        fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
         kern = differentiable_poly_system_sweep(
             self.sdefs, self.dec.periodic_grid(table_axes), self.bdims,
             self.dec.nbricks, self.fields, self.params,
             exchanged_axes=tuple(a for a in (0, 1)
                                  if a not in table_axes),
             dtype=jnp.dtype(self.dtype),
-            forward_fn=(self._plan_kern0 if self.fuse == 1 else None),
-            lookahead=2)
+            forward_fn=(self._plan_kern0 if self.fuse == fuse
+                        else None), **fkw)
         names = self._xnames
         allnames = list(self.fields) + list(self.aux_names)
         nfld = self.nfld
@@ -1061,40 +1059,12 @@ class Problem:
                                           table_axes=table_axes)
                         for n, v in vals.items()}
                 return kern(*(vals[n] for n in kern.fields))
-            for _ in range(self.st_iter):
+            for _ in range(self.st_iter // fuse):
                 outs = kern(*(vals[n] for n in kern.fields))
                 vals.update(zip(self.fields, outs))
             return tuple(vals[f] for f in self.fields)
 
         return self._finalize_diff_step(one, len(allnames), nfld)
-
-    def _build_oracle_diff_step(self):
-        import jax
-
-        from .codegen.autodiff import oracle_vjp_sweep
-
-        import jax.numpy as jnp
-
-        fuse = self.fuse
-        fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
-        kern = oracle_vjp_sweep(
-            self.sdefs if self.nfld > 1 else self.sdef, self.dec,
-            self.bdims, self.params, fields=self.fields,
-            dtype=jnp.dtype(self.dtype), **fkw)
-        nfld = self.nfld
-
-        def one(*sv):
-            names = list(self.fields) + list(self.aux_names)
-            vals = dict(zip(names, sv))
-            for _ in range(self.st_iter // fuse):
-                out = kern(*(vals[n] for n in kern.fields))
-                outs = out if nfld > 1 else (out,)
-                vals.update(zip(self.fields, outs))
-            res = tuple(vals[f] for f in self.fields)
-            return res[0] if nfld == 1 else res
-
-        return self._finalize_diff_step(
-            one, self.nfld + len(self.aux_names), nfld)
 
     def _finalize_diff_step(self, one, nin, nout):
         """Jit (and shard_map on distributed meshes) the built

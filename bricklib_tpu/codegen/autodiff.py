@@ -42,12 +42,14 @@ from ..st.expr import (
     BinOp,
     ConstRef,
     FloatLiteral,
+    If,
     Index,
     IntLiteral,
     Op,
     UnOp,
     UOp,
 )
+from ..st.func import CallExpr
 from ..st.grid import Grid, GridRef
 from ..st.loader import StencilDef, load_stencil_module
 from .ir import linear_decomposition
@@ -158,9 +160,176 @@ def _expand_monomials(rhs):
                 return out
         raise ValueError(
             f"polynomial expansion: unsupported node {type(e).__name__}"
-            " (If/max/opaque calls differentiate via oracle_vjp_sweep)")
+            " (If/max differentiate via the piecewise fallback of"
+            " polynomial_system_adjoints)")
 
     return go(rhs)
+
+
+def _is_zero(e) -> bool:
+    return isinstance(e, (IntLiteral, FloatLiteral)) and float(e.val) == 0.0
+
+
+def _is_one(e) -> bool:
+    return isinstance(e, (IntLiteral, FloatLiteral)) and float(e.val) == 1.0
+
+
+def _add(a, b):
+    if _is_zero(a):
+        return b
+    if _is_zero(b):
+        return a
+    return BinOp(Op.ADD, a, b)
+
+
+def _sub(a, b):
+    if _is_zero(b):
+        return a
+    if _is_zero(a):
+        return UnOp(UOp.NEG, b)
+    return BinOp(Op.SUB, a, b)
+
+
+def _mul(a, b):
+    if _is_zero(a) or _is_zero(b):
+        return FloatLiteral(0.0)
+    if _is_one(a):
+        return b
+    if _is_one(b):
+        return a
+    return BinOp(Op.MUL, a, b)
+
+
+def _neg(a):
+    if _is_zero(a):
+        return a
+    return UnOp(UOp.NEG, a)
+
+
+_PIECEWISE_CONST_OPS = frozenset((Op.EQ, Op.NE, Op.GT, Op.LT, Op.GE,
+                                  Op.LE, Op.AND, Op.OR, Op.MOD))
+
+
+def _diff_tap(e, f: str, u):
+    """``∂e/∂ f[p+u]`` as an Expr over the ORIGINAL inputs — the
+    symbolic differentiator behind the exact If/max adjoints.
+
+    Piecewise nodes take the standard subgradient convention (the one
+    ``jax.grad`` applies to ``where``/``maximum`` away from ties):
+    ``If`` differentiates branch-wise with the condition held constant,
+    ``max(a, b)`` → ``If(a >= b, ∂a, ∂b)``, comparisons/logic/mod are
+    piecewise-constant (zero).  Non-smooth points (ties, |x| at 0) are
+    measure-zero; at a tie this picks the first branch where JAX's
+    ``maximum`` splits evenly.  Smooth opaque calls get their calculus
+    rules (sqrt/exp/log/abs).  Raises ValueError (spelling
+    "polynomial expansion" so callers' except-chains keep working) for
+    functions with no registered derivative."""
+    if isinstance(e, GridRef):
+        hit = e.grid.name == f and tuple(e.offsets) == tuple(u)
+        return FloatLiteral(1.0 if hit else 0.0)
+    if isinstance(e, (IntLiteral, FloatLiteral, ConstRef)):
+        return FloatLiteral(0.0)
+    if isinstance(e, UnOp):
+        if e.op is UOp.NOT:
+            return FloatLiteral(0.0)
+        d = _diff_tap(e.subexpr, f, u)
+        return _neg(d) if e.op is UOp.NEG else d
+    if isinstance(e, BinOp):
+        if e.op in _PIECEWISE_CONST_OPS:
+            return FloatLiteral(0.0)
+        dl = _diff_tap(e.lhs, f, u)
+        dr = _diff_tap(e.rhs, f, u)
+        if e.op is Op.ADD:
+            return _add(dl, dr)
+        if e.op is Op.SUB:
+            return _sub(dl, dr)
+        if e.op is Op.MUL:
+            return _add(_mul(dl, e.rhs), _mul(e.lhs, dr))
+        if e.op is Op.DIV:
+            if _is_zero(dr):
+                return (dl if _is_zero(dl)
+                        else BinOp(Op.DIV, dl, e.rhs))
+            num = _sub(_mul(dl, e.rhs), _mul(e.lhs, dr))
+            return BinOp(Op.DIV, num, _mul(e.rhs, e.rhs))
+    if isinstance(e, If):
+        da = _diff_tap(e.then, f, u)
+        db = _diff_tap(e.otherwise, f, u)
+        if _is_zero(da) and _is_zero(db):
+            return FloatLiteral(0.0)
+        return If(e.cond, da, db)
+    if isinstance(e, CallExpr):
+        name = e.callee.name
+        args = e.children
+        if name in ("max", "min"):
+            da = _diff_tap(args[0], f, u)
+            db = _diff_tap(args[1], f, u)
+            if _is_zero(da) and _is_zero(db):
+                return FloatLiteral(0.0)
+            gate = Op.GE if name == "max" else Op.LE
+            return If(BinOp(gate, args[0], args[1]), da, db)
+        dx = _diff_tap(args[0], f, u)
+        if _is_zero(dx):
+            return dx
+        if name == "abs":
+            return If(BinOp(Op.GE, args[0], FloatLiteral(0.0)),
+                      dx, _neg(dx))
+        if name == "sqrt":
+            return BinOp(Op.DIV, dx, _mul(FloatLiteral(2.0), e))
+        if name == "exp":
+            return _mul(dx, e)
+        if name == "log":
+            return BinOp(Op.DIV, dx, args[0])
+        raise ValueError(
+            f"polynomial expansion: no derivative rule for opaque "
+            f"function '{name}' — differentiate via backend='jnp'")
+    raise ValueError(
+        f"polynomial expansion: cannot differentiate node "
+        f"{type(e).__name__}")
+
+
+def _taps_of(rhs, f: str):
+    """Distinct offsets at which field ``f`` is read anywhere in
+    ``rhs`` (condition positions included — their partials fold to
+    zero in :func:`_diff_tap` and are skipped by the caller)."""
+    seen: set = set()
+    out = []
+    for n in rhs.walk():
+        if isinstance(n, GridRef) and n.grid.name == f:
+            t = tuple(int(o) for o in n.offsets)
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+    return out
+
+
+def _shift_rebuild(e, grids: dict, idx, shift):
+    """Rebuild ``e`` with fresh nodes, every grid read shifted by
+    ``shift`` (eDSL-order) and re-bound to the Grids in ``grids`` —
+    the 'evaluate the factor at the occurrence's own offset' step of
+    the pullback."""
+
+    def rec(x):
+        if isinstance(x, GridRef):
+            g = grids[x.grid.name]
+            return g(*[idx[a] + int(x.offsets[a] + shift[a])
+                       for a in range(len(idx))])
+        if isinstance(x, IntLiteral):
+            return IntLiteral(x.val)
+        if isinstance(x, FloatLiteral):
+            return FloatLiteral(x.val)
+        if isinstance(x, ConstRef):
+            return ConstRef(x.name)
+        if isinstance(x, UnOp):
+            return UnOp(x.op, rec(x.subexpr))
+        if isinstance(x, BinOp):
+            return BinOp(x.op, rec(x.lhs), rec(x.rhs))
+        if isinstance(x, If):
+            return If(rec(x.cond), rec(x.then), rec(x.otherwise))
+        if isinstance(x, CallExpr):
+            return CallExpr(x.callee, *[rec(c) for c in x.children])
+        raise ValueError(f"cannot rebuild node {type(x).__name__}")
+
+    return rec(e)
 
 
 def polynomial_adjoint_stencils(sdef: StencilDef,
@@ -225,7 +394,18 @@ def polynomial_system_adjoints(sdefs: Sequence[StencilDef],
     if len(set(ct_names)) != len(ct_names) or set(ct_names) & set(union):
         raise ValueError(f"cotangent grid names {ct_names} must be "
                          f"distinct and disjoint from inputs {union}")
-    monos = [_expand_monomials(s.rhs) for s in sdefs]
+    try:
+        monos = [_expand_monomials(s.rhs) for s in sdefs]
+    except ValueError:
+        # piecewise-polynomial outputs (If/max/abs/... — e.g. the cond
+        # stencil): no monomial form exists, so each adjoint term comes
+        # from the symbolic differentiator instead — the pullback is
+        # again a stencil reading the cotangent plus the ORIGINAL
+        # inputs (the If/max gates recompute from the residual views in
+        # the same adjoint window), so it runs the same multi-input
+        # pencil fast path.  Exactness caveat is only the measure-zero
+        # tie convention (see _diff_tap).
+        monos = None
     if wrt is None:
         wrt = tuple(union)
     adjoints: dict[str, StencilDef] = {}
@@ -236,6 +416,23 @@ def polynomial_system_adjoints(sdefs: Sequence[StencilDef],
         idx = [Index(a) for a in range(d)]
         og = Grid(f"{sdefs[0].output.name}_adj_{f}", d)
         rhs = None
+        if monos is None:
+            for ct, sd in zip(ct_names, sdefs):
+                for u in _taps_of(sd.rhs, f):
+                    dex = _diff_tap(sd.rhs, f, u)
+                    if _is_zero(dex):
+                        continue     # e.g. read only inside a condition
+                    ctref = grids[ct](*[idx[a] - int(u[a])
+                                        for a in range(d)])
+                    term = _mul(ctref,
+                                _shift_rebuild(dex, grids, idx,
+                                               tuple(-o for o in u)))
+                    rhs = term if rhs is None else _add(rhs, term)
+            if rhs is None:
+                continue
+            og(*idx).assign(rhs)
+            adjoints[f] = load_stencil_module({"STENCIL": [og]})[0]
+            continue
         for ct, out_monos in zip(ct_names, monos):
             for s, c, refs in out_monos:
                 for r, (name, offs) in enumerate(refs):
@@ -261,6 +458,82 @@ def polynomial_system_adjoints(sdefs: Sequence[StencilDef],
         og(*idx).assign(rhs)
         adjoints[f] = load_stencil_module({"STENCIL": [og]})[0]
     return adjoints, ct_names
+
+
+def _outer_radius(sdefs) -> int:
+    """Max halo radius over the OUTER (non-lane) numpy axes of one or
+    more stencils.  The last numpy axis is the lane (i) axis — always
+    table-periodic inside the brick row, never exchanged — so a wide
+    lane tap must not trip the exchanged-axes ghost-depth guards
+    (round-4 advisor finding)."""
+    rad = 0
+    for sd in sdefs:
+        lo, hi = sd.radius()
+        rad = max([rad, *lo[:-1], *hi[:-1]])
+    return rad
+
+
+def _fuse_by_recompute(build_unfused, fused_fwd, F: int, evolve):
+    """Give a FUSED Pallas forward its exact pullback by recomputation
+    (round-5: the poly/system adjoint surface at fuse > 1).
+
+    The forward runs the F-level fused kernel (1/F the HBM traffic —
+    the same amortization the linear fused adjoint already enjoys);
+    the backward re-runs the F unfused exact steps under ``jax.vjp``,
+    so each level's custom adjoint-sweep VJP fires in reverse level
+    order.  Residuals stay O(1) (the forward's input views only); the
+    F-1 intermediate fields exist transiently inside the backward.
+    Exact because pencil-kernel fusion is semantically identical to F
+    composed sweeps on a periodic table (pencil_kernel fusion
+    contract) — the guard for exchanged axes stays with the caller.
+
+    ``build_unfused()`` must return the fuse=1 differentiable step
+    (its ``fields`` order defines the view signature); ``evolve`` is
+    the tuple of evolving field names in STENCIL-output order (must
+    match the fused kernel's ``evolve``)."""
+    import jax
+
+    unfused = build_unfused()
+    fieldnames = tuple(unfused.fields)
+    ev_idx = tuple(fieldnames.index(e) for e in evolve)
+    nout = len(ev_idx)
+    fev = getattr(fused_fwd, "evolve", None)
+    if fev is not None and tuple(fev) != tuple(evolve):
+        raise ValueError(f"fused forward evolves {fev}, pullback "
+                         f"chain evolves {tuple(evolve)}")
+
+    def chain(*views):
+        vs = list(views)
+        for _ in range(F):
+            out = unfused(*vs)
+            outs = out if nout > 1 else (out,)
+            for i, o in zip(ev_idx, outs):
+                vs[i] = o
+        return (vs[ev_idx[0]] if nout == 1
+                else tuple(vs[i] for i in ev_idx))
+
+    def call_fused(views):
+        return (fused_fwd(*views) if len(fieldnames) > 1
+                else fused_fwd(views[0]))
+
+    @jax.custom_vjp
+    def step(*views):
+        return call_fused(views)
+
+    def step_fwd(*views):
+        return call_fused(views), views
+
+    def step_bwd(views, ct):
+        _, vjp = jax.vjp(chain, *views)
+        return vjp(ct)
+
+    step.defvjp(step_fwd, step_bwd)
+    step.forward = fused_fwd
+    step.fields = fieldnames
+    step.unfused = unfused
+    step.adjoints = getattr(unfused, "adjoints", None)
+    step.ct_name = getattr(unfused, "ct_name", None)
+    return step
 
 
 def _check_periodic_table(grid: np.ndarray, k_range, j_range,
@@ -440,8 +713,11 @@ def differentiable_poly_sweep(stencil, grid: np.ndarray,
     them home by putting an (idempotent) ``exchange_shift`` of each
     aux field INSIDE the differentiated graph: its transpose is
     exactly the ghost-to-owner fold (Problem.differentiable_step does
-    this).  Fuse is rejected: intermediate fused levels would need
-    their own residuals."""
+    this).  ``fuse=F`` on periodic tables runs the F-level fused
+    forward (1/F the HBM traffic) with the pullback recomputed as F
+    unfused exact steps (:func:`_fuse_by_recompute`); rejected with
+    exchanged axes (clamped fused levels are not exactly
+    transposed)."""
     import jax
     import jax.numpy as jnp
 
@@ -451,16 +727,32 @@ def differentiable_poly_sweep(stencil, grid: np.ndarray,
         if kw.get(bad):
             raise ValueError(f"differentiable_poly_sweep does not "
                              f"support {bad}=...")
-    if int(kw.get("fuse") or 1) > 1:
-        raise ValueError("differentiable_poly_sweep is fuse=1 only "
-                         "(fused intermediate levels would need their "
-                         "own residuals)")
     sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
     if len(sdefs) != 1:
         raise ValueError("differentiable_poly_sweep takes one output "
                          "(systems differentiate via "
                          "differentiable_poly_system_sweep)")
     sdef = sdefs[0]
+    F = int(kw.get("fuse") or 1)
+    if F > 1:
+        if exchanged_axes:
+            raise ValueError(
+                "exchanged_axes with fuse > 1 would compute wrong "
+                "gradients (clamped fused levels are not exactly "
+                "transposed across a real ghost ring); exchange "
+                "every iteration at fuse=1")
+        kw1 = {k: v for k, v in kw.items()
+               if k not in ("fuse", "lookahead")}
+        fused_fwd = forward_fn or pallas_pencil_sweep(
+            sdef, grid, bdims, nbricks, params, **kw)
+        return _fuse_by_recompute(
+            lambda: differentiable_poly_sweep(
+                sdef, grid, bdims, nbricks, params, wrt=wrt,
+                mask_ghost=mask_ghost, lookahead=2, **kw1),
+            fused_fwd, F,
+            getattr(fused_fwd, "evolve", None)
+            or tuple(getattr(fused_fwd, "fields",
+                             tuple(sdef.inputs)))[:1])
     grid = np.asarray(grid)
     g2 = grid[:, :, 0] if grid.ndim == 3 else grid
     if grid.ndim == 3 and grid.shape[2] != 1:
@@ -472,8 +764,7 @@ def differentiable_poly_sweep(stencil, grid: np.ndarray,
     if not set(exchanged_axes) <= {0, 1}:
         raise ValueError("exchanged_axes are numpy-order k/j axes "
                          "(0 and/or 1); i is always lane-periodic")
-    lo, hi = sdef.radius()
-    rad = max(max(lo), max(hi))
+    rad = _outer_radius((sdef,))
     BK, BJ = int(bdims[0]), int(bdims[1])
     if exchanged_axes and 2 * rad > min(BK, BJ):
         # adjoint coefficient factors read residuals at shifted-by-two
@@ -568,8 +859,9 @@ def differentiable_poly_system_sweep(stencil, grid: np.ndarray,
                                      **kw):
     """Exact Pallas-forward / Pallas-backward sweep for coupled
     POLYNOMIAL stencil SYSTEMS — the multi-output twin of
-    :func:`differentiable_poly_sweep`, killing the oracle's dense twin
-    for every polynomial system (oracle remains for If/max only).
+    :func:`differentiable_poly_sweep`, killing the oracle's dense
+    twin for every system — piecewise outputs (If/max/abs) included
+    via the symbolic differentiator's gate masks.
 
     Forward: ONE multi-output pencil kernel per step (shared inputs
     stream through HBM once — the system fast path).  Backward: one
@@ -588,8 +880,10 @@ def differentiable_poly_system_sweep(stencil, grid: np.ndarray,
     same two multi-input caveats apply (adjoint residual reads at up
     to 2x the max forward radius must fit one ghost brick row; static
     aux gradients route home through an in-graph idempotent aux
-    exchange whose transpose is the ghost-to-owner fold).  Fuse is
-    rejected (fused intermediate levels would need residuals)."""
+    exchange whose transpose is the ghost-to-owner fold).  ``fuse=F``
+    on periodic tables runs the F-level fused system forward with the
+    pullback recomputed as F unfused exact steps
+    (:func:`_fuse_by_recompute`); rejected with exchanged axes."""
     import jax
     import jax.numpy as jnp
 
@@ -599,15 +893,28 @@ def differentiable_poly_system_sweep(stencil, grid: np.ndarray,
         if kw.get(bad):
             raise ValueError(f"differentiable_poly_system_sweep does "
                              f"not support {bad}=...")
-    if int(kw.get("fuse") or 1) > 1:
-        raise ValueError("differentiable_poly_system_sweep is fuse=1 "
-                         "only (fused intermediate levels would need "
-                         "their own residuals)")
     sdefs = list(stencil) if isinstance(stencil, (list, tuple)) \
         else [stencil]
     fields = tuple(fields)
     if len(fields) != len(sdefs):
         raise ValueError("one evolving field per STENCIL output")
+    F = int(kw.get("fuse") or 1)
+    if F > 1:
+        if tuple(exchanged_axes):
+            raise ValueError(
+                "exchanged_axes with fuse > 1 would compute wrong "
+                "gradients (clamped fused levels are not exactly "
+                "transposed across a real ghost ring); exchange "
+                "every iteration at fuse=1")
+        kw1 = {k: v for k, v in kw.items()
+               if k not in ("fuse", "lookahead")}
+        fused_fwd = forward_fn or pallas_pencil_sweep(
+            sdefs, grid, bdims, nbricks, params, evolve=fields, **kw)
+        return _fuse_by_recompute(
+            lambda: differentiable_poly_system_sweep(
+                sdefs, grid, bdims, nbricks, fields, params, wrt=wrt,
+                mask_ghost=mask_ghost, **kw1),
+            fused_fwd, F, fields)
     grid = np.asarray(grid)
     g2 = grid[:, :, 0] if grid.ndim == 3 else grid
     if grid.ndim == 3 and grid.shape[2] != 1:
@@ -619,10 +926,7 @@ def differentiable_poly_system_sweep(stencil, grid: np.ndarray,
     if not set(exchanged_axes) <= {0, 1}:
         raise ValueError("exchanged_axes are numpy-order k/j axes "
                          "(0 and/or 1); i is always lane-periodic")
-    rad = 0
-    for sd in sdefs:
-        lo, hi = sd.radius()
-        rad = max(rad, max(lo), max(hi))
+    rad = _outer_radius(sdefs)
     BK, BJ = int(bdims[0]), int(bdims[1])
     if exchanged_axes and 2 * rad > min(BK, BJ):
         raise ValueError(
@@ -702,13 +1006,14 @@ def oracle_vjp_sweep(stencil, dec, bdims: Sequence[int],
                      params: dict | None = None,
                      fields: Sequence[str] | None = None,
                      **kw):
-    """Fast Pallas forward + exact ORACLE pullback, for what neither
-    adjoint-stencil mode serves: coupled multi-output systems and
-    NON-POLYNOMIAL stencils (If/max/opaque calls).  Polynomial
-    single-output problems — linear, variable-coefficient, and
-    polynomial-nonlinear, including aux-field gradients — get the
-    exact Pallas adjoint sweeps of :func:`differentiable_poly_sweep`
-    instead (O(1) activations, no dense twin).
+    """Fast Pallas forward + exact ORACLE pullback — a dense-twin
+    REFERENCE implementation kept for validation (tests check the
+    adjoint-sweep modes against it) and for opaque functions with no
+    registered derivative rule.  Every production path — linear,
+    variable-coefficient, polynomial and piecewise (If/max/abs)
+    nonlinear, single-output and coupled systems — gets the exact
+    Pallas adjoint sweeps instead (O(1) activations, no dense twin);
+    Problem.differentiable_step never dispatches here.
 
     On a fully periodic table the dense twin computes the same
     function as the pencil kernel (the golden equivalence every test
@@ -959,8 +1264,10 @@ def differentiable_poly_sweep_4d(stencil, grid: np.ndarray,
     2x the forward radius, so ``2 * radius <= min(BW, BK, BJ)``; and
     static aux-field ghost gradients route home through an in-graph
     idempotent aux exchange (its transpose is the ghost-to-owner
-    fold — Problem.differentiable_step does this).  Fuse is rejected
-    (fused levels would need their own residuals)."""
+    fold — Problem.differentiable_step does this).  ``fuse=F``
+    composes on periodic tables for SINGLE-INPUT stencils (the 4-D
+    emitter's fusion surface): fused forward, pullback recomputed as F
+    unfused exact steps (:func:`_fuse_by_recompute`)."""
     import jax
     import jax.numpy as jnp
 
@@ -970,10 +1277,6 @@ def differentiable_poly_sweep_4d(stencil, grid: np.ndarray,
         if kw.get(bad):
             raise ValueError(f"differentiable_poly_sweep_4d does not "
                              f"support {bad}=...")
-    if int(kw.get("fuse") or 1) > 1:
-        raise ValueError("differentiable_poly_sweep_4d is fuse=1 only "
-                         "(fused intermediate levels would need their "
-                         "own residuals)")
     sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
     if len(sdefs) != 1:
         raise ValueError("differentiable_poly_sweep_4d takes one "
@@ -981,6 +1284,25 @@ def differentiable_poly_sweep_4d(stencil, grid: np.ndarray,
     sdef = sdefs[0]
     if sdef.dims != 4:
         raise ValueError("use differentiable_poly_sweep for 3-D")
+    F = int(kw.get("fuse") or 1)
+    if F > 1:
+        if tuple(exchanged_axes):
+            raise ValueError(
+                "exchanged_axes with fuse > 1 would compute wrong "
+                "gradients (clamped fused levels); exchange every "
+                "iteration at fuse=1")
+        kw1 = {k: v for k, v in kw.items()
+               if k not in ("fuse", "lookahead")}
+        fused_fwd = forward_fn or pallas_pencil_sweep_4d(
+            sdef, grid, bdims, nbricks, params, **kw)
+        return _fuse_by_recompute(
+            lambda: differentiable_poly_sweep_4d(
+                sdef, grid, bdims, nbricks, params, wrt=wrt,
+                mask_ghost=mask_ghost, lookahead=2, **kw1),
+            fused_fwd, F,
+            getattr(fused_fwd, "evolve", None)
+            or tuple(getattr(fused_fwd, "fields",
+                             tuple(sdef.inputs)))[:1])
     grid = np.asarray(grid)
     g3 = grid[:, :, :, 0] if grid.ndim == 4 else grid
     if grid.ndim == 4 and grid.shape[3] != 1:
@@ -993,8 +1315,7 @@ def differentiable_poly_sweep_4d(stencil, grid: np.ndarray,
     if not set(exchanged_axes) <= {0, 1, 2}:
         raise ValueError("exchanged_axes are numpy-order w/k/j axes "
                          "(0, 1 and/or 2); i is always lane-periodic")
-    lo, hi = sdef.radius()
-    rad = max(max(lo), max(hi))
+    rad = _outer_radius((sdef,))
     BW, BK, BJ = int(bdims[0]), int(bdims[1]), int(bdims[2])
     if exchanged_axes and 2 * rad > min(BW, BK, BJ):
         # adjoint coefficient factors read residuals at shifted-by-two
@@ -1112,8 +1433,9 @@ def differentiable_poly_system_sweep_4d(stencil, grid: np.ndarray,
                              f"does not support {bad}=...")
     if int(kw.get("fuse") or 1) > 1:
         raise ValueError("differentiable_poly_system_sweep_4d is "
-                         "fuse=1 only (fused intermediate levels "
-                         "would need their own residuals)")
+                         "fuse=1 only (the 4-D emitter fuses "
+                         "single-input single-output sweeps only, so "
+                         "no fused system forward exists to wrap)")
     sdefs = list(stencil) if isinstance(stencil, (list, tuple)) \
         else [stencil]
     if any(s.dims != 4 for s in sdefs):
@@ -1134,10 +1456,7 @@ def differentiable_poly_system_sweep_4d(stencil, grid: np.ndarray,
     if not set(exchanged_axes) <= {0, 1, 2}:
         raise ValueError("exchanged_axes are numpy-order w/k/j axes "
                          "(0, 1 and/or 2); i is always lane-periodic")
-    rad = 0
-    for sd in sdefs:
-        lo, hi = sd.radius()
-        rad = max(rad, max(lo), max(hi))
+    rad = _outer_radius(sdefs)
     BW, BK, BJ = int(bdims[0]), int(bdims[1]), int(bdims[2])
     if exchanged_axes and 2 * rad > min(BW, BK, BJ):
         raise ValueError(
@@ -1331,16 +1650,15 @@ def differentiable_poly_sweep_2d(stencil, grid: np.ndarray,
     forward's own input views (O(1) activation memory).  Same
     exchanged-axes contract as the 3-D form (y only; adjoint residual
     reads at up to 2x the forward radius must fit one ghost brick
-    row)."""
+    row).  ``fuse=F`` composes on periodic tables for SINGLE-INPUT
+    stencils (the 2-D trapezoid's fusion surface): fused forward,
+    pullback recomputed as F unfused exact steps
+    (:func:`_fuse_by_recompute`)."""
     import jax
     import jax.numpy as jnp
 
     from .pencil_kernel_2d import pallas_pencil_sweep_2d
 
-    if int(kw.get("fuse") or 1) > 1:
-        raise ValueError("differentiable_poly_sweep_2d is fuse=1 only "
-                         "(fused intermediate levels would need their "
-                         "own residuals)")
     sdefs = stencil if isinstance(stencil, (list, tuple)) else [stencil]
     if len(sdefs) != 1:
         raise ValueError("differentiable_poly_sweep_2d takes one "
@@ -1348,6 +1666,24 @@ def differentiable_poly_sweep_2d(stencil, grid: np.ndarray,
     sdef = sdefs[0]
     if sdef.dims != 2:
         raise ValueError("use differentiable_poly_sweep for 3-D")
+    F = int(kw.get("fuse") or 1)
+    if F > 1:
+        if tuple(exchanged_axes):
+            raise ValueError(
+                "exchanged_axes with fuse > 1 would compute wrong "
+                "gradients (clamped fused levels); exchange every "
+                "iteration at fuse=1")
+        kw1 = {k: v for k, v in kw.items() if k != "fuse"}
+        fused_fwd = forward_fn or pallas_pencil_sweep_2d(
+            sdef, grid, bdims, nbricks, params, **kw)
+        return _fuse_by_recompute(
+            lambda: differentiable_poly_sweep_2d(
+                sdef, grid, bdims, nbricks, params, wrt=wrt,
+                mask_ghost=mask_ghost, **kw1),
+            fused_fwd, F,
+            getattr(fused_fwd, "evolve", None)
+            or tuple(getattr(fused_fwd, "fields",
+                             tuple(sdef.inputs)))[:1])
     grid = np.asarray(grid)
     g1 = grid[:, 0] if grid.ndim == 2 else grid
     if grid.ndim == 2 and grid.shape[1] != 1:
@@ -1358,8 +1694,7 @@ def differentiable_poly_sweep_2d(stencil, grid: np.ndarray,
     if not set(exchanged_axes) <= {0}:
         raise ValueError("the only exchangeable 2-D axis is y (0); "
                          "x is always lane-periodic")
-    lo, hi = sdef.radius()
-    rad = max(max(lo), max(hi))
+    rad = _outer_radius((sdef,))
     if exchanged_axes and 2 * rad > int(bdims[0]):
         raise ValueError(
             f"exchanged-y poly adjoint needs 2*radius <= BY "
@@ -1451,8 +1786,9 @@ def differentiable_poly_system_sweep_2d(stencil, grid: np.ndarray,
 
     if int(kw.get("fuse") or 1) > 1:
         raise ValueError("differentiable_poly_system_sweep_2d is "
-                         "fuse=1 only (fused intermediate levels "
-                         "would need their own residuals)")
+                         "fuse=1 only (the 2-D trapezoid fuses "
+                         "single-input single-output sweeps only, so "
+                         "no fused system forward exists to wrap)")
     sdefs = list(stencil) if isinstance(stencil, (list, tuple)) \
         else [stencil]
     fields = tuple(fields)
@@ -1468,10 +1804,7 @@ def differentiable_poly_system_sweep_2d(stencil, grid: np.ndarray,
     if not set(exchanged_axes) <= {0}:
         raise ValueError("the only exchangeable 2-D axis is y (0); "
                          "x is always lane-periodic")
-    rad = 0
-    for sd in sdefs:
-        lo, hi = sd.radius()
-        rad = max(rad, max(lo), max(hi))
+    rad = _outer_radius(sdefs)
     if exchanged_axes and 2 * rad > int(bdims[0]):
         raise ValueError(
             f"exchanged-y system adjoint needs 2*radius <= BY "

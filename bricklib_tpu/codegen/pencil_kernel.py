@@ -43,7 +43,9 @@ provides every schedule the drivers need:
 - MULTI-INPUT stencils (variable-coefficient fields, the reference
   codegen's per-grid support, codegen/st/codegen/backend/base.py:
   93-123): one rolling window per field over one shared grid table,
-  ``fn(*views)`` in ``fn.fields`` order (fuse=1 only).
+  ``fn(*views)`` in ``fn.fields`` order; fusion composes (per-level
+  rings read the static aux windows — the aux fields are
+  iteration-invariant across the fused levels).
 
 Works on any layout whose grid table has i-extent 1 (one pencil per
 (k, j) cell): dense init_grid or BrickDecomp with ghost_depth[i] = 0.

@@ -306,8 +306,6 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
         def compute_level(f, x):
             """Level-f row x from level f-1 (f == 1 reads the window);
             returns [wout[f], BK, TJ*BJ + jext, BIROW]."""
-            src = win_row if f == 1 else (lambda a: lvl_row(f - 1, a))
-
             def slab_of(get):
                 pieces = []
                 if lo[1]:
@@ -322,7 +320,8 @@ def pallas_pencil_sweep_4d(stencil, grid: np.ndarray,
                 kslab = [slab_of(lambda a, fi=fi: win_row_f(fi, a))
                          for fi in range(NF)]
             else:
-                kslab = slab_of(src)
+                kslab = slab_of(win_row if f == 1
+                                else (lambda a: lvl_row(f - 1, a)))
             jout = TJ * BJ + extj_lo[f] + extj_hi[f]
             j0 = (BJ - extj_lo[f]) if f == 1 else lo[2]
             return _rcs[wout[f]](kslab, j0, jout, lo[1], BK)

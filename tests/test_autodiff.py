@@ -455,11 +455,18 @@ def test_poly_adjoint_nonlinear_product_rule():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_poly_expansion_rejects_nonpolynomial():
+def test_poly_expansion_rejects_unknown_function():
+    """If/max now differentiate exactly (round 5); only opaque
+    functions with no registered derivative rule are rejected."""
     from bricklib_tpu.codegen.autodiff import polynomial_adjoint_stencils
+    from bricklib_tpu.st import Func
 
+    i, j, k = Index(0), Index(1), Index(2)
+    g, o = Grid("u", 3), Grid("out", 3)
+    o(i, j, k).assign(Func("erf", 1)(g(i, j, k)))
+    sd = load_stencil_module({"STENCIL": [o]})[0]
     with pytest.raises(ValueError, match="polynomial expansion"):
-        polynomial_adjoint_stencils(stencil_by_name("cond")[0])
+        polynomial_adjoint_stencils(sd)
 
 
 @pytest.mark.slow
@@ -1204,3 +1211,338 @@ def test_differentiable_rollout_validates_args():
         p.differentiable_rollout(0)
     with pytest.raises(ValueError, match="checkpoint_every"):
         p.differentiable_rollout(3, checkpoint_every=4)
+
+
+# ---------------------------------------------------------------------------
+# exact If/max adjoints (round 5): the symbolic differentiator replaces the
+# dense oracle — cond's pullback is a multi-input pencil stencil whose gates
+# recompute from the residual input views (ref: stencils/cond.py)
+# ---------------------------------------------------------------------------
+
+_COND_PARAMS = {"coeff": [0.1, 0.2, 0.05, 0.15, 0.12, 0.08, 0.3]}
+
+
+def test_piecewise_adjoint_matches_dense_ad():
+    """cond (max + If): the symbolic-diff adjoint stencil, evaluated
+    densely on the torus, equals jax.grad of the dense forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import polynomial_adjoint_stencils
+
+    sd = stencil_by_name("cond")[0]
+    adjs, ct = polynomial_adjoint_stencils(sd)
+    assert set(adjs) == {"bIn"}
+    # the gates read the ORIGINAL input, so the adjoint is multi-input
+    assert set(adjs["bIn"].inputs) == {ct, "bIn"}
+
+    rng = np.random.default_rng(3)
+    N = 12
+    # shift away from 0 so the max(x, 0) gate has both branches active
+    # and no ties
+    u0 = rng.random((N, N, N), np.float32) - 0.45
+    w = rng.random((N, N, N), np.float32)
+
+    def dense_loss(v):
+        return jnp.sum(_dense_multi(sd, {"bIn": v}, _COND_PARAMS)
+                       * jnp.asarray(w))
+
+    want = jax.grad(dense_loss)(jnp.asarray(u0))
+    got = _dense_multi(adjs["bIn"], {ct: jnp.asarray(w),
+                                     "bIn": jnp.asarray(u0)},
+                       _COND_PARAMS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_piecewise_adjoint_abs_sqrt_exp():
+    """Smooth opaque calls + If: d sqrt, d exp, d abs, and grid-valued
+    divisors (quotient rule) all differentiate exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import polynomial_adjoint_stencils
+    from bricklib_tpu.st import Func, If
+
+    i, j, k = Index(0), Index(1), Index(2)
+    g, o = Grid("u", 3), Grid("out", 3)
+    sqrt, ex, ab = Func("sqrt", 1), Func("exp", 1), Func("abs", 1)
+    o(i, j, k).assign(
+        sqrt(g(i, j, k) + 2.0) + ConstRef("a") * ex(-g(i + 1, j, k))
+        + ab(g(i, j - 1, k)) + g(i, j, k + 1) / (g(i, j, k) + 3.0))
+    sd = load_stencil_module({"STENCIL": [o]})[0]
+    adjs, ct = polynomial_adjoint_stencils(sd)
+    params = {"a": 0.6}
+
+    rng = np.random.default_rng(5)
+    N = 10
+    u0 = rng.random((N, N, N), np.float32) - 0.4
+    w = rng.random((N, N, N), np.float32)
+
+    def dense_loss(v):
+        return jnp.sum(_dense_multi(sd, {"u": v}, params)
+                       * jnp.asarray(w))
+
+    want = jax.grad(dense_loss)(jnp.asarray(u0))
+    got = _dense_multi(adjs["u"], {ct: jnp.asarray(w),
+                                   "u": jnp.asarray(u0)}, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_cond_pencil_grads_match_dense():
+    """differentiable_poly_sweep on cond (If/max): jax.grad through the
+    Pallas forward + adjoint pencil sweep matches dense AD."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import differentiable_poly_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+    from bricklib_tpu.core import to_bricks
+
+    N = 16
+    BD = (4, 4, N)
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(4, 4, 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    sd = stencil_by_name("cond")[0]
+    step = differentiable_poly_sweep(
+        sd, dec.periodic_grid((0, 1, 2)), BD, dec.nbricks,
+        _COND_PARAMS, interpret=True)
+    assert step.fields == ("bIn",)
+
+    def stage(a):
+        idx = [np.arange(-g, N + g) % N for g in (4, 4, 0)]
+        dat = np.zeros((dec.nbricks, int(np.prod(BD))), np.float32)
+        to_bricks(a[np.ix_(*idx)], dec.grid, BD, dat=dat)
+        return jnp.asarray(dat.reshape((dec.nbricks,) + BD))
+
+    rng = np.random.default_rng(11)
+    u0 = rng.random((N, N, N), np.float32) - 0.45
+    w = rng.random((N, N, N), np.float32)
+    wb = np.array(stage(w))
+    wb[dec.sep_pos[1]:] = 0.0
+    wb[0] = 0.0
+    wb = jnp.asarray(wb)
+
+    gu = jax.grad(lambda v: jnp.sum(step(v) * wb))(stage(u0))
+
+    want = jax.grad(lambda v: jnp.sum(
+        _dense_multi(sd, {"bIn": v}, _COND_PARAMS)
+        * jnp.asarray(w)))(jnp.asarray(u0))
+    np.testing.assert_allclose(_unstage(dec, BD, gu), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_problem_cond_differentiable_step():
+    """Problem.differentiable_step on cond now takes the EXACT pullback
+    (no oracle): gradient matches dense AD through one step."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import from_bricks
+
+    N = 16
+    dims = (N, N, N)
+
+    def make():
+        return Problem(dims=dims, stencil="cond", bdims=(4, 4, N),
+                       backend="pencil", st_iter=1,
+                       params=_COND_PARAMS)
+
+    p = make()
+    fn = p.differentiable_step()
+    rng = np.random.default_rng(13)
+    u0 = rng.random(dims, np.float32) - 0.45
+    w = rng.random(dims, np.float32)
+    p.init(array=u0)
+    xb = p._dats[0]
+    wp = make()
+    wp.init(array=w)
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+
+    gb = jax.grad(lambda d: jnp.sum(fn(d) * wb))(xb)
+
+    want = np.asarray(jax.grad(lambda v: jnp.sum(
+        _dense_multi(stencil_by_name("cond")[0], {"bIn": v},
+                     _COND_PARAMS) * jnp.asarray(w)))(jnp.asarray(u0)))
+    own = from_bricks(np.asarray(gb).reshape(p.dec.nbricks, -1),
+                      p.dec.interior_grid(), p.bdims)
+    np.testing.assert_allclose(own, want, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused differentiable poly/system steps (round 5): the fused Pallas forward
+# keeps its 1/F HBM traffic; the pullback recomputes F unfused exact steps
+# (_fuse_by_recompute) — grads must match the composed unfused chain exactly
+# ---------------------------------------------------------------------------
+
+
+def _stage_cube(dec, BD, N, a):
+    import jax.numpy as jnp
+
+    from bricklib_tpu.core import to_bricks
+
+    idx = [np.arange(-g, N + g) % N for g in (4, 4, 0)]
+    dat = np.zeros((dec.nbricks, int(np.prod(BD))), np.float32)
+    to_bricks(a[np.ix_(*idx)], dec.grid, BD, dat=dat)
+    return jnp.asarray(dat.reshape((dec.nbricks,) + BD))
+
+
+@pytest.mark.slow
+def test_fused_poly_sweep_grads_match_composed():
+    """differentiable_poly_sweep(fuse=2) on a var-coeff stencil: the
+    fused forward and its recompute pullback are BIT-EXACT to two
+    composed unfused differentiable steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import differentiable_poly_sweep
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+    N = 16
+    BD = (4, 4, N)
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(4, 4, 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    tg = dec.periodic_grid((0, 1, 2))
+    sd = _varcoeff_stencil()
+    f1 = differentiable_poly_sweep(sd, tg, BD, dec.nbricks, _VC_PARAMS,
+                                   interpret=True)
+    f2 = differentiable_poly_sweep(sd, tg, BD, dec.nbricks, _VC_PARAMS,
+                                   interpret=True, fuse=2)
+
+    rng = np.random.default_rng(7)
+    u0 = _stage_cube(dec, BD, N, rng.random((N, N, N), np.float32))
+    c0 = _stage_cube(dec, BD, N,
+                     1.0 + 0.3 * rng.random((N, N, N), np.float32))
+    w = np.array(_stage_cube(dec, BD, N,
+                             rng.random((N, N, N), np.float32)))
+    w[dec.sep_pos[1]:] = 0.0
+    w[0] = 0.0
+    w = jnp.asarray(w)
+
+    own = np.unique(np.asarray(tg)[1:-1, 1:-1, 0])
+    o1, o2 = f1(f1(u0, c0), c0), f2(u0, c0)
+    assert float(jnp.max(jnp.abs(o1[own] - o2[own]))) == 0.0
+
+    g1 = jax.grad(lambda uv: jnp.sum(f1(f1(uv[0], uv[1]), uv[1])
+                                     * w))((u0, c0))
+    g2 = jax.grad(lambda uv: jnp.sum(f2(uv[0], uv[1]) * w))((u0, c0))
+    for a, b in zip(g1, g2):
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+
+@pytest.mark.slow
+def test_fused_system_sweep_grads_match_composed():
+    """differentiable_poly_system_sweep(fuse=2) on a coupled system:
+    fused forward + recompute pullback vs two composed unfused steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.codegen.autodiff import (
+        differentiable_poly_system_sweep)
+    from bricklib_tpu.comm import BrickDecomp, skinlist_by_name
+
+    i, j, k = Index(0), Index(1), Index(2)
+    u, v = Grid("u", 3), Grid("v", 3)
+    ou, ov = Grid("ou", 3), Grid("ov", 3)
+    lap_u = (u(i + 1, j, k) + u(i - 1, j, k) + u(i, j + 1, k)
+             + u(i, j - 1, k) + u(i, j, k + 1) + u(i, j, k - 1)
+             - 6.0 * u(i, j, k))
+    ou(i, j, k).assign(u(i, j, k) + ConstRef("a") * lap_u
+                       - ConstRef("b") * u(i, j, k) * v(i, j, k))
+    ov(i, j, k).assign(v(i, j, k)
+                       + ConstRef("b") * u(i, j, k) * v(i, j, k))
+    sds = load_stencil_module({"STENCIL": [ou, ov]})
+    params = {"a": 0.08, "b": 0.05}
+
+    N = 16
+    BD = (4, 4, N)
+    dec = BrickDecomp(dims=(N, N, N), ghost_depth=(4, 4, 0),
+                      bdims=BD).initialize(skinlist_by_name("good", 3))
+    tg = dec.periodic_grid((0, 1, 2))
+    f1 = differentiable_poly_system_sweep(
+        sds, tg, BD, dec.nbricks, ("u", "v"), params, interpret=True)
+    f2 = differentiable_poly_system_sweep(
+        sds, tg, BD, dec.nbricks, ("u", "v"), params, interpret=True,
+        fuse=2)
+
+    rng = np.random.default_rng(9)
+    u0 = _stage_cube(dec, BD, N,
+                     0.5 * rng.random((N, N, N), np.float32))
+    v0 = _stage_cube(dec, BD, N,
+                     0.5 * rng.random((N, N, N), np.float32))
+    w = np.array(_stage_cube(dec, BD, N,
+                             rng.random((N, N, N), np.float32)))
+    w[dec.sep_pos[1]:] = 0.0
+    w[0] = 0.0
+    w = jnp.asarray(w)
+
+    def two_unfused(uv):
+        a, b = f1(*uv)
+        return f1(a, b)
+
+    def loss1(uv):
+        a, b = two_unfused(uv)
+        return jnp.sum(a * w) + jnp.sum(b * w)
+
+    def loss2(uv):
+        a, b = f2(*uv)
+        return jnp.sum(a * w) + jnp.sum(b * w)
+
+    own = np.unique(np.asarray(tg)[1:-1, 1:-1, 0])
+    (a1, b1), (a2, b2) = two_unfused((u0, v0)), f2(u0, v0)
+    assert float(jnp.max(jnp.abs(a1[own] - a2[own]))) == 0.0
+    assert float(jnp.max(jnp.abs(b1[own] - b2[own]))) == 0.0
+
+    g1 = jax.grad(loss1)((u0, v0))
+    g2 = jax.grad(loss2)((u0, v0))
+    for a, b in zip(g1, g2):
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+
+@pytest.mark.slow
+def test_problem_fused_differentiable_step_cond():
+    """Problem.differentiable_step on cond with st_iter=2 (auto-fused
+    generic path): the FUSED differentiable step's gradient matches
+    dense AD through two composed steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import from_bricks
+
+    N = 16
+    dims = (N, N, N)
+
+    def make():
+        return Problem(dims=dims, stencil="cond", bdims=(4, 4, N),
+                       backend="pencil", st_iter=2,
+                       params=_COND_PARAMS)
+
+    p = make()
+    assert p.fuse == 2    # cond auto-fuses (generic_pass_estimate)
+    fn = p.differentiable_step()
+    rng = np.random.default_rng(17)
+    u0 = rng.random(dims, np.float32) - 0.45
+    w = rng.random(dims, np.float32)
+    p.init(array=u0)
+    xb = p._dats[0]
+    wp = make()
+    wp.init(array=w)
+    wb = jnp.where(p.owned_mask(), wp._dats[0], 0.0)
+
+    gb = jax.grad(lambda d: jnp.sum(fn(d) * wb))(xb)
+
+    def dense2(v):
+        for _ in range(2):
+            v = _dense_multi(stencil_by_name("cond")[0], {"bIn": v},
+                             _COND_PARAMS)
+        return jnp.sum(v * jnp.asarray(w))
+
+    want = np.asarray(jax.grad(dense2)(jnp.asarray(u0)))
+    own = from_bricks(np.asarray(gb).reshape(p.dec.nbricks, -1),
+                      p.dec.interior_grid(), p.bdims)
+    np.testing.assert_allclose(own, want, rtol=2e-5, atol=2e-5)
