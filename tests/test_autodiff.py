@@ -1546,3 +1546,54 @@ def test_problem_fused_differentiable_step_cond():
     own = from_bricks(np.asarray(gb).reshape(p.dec.nbricks, -1),
                       p.dec.interior_grid(), p.bdims)
     np.testing.assert_allclose(own, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_problem_cond_diff_step_distributed():
+    """DISTRIBUTED cond (If/max): the piecewise exact pullback runs on
+    a (2, 2, 1) mesh — gate masks recompute from exchanged residual
+    views, ghost cotangent rides the exchange transpose — vs global
+    dense AD.  (Round 4 rejected this case outright; round 5's
+    symbolic differentiator serves it on the same poly path.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import from_bricks
+
+    mesh = (2, 2, 1)
+    dims = (8, 8, 32)
+    sd = stencil_by_name("cond")[0]
+
+    def make():
+        return Problem(dims=dims, mesh=mesh, stencil="cond",
+                       params=_COND_PARAMS, bdims=(4, 4, dims[2]),
+                       backend="pencil", st_iter=1)
+
+    p = make()
+    fn = p.differentiable_step()
+    wmask = p.owned_mask()
+
+    gshape = tuple(m * d for m, d in zip(mesh, dims))
+    rng = np.random.default_rng(23)
+    u0 = rng.random(gshape, np.float32) - 0.45
+    w = rng.random(gshape, np.float32)
+    p.init(array=u0)
+    wp = make()
+    wp.init(array=w)
+    wb = jnp.where(wmask, wp._dats[0], 0.0)
+
+    gu = jax.grad(lambda d: jnp.sum(fn(d) * wb))(p._dats[0])
+
+    want = np.asarray(jax.grad(lambda v: jnp.sum(
+        _dense_multi(sd, {"bIn": v}, _COND_PARAMS)
+        * jnp.asarray(w)))(jnp.asarray(u0)))
+    nb = p.dec.nbricks
+    gn = np.asarray(gu)
+    for r, cpos in enumerate(np.ndindex(*mesh)):
+        own = from_bricks(gn[r * nb:(r + 1) * nb].reshape(nb, -1),
+                          p.dec.interior_grid(), p.bdims)
+        sl = tuple(slice(cpos[a] * dims[a], (cpos[a] + 1) * dims[a])
+                   for a in range(3))
+        np.testing.assert_allclose(own, want[sl], rtol=2e-5,
+                                   atol=2e-5)

@@ -78,3 +78,34 @@ def test_rep_composes_iterations():
     out = f(jnp.ones((2,)))
     assert float(out[0]) == 8.0
     barrier(out)  # smoke: scalar readback on an array leaf
+
+
+def test_autotune_rank_builders_construct():
+    """tools/autotune.py rank builders assemble their variant tables
+    without tracing (hardware-only measurement stays on the chip; this
+    guards the plumbing: item shapes, data keys, SOL wiring)."""
+    import importlib.util
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "autotune", "tools/autotune.py")
+    at = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(at)
+
+    args = types.SimpleNamespace(stencil="mpi7pt", domain=0,
+                                 bdim="4,4,0")
+    for rank, build, nmin in ((3, at.build_rank3, 4),
+                              (2, at.build_rank2, 3),
+                              (4, at.build_rank4, 3)):
+        if rank == 3:
+            args.domain = 32
+        elif rank == 2:
+            args.domain = 512
+        items, datas, sols, meta = build(args, [2])
+        assert len(items) >= nmin, (rank, sorted(items))
+        for k, (fn, per, dk, sk) in items.items():
+            assert callable(fn) and per >= 1
+            assert dk in datas, (rank, k, dk)
+            assert sk in sols or sk == meta["sentinel"], (rank, k, sk)
+        for k, (fn, r, dk, nbytes) in sols.items():
+            assert dk in datas and nbytes > 0
