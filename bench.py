@@ -42,10 +42,11 @@ def _supervise() -> int:
     from bricklib_tpu.bench.roofline import run_bounded
 
     env = dict(os.environ, BRICK_BENCH_INNER="1")
-    # budget covers ~17 Mosaic first-compiles (round 4 added the
-    # 125pt-MXU, strong and 2-D legs) + 4 interleaved measurement
-    # rounds
-    budget = int(os.environ.get("BRICK_BENCH_TPU_TIMEOUT_S", "2100"))
+    # budget covers ~21 Mosaic first-compiles (round 4 added the
+    # 125pt-MXU, strong and 2-D legs; round 5 the fused-training leg:
+    # fused fwd + fused adjoint + unfused fwd/adjoint) + 4 interleaved
+    # measurement rounds
+    budget = int(os.environ.get("BRICK_BENCH_TPU_TIMEOUT_S", "2300"))
     rc, out, err = run_bounded([sys.executable, os.path.abspath(__file__)],
                                budget, env=env)
     if rc == 0 and out.strip():
@@ -165,6 +166,30 @@ def main():
         k7bf = rep(pallas_pencil_sweep(
             stencil_by_name("s7pt")[0], tgrid, BD, nb, params,
             dtype=jnp.bfloat16, compute_dtype=jnp.float32))
+
+    # fused TRAINING step (round 5): forward + exact pullback of the
+    # F=4 fused linear step vs the unfused one — the linear fused
+    # adjoint is the F-fused adjoint sweep, so fwd AND bwd keep the
+    # 1/F HBM traffic; one call = 1 VJP covering F iterations
+    if on_tpu and not minimal:
+        from bricklib_tpu.codegen.autodiff import (
+            differentiable_pencil_sweep)
+
+        dk_f4 = differentiable_pencil_sweep(
+            stencil_by_name("s7pt")[0], tgrid, BD, nb, params, fuse=4)
+        dk_f1 = differentiable_pencil_sweep(
+            stencil_by_name("s7pt")[0], tgrid, BD, nb, params,
+            lookahead=2)
+
+        TR = max(R // 2, 1)   # VJP evaluations per chained call
+
+        def train_of(kern):
+            def one(d):
+                out, vjp = jax.vjp(kern, d)
+                return vjp(out)[0]
+            return rep(one, TR)
+
+        train_f4, train_f1 = train_of(dk_f4), train_of(dk_f1)
 
     # honest distributed config — THE HEADLINE: real ghost bricks +
     # SHIFT exchange + deep-ghost ST_ITER=8 run as two temporally-FUSED
@@ -319,7 +344,11 @@ def main():
             items.update({"125pt_mxu": (k125mxu, R),
                           "strong": (strong, ST_ITER),
                           "2d_9pt_f4": (k2d_f4, 4 * R),
-                          "copy_2d": (dma_copy_2d, R)})
+                          "copy_2d": (dma_copy_2d, R),
+                          # per TRAINING iteration = one fwd+bwd of one
+                          # stencil step; the F=4 call covers 4 of them
+                          "train_f4": (train_f4, 4 * TR),
+                          "train_f1": (train_f1, TR)})
     times = {k: [] for k in items}
     bufs = {k: fresh(s) for s, k in enumerate(items)}
     for k in ("7pt_bf16", "copy_bf16", "honest_bf16"):
@@ -401,6 +430,15 @@ def main():
                     "sol_copy_2d_gb_s": round(
                         2 * N2 * N2 * 4 / best["copy_2d"] / 1e9, 1),
                 }} if "2d_9pt_f4" in best else {}),
+            **({"training": {
+                    "config": ("7pt fwd+exact-VJP per stencil step; "
+                               "f4 = one fused fwd + fused adjoint "
+                               "sweep covering 4 steps"),
+                    "f4_per_iter_ms": round(best["train_f4"] * 1e3, 3),
+                    "f1_per_iter_ms": round(best["train_f1"] * 1e3, 3),
+                    "fused_speedup": round(
+                        best["train_f1"] / best["train_f4"], 3),
+                }} if "train_f4" in best else {}),
             # strong vs_sol is judged against the WEAK-storage ideal
             # stencil rate, so ghost-shell read amplification counts
             # as real strong-decomposition overhead
