@@ -39,7 +39,8 @@ class Problem:
     def __init__(self, dims, stencil="mpi7pt", params=None,
                  bdims=None, ghost=None, mesh=(1, 1, 1),
                  backend="auto", dtype=np.float32, st_iter=1,
-                 exchange="shift", field=None, slices=1):
+                 exchange="shift", field=None, slices=1,
+                 schedule=None):
         """``exchange``: "shift" (XLA-level multi-stage ppermutes) or
         "fused" (pencil backend, remote DMAs issued inside the first
         sweep kernel, overlapped with its interior k-stream).
@@ -57,7 +58,26 @@ class Problem:
         the input grid each output replaces.  Every step exchanges all
         evolving fields, then computes every output from the PRE-step
         fields (Jacobi update); :meth:`init` takes ``array={name:
-        global_array}`` and :meth:`result` returns a dict."""
+        global_array}`` and :meth:`result` returns a dict.
+
+        ``schedule``: optional dict of user-facing tuning knobs — the
+        runtime analog of the reference codegen CLI's
+        ``--thres/--msize/--limit/--unroll``
+        (codegen/vecscatter:22-36); everything defaults to the
+        measured auto policy and :meth:`describe` reports the choice.
+        Keys (pencil backends only):
+
+        - ``fuse``: force the temporal fuse factor (must divide the
+          sweep budget and fit the ghost halo; ``1`` disables
+          auto-fuse) — the ST_ITER-amortization lever.
+        - ``fuse_passes``: auto-fuse profitability threshold (VPU row
+          passes; default ``ir.PASS_FUSE_MAX`` 30) — the THRES analog.
+        - ``lookahead``: DMA window prefetch depth for unfused 3-D
+          sweeps (default 2; fused sweeps are VPU-bound and ignore it).
+        - ``tile_j``: j-tile override, 3-D/4-D (default: largest tile
+          fitting the VMEM budget) — the MSIZE/DSPLIT analog.
+        - ``vmem_limit_mb``: scoped-VMEM budget the tile chooser and
+          Mosaic get (default 110) — the LIMIT analog."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -89,6 +109,13 @@ class Problem:
             raise ValueError("slices must be >= 1")
         self.eff_mesh = ((self.slices * self.mesh_shape[0],)
                          + self.mesh_shape[1:])
+        self.schedule = dict(schedule or {})
+        _sched_keys = {"fuse", "fuse_passes", "lookahead", "tile_j",
+                       "vmem_limit_mb"}
+        bad = set(self.schedule) - _sched_keys
+        if bad:
+            raise ValueError(f"unknown schedule keys {sorted(bad)}; "
+                             f"valid: {sorted(_sched_keys)}")
         if isinstance(stencil, str):
             sdefs = [stencil_by_name(stencil)[0]]
         elif isinstance(stencil, StencilDef):
@@ -160,6 +187,9 @@ class Problem:
             raise ValueError("pencil backend is 2-D/3-D/4-D; use "
                              "backend='jnp' for other ranks")
         self.backend = backend
+        if self.schedule and backend != "pencil":
+            raise ValueError(f"schedule= tunes the pencil backends; "
+                             f"backend is {backend!r}")
         if backend == "mxu":
             # flat-pencil MXU sweep (codegen.mxu_kernel): single
             # linear evolving field, 3-D, fuse=1, shift exchange
@@ -229,6 +259,23 @@ class Problem:
         rad = max(max(max(lo_r), max(hi_r))
                   for lo_r, hi_r in (s.radius() for s in sdefs))
         dec, msh, bd = self.dec, self.eff_mesh, self.bdims
+        # user schedule overrides (pencil backends); fuse=None = auto
+        _sch = self.schedule
+        _sch_fuse = _sch.get("fuse")
+        _sch_fuse = None if _sch_fuse is None else int(_sch_fuse)
+        _pass_max_user = _sch.get("fuse_passes")
+        _sch_kw = {}
+        if "vmem_limit_mb" in _sch:
+            _sch_kw["vmem_limit_bytes"] = int(
+                float(_sch["vmem_limit_mb"]) * 2 ** 20)
+
+        def _fit_fuse(req, budget, halo_ok):
+            if budget % req or not budget or not halo_ok(req):
+                raise ValueError(
+                    f"schedule fuse={req} must divide the sweep "
+                    f"budget ({budget}) and fit the halo "
+                    f"(fuse*radius within the brick/ghost depth)")
+            return req
         if backend == "pencil" and nd == 2:
             # 2-D fast path (codegen.pencil_kernel_2d): whole-row
             # pencils (BY, X), the y-contraction on the MXU for linear
@@ -253,7 +300,13 @@ class Problem:
             # DMA-bound gate as 3-D (pass estimate <= PASS_FUSE_MAX);
             # single-field single-input only (like the emitter).
             fuse = 1
-            if nfld == 1 and not self.aux_names:
+            if _sch_fuse is not None:
+                if _sch_fuse > 1 and (nfld > 1 or self.aux_names):
+                    raise ValueError("2-D fusion is single-field "
+                                     "single-input only")
+                fuse = _fit_fuse(_sch_fuse, self.st_iter,
+                                 lambda c: c * rad <= bd[0])
+            elif nfld == 1 and not self.aux_names:
                 np_ = _passes(sdefs[0], self.params)
                 if np_ is None:
                     from .codegen.ir import generic_pass_estimate
@@ -261,7 +314,9 @@ class Problem:
                     np_ = generic_pass_estimate(sdefs[0])
                 from .codegen.ir import PASS_FUSE_MAX
 
-                if np_ is not None and np_ <= PASS_FUSE_MAX:
+                pass_max = (PASS_FUSE_MAX if _pass_max_user is None
+                            else int(_pass_max_user))
+                if np_ is not None and np_ <= pass_max:
                     for cand in (4, 2):
                         if (self.st_iter % cand == 0 and self.st_iter
                                 and cand * rad <= bd[0]):
@@ -275,6 +330,9 @@ class Problem:
 
             sd_or_sys = sdefs if nfld > 1 else self.sdef
             fkw2 = dict(fuse=fuse) if fuse > 1 else {}
+            fkw2.update(_sch_kw)
+            if "lookahead" in _sch:
+                fkw2["lookahead"] = int(_sch["lookahead"])
             k2 = pallas_pencil_sweep_2d(
                 sd_or_sys, kgrid, bd, dec.nbricks, self.params,
                 y_range=_yr(1), dtype=jnp.dtype(self.dtype), **fkw2)
@@ -362,7 +420,15 @@ class Problem:
             fused_x = exchange == "fused" and distributed
             fuse = 1
             budget_iters = self.st_iter - 1 if fused_x else self.st_iter
-            if nd in (3, 4):
+            if _sch_fuse is not None:
+                if _sch_fuse > 1 and nd == 4 and (nfld > 1
+                                                  or self.aux_names):
+                    raise ValueError("4-D fusion is single-field "
+                                     "single-input only")
+                fuse = _fit_fuse(
+                    _sch_fuse, budget_iters,
+                    lambda c: all(c * rad <= b for b in bd[:-1]))
+            elif nd in (3, 4):
                 np_ = (_passes(sdefs[0], self.params)
                        if nfld == 1 and not self.aux_names else None)
                 if np_ is None and nfld == 1 and not self.aux_names:
@@ -385,7 +451,10 @@ class Problem:
                 if np_ is not None:
                     from .codegen.ir import PASS_FUSE_MAX
 
-                    cands = (4, 2) if np_ <= PASS_FUSE_MAX else ()
+                    pass_max = (PASS_FUSE_MAX
+                                if _pass_max_user is None
+                                else int(_pass_max_user))
+                    cands = (4, 2) if np_ <= pass_max else ()
                 elif nd == 3 and max(len(s.taps)
                                      for s in sdefs) <= 7:
                     cands = (4, 2)
@@ -402,7 +471,11 @@ class Problem:
             # of DMA lookahead buys ~4% of roofline in 3-D and ~1%
             # (neutral-or-better) in 4-D (measured; fused sweeps are
             # VPU-bound and gain nothing, la3 regresses)
-            fkw = dict(fuse=fuse) if fuse > 1 else dict(lookahead=2)
+            fkw = (dict(fuse=fuse) if fuse > 1
+                   else dict(lookahead=int(_sch.get("lookahead", 2))))
+            fkw.update(_sch_kw)
+            if "tile_j" in _sch:
+                fkw["tile_j"] = int(_sch["tile_j"])
             # storage dtype threads into the kernels (bf16 halves HBM
             # traffic; taps still accumulate in f32 compute_dtype)
             fkw["dtype"] = jnp.dtype(self.dtype)
@@ -1209,6 +1282,8 @@ class Problem:
             "dtype": np.dtype(self.dtype).name,
             "fields": list(self.fields), "aux": list(self.aux_names),
             "exchange_axes": per_axis,
+            **({"schedule": dict(self.schedule)} if self.schedule
+               else {}),
             **self._exec_plan,
         }
 

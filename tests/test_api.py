@@ -239,3 +239,89 @@ def test_export_fused_rollout_roundtrip(tmp_path):
     q.init(array=g).step(3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(q._dats[0]),
                                rtol=0, atol=0)
+
+
+def test_problem_schedule_knobs():
+    """User-facing schedule overrides (the vecscatter
+    --thres/--msize/--limit/--unroll analog,
+    /root/reference/codegen/vecscatter:22-36): forced fuse beats the
+    auto policy both ways, fuse_passes moves the auto gate, tile_j /
+    vmem_limit_mb thread into the kernel plan, and invalid requests
+    fail loudly at construction."""
+    kw = dict(dims=(16, 16, 32), bdims=(8, 8, 32), mesh=(1, 1, 1),
+              backend="pencil")
+    # force DOWN: 7pt auto-fuses to 4; schedule pins 2, then 1
+    assert Problem(stencil="mpi7pt", st_iter=8,
+                   schedule=dict(fuse=2), **kw).fuse == 2
+    assert Problem(stencil="mpi7pt", st_iter=8,
+                   schedule=dict(fuse=1), **kw).fuse == 1
+    # force UP: 27pt (46 passes) stays unfused by policy; explicit
+    # fuse or a raised fuse_passes threshold overrides it
+    assert Problem(stencil="s27pt", st_iter=8,
+                   schedule=dict(fuse=2), **kw).fuse == 2
+    assert Problem(stencil="s27pt", st_iter=8,
+                   schedule=dict(fuse_passes=100), **kw).fuse == 4
+    assert Problem(stencil="s27pt", st_iter=8,
+                   schedule=dict(fuse_passes=10), **kw).fuse == 1
+    # tile_j / vmem budget reach the kernel and describe() reports them
+    p = Problem(stencil="mpi7pt", st_iter=1,
+                schedule=dict(tile_j=1, vmem_limit_mb=64), **kw)
+    d = p.describe()
+    assert d["schedule"] == {"tile_j": 1, "vmem_limit_mb": 64}
+    assert d["kernels"][0]["tile_j"] == 1
+    assert p._plan_kern0.vmem_limit_bytes == 64 * 2 ** 20
+    # invalid: fuse must divide the budget and fit the halo
+    with pytest.raises(ValueError, match="sweep budget"):
+        Problem(stencil="mpi7pt", st_iter=3, schedule=dict(fuse=2),
+                **kw)
+    with pytest.raises(ValueError, match="sweep budget"):
+        Problem(stencil="mpi25pt", st_iter=4, schedule=dict(fuse=4),
+                **kw)   # radius 4 * fuse 4 > min(bd[:-1]) = 8
+    with pytest.raises(ValueError, match="unknown schedule"):
+        Problem(stencil="mpi7pt", schedule=dict(unroll=2), **kw)
+    with pytest.raises(ValueError, match="pencil"):
+        Problem(dims=(16, 16, 32), bdims=(8, 8, 32), backend="jnp",
+                schedule=dict(fuse=2))
+
+
+def test_problem_schedule_fuse_matches_dense():
+    """A schedule-forced fuse factor stays numerically exact: 27pt
+    st_iter=2 forced F=2 equals two dense iterations (auto policy
+    would run it unfused)."""
+    g = random_array((16, 16, 32), np.float32, 77)
+    p = Problem(dims=(16, 16, 32), stencil="s27pt", st_iter=2,
+                bdims=(8, 8, 32), mesh=(1, 1, 1), backend="pencil",
+                schedule=dict(fuse=2))
+    assert p.fuse == 2
+    p.init(array=g).step(1)
+    want = _dense_steps(g, "s27pt", 2, p.params)
+    assert compare_arrays(p.result(), want, 1e-4)
+
+
+def test_problem_schedule_2d_fuse():
+    """2-D rank takes the same schedule surface (trapezoid fuse)."""
+    from bricklib_tpu.st.expr import ConstRef, Index
+    from bricklib_tpu.st.grid import Grid
+    from bricklib_tpu.st.loader import load_stencil_module
+
+    i, j = Index(0), Index(1)
+    gr, o = Grid("in", 2), Grid("out", 2)
+    o(i, j).assign(ConstRef("a") * gr(i, j)
+                   + ConstRef("b") * (gr(i + 1, j) + gr(i - 1, j)
+                                      + gr(i, j + 1) + gr(i, j - 1)))
+    sd = load_stencil_module({"STENCIL": [o]})[0]
+    params = {"a": 0.4, "b": 0.15}
+    g = random_array((16, 128), np.float32, 5)
+    p = Problem(dims=(16, 128), stencil=sd, params=params, st_iter=2,
+                bdims=(4, 128), backend="pencil",
+                schedule=dict(fuse=2))
+    assert p.fuse == 2
+    p.init(array=g).step(1)
+    sdl = stencil_by_name  # noqa: F841  (stencil built inline above)
+    lo, hi = sd.radius()
+    want = np.asarray(g)
+    for _ in range(2):
+        wp = np.pad(want, [(l, h) for l, h in zip(lo, hi)],
+                    mode="wrap")
+        want = dense_apply(sd, {"in": wp}, p.params, xp=np)
+    assert compare_arrays(p.result(), want, 1e-4)

@@ -270,13 +270,44 @@ def test_problem_2d_differentiable_step_distributed():
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_problem_2d_differentiable_rejects_nonlinear():
-    from bricklib_tpu.api import Problem
+def test_problem_2d_differentiable_piecewise_exact():
+    """2-D piecewise (If/max) stencils differentiate EXACTLY (round 5:
+    the symbolic differentiator's gate masks replace the old
+    non-polynomial rejection) — Problem.differentiable_step gradient
+    matches dense AD."""
+    import jax
 
-    p = Problem(dims=(16, 16), stencil=_nonlin(), bdims=(4, 16),
-                backend="pencil")
-    with pytest.raises(ValueError, match="non-polynomial"):
-        p.differentiable_step()
+    from bricklib_tpu.api import Problem
+    from bricklib_tpu.core import from_bricks
+
+    sd = _nonlin()
+    N = 16
+
+    def make():
+        return Problem(dims=(N, N), stencil=sd, bdims=(4, N),
+                       backend="pencil")
+
+    p = make()
+    fn = p.differentiable_step()
+    rng = np.random.default_rng(9)
+    u0 = (rng.random((N, N)) - 0.45).astype(np.float32)
+    w = rng.random((N, N)).astype(np.float32)
+    p.init(array=u0)
+    q = make()
+    q.init(array=w)
+    wb = jnp.where(p.owned_mask(), q._dats[0], 0.0)
+    gb = jax.grad(lambda d: jnp.sum(fn(d) * wb))(p._dats[0])
+
+    def dense(v):
+        lo, hi = sd.radius()
+        vp = jnp.pad(v, [(l, h) for l, h in zip(lo, hi)], mode="wrap")
+        return dense_apply(sd, {"in": vp}, p.params, xp=jnp)
+
+    want = np.asarray(jax.grad(
+        lambda v: jnp.sum(dense(v) * jnp.asarray(w)))(jnp.asarray(u0)))
+    own = from_bricks(np.asarray(gb).reshape(p.dec.nbricks, -1),
+                      p.dec.interior_grid(), p.bdims)
+    np.testing.assert_allclose(own, want, rtol=2e-5, atol=2e-5)
 
 
 def test_problem_2d_rollout_matches_step():

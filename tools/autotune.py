@@ -25,9 +25,11 @@ Ranks (round-5: one tool tunes every rank's schedule):
 - ``--rank 3`` (default): ``--stencil`` x {la1, la2, fuse F in
   --fuse-list that fit the brick, mxu (125pt), la2_bf16 (bf16 storage,
   f32 compute, judged vs the bf16 copy SOL)}.
-- ``--rank 2``: the bench's 9pt box on (8, N) row pencils x {f1,
-  trapezoid F in --fuse-list, f1_bf16}; default domain 16384 (the
-  4096^2 config's copy was fixed-cost-dominated, tools/diag_2d_copy).
+- ``--rank 2``: the bench's 9pt box on (BY, N) row pencils for each
+  BY in ``--by`` x {f1, trapezoid F in --fuse-list} (+ f1_bf16 at the
+  first BY); default domain 16384 (the 4096^2 config's copy was
+  fixed-cost-dominated, tools/diag_2d_copy) and BY 8,32,64 (taller
+  bricks cut per-row grid overhead and trapezoid recompute).
 - ``--rank 4``: mpi9pt at the bench_4d config (brick (4,8,8,512),
   interior (16,64,128,512)) x {la1, la2, f2}; F=4 excluded (Mosaic
   compile hangs at this size, CLAUDE.md).  vs_sol is generous here
@@ -127,8 +129,12 @@ def build_rank3(args, fuse_list):
 
 
 def build_rank2(args, fuse_list):
-    """2-D bench-config 9pt box on (8, N) row pencils: {f1, trapezoid
-    fF, f1_bf16} vs the 2-D storage copy."""
+    """2-D bench-config 9pt box on (BY, N) row pencils: {f1, trapezoid
+    fF} per ``--by`` brick depth, plus f1_bf16 at the first BY, vs the
+    2-D storage copy.  Taller bricks cut BOTH the per-row pallas-grid
+    overhead (GY = N/BY steps) and the trapezoid recompute
+    amplification ``1 + (F-1)*(lo+hi)/BY`` — the round-5 lever for the
+    honest-denominator 2-D ratio."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -141,7 +147,7 @@ def build_rank2(args, fuse_list):
 
     R = 8
     N2 = args.domain or 16384
-    BD = (8, N2)
+    by_list = [int(b) for b in args.by.split(",") if b]
     i, j = Index(0), Index(1)
     g, o = Grid("in", 2), Grid("out", 2)
     o(i, j).assign(
@@ -151,34 +157,38 @@ def build_rank2(args, fuse_list):
         + ConstRef("0.02") * (g(i + 1, j + 1) + g(i - 1, j + 1)
                               + g(i + 1, j - 1) + g(i - 1, j - 1)))
     sd = load_stencil_module({"STENCIL": [o]})[0]
-    grid2, info2 = init_grid((N2 // BD[0], 1))
-    t2d = np.asarray(grid2)[:, 0].copy()
-    t2d[0], t2d[-1] = t2d[-2], t2d[1]     # periodic y table
-    nb = info2.nbricks
-
-    datas = {"f32": np.random.default_rng(1).standard_normal(
-        (nb,) + BD).astype(np.float32)}
-    datas["bf16"] = datas["f32"].astype(jnp.bfloat16)
-    items = {"f1": (rep(pallas_pencil_sweep_2d(sd, t2d, BD, nb, {}),
-                        R), R, "f32", "copy")}
-    for F in fuse_list:
-        if F > BD[0]:     # trapezoid needs F * rad <= BY (rad = 1)
-            print(f"# fuse={F} exceeds BY={BD[0]} — skipped",
-                  file=sys.stderr)
-            continue
-        items[f"f{F}"] = (rep(pallas_pencil_sweep_2d(
-            sd, t2d, BD, nb, {}, fuse=F), R), F * R, "f32", "copy")
-    items["f1_bf16"] = (rep(pallas_pencil_sweep_2d(
-        sd, t2d, BD, nb, {}, dtype=jnp.bfloat16), R), R, "bf16",
-        "copy_bf16")
-    sols = {
-        "copy": (rep(make_dma_copy(nb, BD, jnp.float32), R), R, "f32",
-                 2 * nb * 8 * N2 * 4),
-        "copy_bf16": (rep(make_dma_copy(nb, BD, jnp.bfloat16), R), R,
-                      "bf16", 2 * nb * 8 * N2 * 2),
-    }
-    meta = {"stencil": "9pt_box_2d", "domain": N2, "brick": list(BD),
-            "sentinel": "sentinel_3d"}
+    items, datas, sols = {}, {}, {}
+    for n_by, BY in enumerate(by_list):
+        BD = (BY, N2)
+        grid2, info2 = init_grid((N2 // BY, 1))
+        t2d = np.asarray(grid2)[:, 0].copy()
+        t2d[0], t2d[-1] = t2d[-2], t2d[1]     # periodic y table
+        nb = info2.nbricks
+        dk = f"f32_by{BY}"
+        datas[dk] = np.random.default_rng(1).standard_normal(
+            (nb,) + BD).astype(np.float32)
+        ck = f"copy_by{BY}"
+        sols[ck] = (rep(make_dma_copy(nb, BD, jnp.float32), R), R, dk,
+                    2 * nb * BY * N2 * 4)
+        items[f"by{BY}_f1"] = (rep(pallas_pencil_sweep_2d(
+            sd, t2d, BD, nb, {}), R), R, dk, ck)
+        for F in fuse_list:
+            if F > BY:    # trapezoid needs F * rad <= BY (rad = 1)
+                print(f"# fuse={F} exceeds BY={BY} — skipped",
+                      file=sys.stderr)
+                continue
+            items[f"by{BY}_f{F}"] = (rep(pallas_pencil_sweep_2d(
+                sd, t2d, BD, nb, {}, fuse=F), R), F * R, dk, ck)
+        if n_by == 0:     # bf16 honest config at the first BY only
+            datas[f"bf16_by{BY}"] = datas[dk].astype(jnp.bfloat16)
+            sols[f"copy_bf16_by{BY}"] = (
+                rep(make_dma_copy(nb, BD, jnp.bfloat16), R), R,
+                f"bf16_by{BY}", 2 * nb * BY * N2 * 2)
+            items[f"by{BY}_f1_bf16"] = (rep(pallas_pencil_sweep_2d(
+                sd, t2d, BD, nb, {}, dtype=jnp.bfloat16), R), R,
+                f"bf16_by{BY}", f"copy_bf16_by{BY}")
+    meta = {"stencil": "9pt_box_2d", "domain": N2,
+            "by_list": by_list, "sentinel": "sentinel_3d"}
     return items, datas, sols, meta
 
 
@@ -245,6 +255,10 @@ def main(argv=None):
     ap.add_argument("--bdim", default="8,8,0",
                     help="rank-3 BK,BJ,BI (BI 0 = full-domain pencil)")
     ap.add_argument("--fuse-list", default="2,4")
+    ap.add_argument("--by", default="8,32,64",
+                    help="rank-2 brick depths BY to cross with the "
+                         "fuse list (taller = less trapezoid "
+                         "recompute + fewer grid steps)")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--quiet-gbs", type=float, default=330.0,
                     help="sentinel copy bandwidth that counts as a "
