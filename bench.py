@@ -300,9 +300,13 @@ def main():
         # enough that fixed per-pallas-call cost dominated its copy
         # (97 GB/s in-jit vs 459 at 16384^2 on the same quiet window,
         # tools/diag_2d_copy.py) and the round-4 "vs 2-D SOL" ratio
-        # stood on that soft denominator (round-4 verdict item 1)
+        # stood on that soft denominator (round-4 verdict item 1).
+        # BY=32 (round 5, autotune --rank 2 BYx{f1,f2,f4} campaign):
+        # taller bricks cut per-row grid overhead AND trapezoid
+        # recompute (1+(F-1)*2/BY: 1.75x at BY=8 -> 1.19x at BY=32) —
+        # by32_f4 5.06 ms/iter vs by8_f4 6.97 interleaved same rounds
         N2 = 16384
-        BD2 = (8, N2)
+        BD2 = (32, N2)
         _i2, _j2 = _I(0), _I(1)
         _g2, _o2 = _G("in", 2), _G("out", 2)
         _o2(_i2, _j2).assign(
@@ -421,7 +425,7 @@ def main():
                 } if "125pt_mxu" in best else {}),
             **({"pencil_2d": {
                     "config": (f"{N2}^2 9pt box, fuse=4, brick "
-                               f"(8, {N2})"),
+                               f"({BD2[0]}, {N2})"),
                     "gstencil_s": round(
                         N2 * N2 / best["2d_9pt_f4"] / 1e9, 3),
                     "per_iter_ms": round(best["2d_9pt_f4"] * 1e3, 3),

@@ -200,7 +200,13 @@ class Problem:
                 raise ValueError("backend='mxu' uses exchange='shift'")
         if bdims is None:
             if backend in ("pencil", "mxu"):
-                bdims = ((8, self.dims[1]) if nd == 2
+                # 2-D default BY: 32 when the domain affords >= 4 brick
+                # rows (measured round 5, autotune --rank 2: taller
+                # bricks cut per-row grid overhead and trapezoid
+                # recompute — by32_f4 1.38x by8_f4 at 16384^2), else 8
+                by2 = (32 if nd == 2 and self.dims[0] % 32 == 0
+                       and self.dims[0] >= 128 else 8)
+                bdims = ((by2, self.dims[1]) if nd == 2
                          else (8, 8, self.dims[2]) if nd == 3
                          else (2, 8, 8, self.dims[3]))
             else:

@@ -626,3 +626,36 @@ def test_problem_2d_fused_differentiable_step():
     got = from_bricks(np.asarray(g).reshape(p.dec.nbricks, -1),
                       p.dec.interior_grid(), p.bdims)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_2d_tall_brick_by32_fused():
+    """BY=32 (the measured round-5 bench winner: taller bricks cut
+    per-row grid overhead and trapezoid recompute) stays numerically
+    exact fused: F=4 equals 4 composed sweeps, and the default 2-D
+    Problem bdims pick BY=32 for large divisible domains."""
+    from bricklib_tpu.api import Problem
+
+    by, X, ny = 32, 128, 64
+    grid, info = init_grid((ny // by + 2, 1))
+    t1 = np.asarray(grid)[:, 0].copy()
+    t1[0], t1[-1] = t1[-2], t1[1]
+    core = random_array((ny, X), np.float32, 17)
+    ext = np.pad(core, ((by, by), (0, 0)), mode="wrap")
+    view = jnp.asarray(to_bricks(ext, grid, (by, X)).reshape(-1, by, X))
+    sd, params = _lin5(), {"a": 0.4, "b": 0.15}
+    one = pallas_pencil_sweep_2d(sd, t1, (by, X), info.nbricks,
+                                 params, interpret=True)
+    fused = pallas_pencil_sweep_2d(sd, t1, (by, X), info.nbricks,
+                                   params, fuse=4, interpret=True)
+    want = view
+    for _ in range(4):
+        want = one(want)
+    got = fused(view)
+    g2 = np.asarray(grid)[1:-1, 0]
+    np.testing.assert_allclose(np.asarray(got)[g2],
+                               np.asarray(want)[g2], rtol=0, atol=1e-6)
+    # default-bdims heuristic
+    assert Problem(dims=(128, 128), stencil=sd, params=params,
+                   backend="pencil").bdims == (32, 128)
+    assert Problem(dims=(48, 128), stencil=sd, params=params,
+                   backend="pencil").bdims == (8, 128)
