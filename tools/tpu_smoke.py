@@ -270,6 +270,31 @@ def main():
 
     check("pencil 2-D fused F=4", pencil_2d_fused)
 
+    def pencil_2d_tall_by32():
+        # the round-5 bench config: BY=32 tall bricks (less per-row
+        # grid overhead, 1.19x trapezoid recompute) + F=4
+        from bricklib_tpu.codegen.pencil_kernel_2d import (
+            pallas_pencil_sweep_2d)
+        from bricklib_tpu.st import ConstRef, Grid, Index
+        from bricklib_tpu.st.loader import load_stencil_module
+
+        i2, j2 = Index(0), Index(1)
+        g2d, o2d = Grid("in", 2), Grid("out", 2)
+        o2d(i2, j2).assign(ConstRef("0.4") * g2d(i2, j2)
+                           + ConstRef("0.1") * (g2d(i2 + 1, j2)
+                                                + g2d(i2, j2 - 1)
+                                                + g2d(i2, j2 + 1)))
+        sd2d = load_stencil_module({"STENCIL": [o2d]})[0]
+        g1, info1 = init_grid((4, 1))
+        t1 = np.asarray(g1)[:, 0].copy()
+        t1[0], t1[-1] = t1[-2], t1[1]
+        fn = pallas_pencil_sweep_2d(sd2d, t1, (32, 256),
+                                    info1.nbricks, {}, fuse=4)
+        return jax.jit(fn)(jnp.zeros((info1.nbricks, 32, 256),
+                                     jnp.float32))
+
+    check("pencil 2-D tall BY=32 F=4", pencil_2d_tall_by32)
+
     def mxu_flat_125():
         from bricklib_tpu.codegen.mxu_kernel import (
             flatten_bricks, pallas_pencil_sweep_mxu)
