@@ -174,9 +174,15 @@ class Problem:
             # BI % 128 == 0 (lane tiles) unless we're off-TPU
             on_hw = jax.default_backend() in ("tpu", "axon")
             fold_ok = (not on_hw) or (self.dims[-1] % 128 == 0)
+            # the 2-D/4-D emitters need full-row pencils (one brick per
+            # outer cell); only the 3-D emitter serves i-bricked grids
+            # (i-column-trimmed windows) — auto must not pick a config
+            # the emitter then rejects
+            row_ok = (nd == 3 or bdims is None
+                      or int(bdims[-1]) == self.dims[-1])
             backend = ("pencil" if nd in (2, 3, 4)
                        and self.mesh_shape[-1] == 1 and fold_ok
-                       else "jnp")
+                       and row_ok else "jnp")
         if backend in ("pencil", "mxu") and self.mesh_shape[-1] != 1:
             # with ghost_depth[i]=0 the lane roll would wrap per-device,
             # silently computing per-device-periodic results
