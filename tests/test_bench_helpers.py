@@ -93,7 +93,7 @@ def test_autotune_rank_builders_construct():
     spec.loader.exec_module(at)
 
     args = types.SimpleNamespace(stencil="mpi7pt", domain=0,
-                                 bdim="4,4,0")
+                                 bdim="4,4,0", by="8,32")
     for rank, build, nmin in ((3, at.build_rank3, 4),
                               (2, at.build_rank2, 3),
                               (4, at.build_rank4, 3)):
