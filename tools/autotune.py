@@ -284,7 +284,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from bricklib_tpu.bench.roofline import barrier, make_dma_copy, rep
+    from bricklib_tpu.bench.roofline import chain, make_dma_copy, rep
 
     fuse_list = [int(x) for x in args.fuse_list.split(",") if x]
     build = {2: build_rank2, 3: build_rank3, 4: build_rank4}[args.rank]
@@ -305,12 +305,15 @@ def main(argv=None):
     sentinel = meta["sentinel"]
 
     def timed(f, d, r):
-        out = f(d)
-        barrier(out)
-        t0 = time.perf_counter()
-        out = f(d)
-        barrier(out)
-        return (time.perf_counter() - t0) / r
+        # 3 BACK-TO-BACK timed calls after one warmup (bench.py's
+        # protocol): chained dependent dispatches pipeline, so
+        # per-call dispatch latency amortizes to ~D/3 instead of D —
+        # with the tunnel's D ~10 ms a single-call timing under-read
+        # the 512^3 copy by ~30% and the quiet gate NEVER fired while
+        # bench (3-call chains) read 368-380 GB/s in the same hours
+        # (docs/BENCH_onchip_r05.md anomaly, now explained)
+        dt, _ = chain(f, d, 3)
+        return dt / r
 
     best = {k: (float("inf"), False) for k in items}
     best_sol = {k: float("inf") for k in sols}
