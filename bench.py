@@ -160,6 +160,14 @@ def main():
 
         k125mxu = rep(pallas_pencil_sweep_mxu(
             stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params))
+        # F=2 temporal fusion: the config that MEETS the >=0.90 gate —
+        # two quiet-window campaigns (docs/AUTOTUNE_125_r05_quiet*.json,
+        # copy 392.7/395.3 GB/s) read 2.80 ms/iter = 1.03-1.04x SOL,
+        # and f2's absolute time is tenancy-SENSITIVE (2.8 quiet ->
+        # 3.7 ms contended), i.e. DMA-bound — not the rule-11 mirage
+        k125f2 = rep(pallas_pencil_sweep(
+            stencil_by_name("mpi125pt")[0], tgrid, BD, nb, params,
+            fuse=2))
     # bf16 items are TPU-only: on the CPU fallback they triple the
     # interpret-mode compile count for numbers nobody reads
     if on_tpu:
@@ -346,6 +354,8 @@ def main():
                       "honest_bf16": (honest_bf16, ST_ITER)})
         if not minimal:
             items.update({"125pt_mxu": (k125mxu, R),
+                          # one fused call = 2 stencil iterations
+                          "125pt_f2": (k125f2, 2 * R),
                           "strong": (strong, ST_ITER),
                           "2d_9pt_f4": (k2d_f4, 4 * R),
                           "copy_2d": (dma_copy_2d, R),
@@ -423,6 +433,10 @@ def main():
                 "125pt_mxu_vs_sol": round(
                     best["copy"] / best["125pt_mxu"], 4),
                 } if "125pt_mxu" in best else {}),
+            **({"125pt_f2_step_ms": round(best["125pt_f2"] * 1e3, 3),
+                "125pt_f2_vs_sol": round(
+                    best["copy"] / best["125pt_f2"], 4),
+                } if "125pt_f2" in best else {}),
             **({"pencil_2d": {
                     "config": (f"{N2}^2 9pt box, fuse=4, brick "
                                f"({BD2[0]}, {N2})"),
